@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are forced end-to-end with the noop sink (full computation, no
+driver-side collect), mirroring how a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family, heaviest variants
+HEADLINE = [
+    "filter_map",
+    "sort_take",
+    "group_agg",
+    "equi_join",
+    "join3_revenue",
+    "count_by",
+    "index_by",
+    "unique_by",
+    "any_all",
+    "pivot",
+    "implode",
+    "explode",
+    "set_ops",
+    "string_split_replace",
+    "regex_ops",
+    "math_ops",
+    "win_lag_lead",
+    "win_rolling",
+    "win_zscore",
+    "time_bucket",
+]
+
+
+def main() -> None:
+    from jetro_spark.session import get_spark
+    from jetro_spark.gate import all_queries
+
+    spark = get_spark("jetro_spark_bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one tiny pass
+    queries["count_by"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

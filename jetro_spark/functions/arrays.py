@@ -1,0 +1,515 @@
+"""Array-pipeline builtins as higher-order-function Column builders
+(document mode — SURVEY.md §2.3-2.7).
+
+These operate on ``array<T>`` columns via Spark HOFs (filter/transform/
+aggregate/exists/forall/zip_with), matching the reference's per-element
+algorithms (jetro-core/src/builtins/ops/array.rs, ops/collection.rs) while
+staying JVM-side. Relational-mode equivalents (whole-DataFrame) live in
+``jetro_spark.operators``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Lambda = Callable[[Column], Column]
+
+
+# ------------------------------------------------------- filter/map streams
+
+
+def filter_(arr: Column, pred: Lambda) -> Column:
+    """Keep elements whose predicate is truthy; null pred → drop.
+    Reference: ops/array.rs:10-62 (aliases find/find_all)."""
+    return F.filter(arr, lambda x: F.coalesce(pred(x), F.lit(False)))
+
+
+def map_(arr: Column, fn: Lambda) -> Column:
+    """Reference: ops/array.rs:64-111."""
+    return F.transform(arr, fn)
+
+
+def flat_map(arr: Column, fn: Lambda) -> Column:
+    """map + flatten one level. Reference: ops/array.rs:113-143."""
+    return F.flatten(F.transform(arr, fn))
+
+
+def take(arr: Column, n: int) -> Column:
+    """Reference: mod.rs:127."""
+    return F.slice(arr, 1, n)
+
+
+def skip(arr: Column, n: int) -> Column:
+    """Reference: mod.rs:129."""
+    return F.slice(arr, n + 1, F.greatest(F.size(arr) - n, F.lit(0)))
+
+
+def take_while(arr: Column, pred: Lambda) -> Column:
+    """Longest truthy prefix. Reference: ops/array.rs:865-926.
+
+    No direct HOF: compute the first failing index via aggregate over
+    (element, still-true) state, then slice."""
+    idx = F.aggregate(
+        arr,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, x: F.struct(
+            F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)), acc["n"] + 1)
+            .otherwise(acc["n"])
+            .alias("n"),
+            (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return F.slice(arr, 1, idx)
+
+
+def drop_while(arr: Column, pred: Lambda) -> Column:
+    """Drop the longest truthy prefix. Reference: ops/array.rs:865-926."""
+    idx = F.aggregate(
+        arr,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, x: F.struct(
+            F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)), acc["n"] + 1)
+            .otherwise(acc["n"])
+            .alias("n"),
+            (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return F.slice(arr, idx + 1, F.greatest(F.size(arr) - idx, F.lit(0)))
+
+
+def find_first(arr: Column, pred: Lambda) -> Column:
+    """First match else null. Reference: mod.rs:154 (lowering filter→First,
+    registry.rs:488-492)."""
+    return F.try_element_at(filter_(arr, pred), F.lit(1))
+
+
+def find_index(arr: Column, pred: Lambda) -> Column:
+    """0-based index of first match, -1 if none. Reference: ops/array.rs:293."""
+    hit = F.try_element_at(
+        F.filter(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(0), F.size(arr) - 1),
+                lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
+            ),
+            lambda s: s["m"],
+        ),
+        F.lit(1),
+    )
+    return F.coalesce(hit["i"].cast("long"), F.lit(-1).cast("long"))
+
+
+def indices_where(arr: Column, pred: Lambda) -> Column:
+    """All 0-based match indices. Reference: ops/array.rs:293-340."""
+    return F.transform(
+        F.filter(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(0), F.size(arr) - 1),
+                lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
+            ),
+            lambda s: s["m"],
+        ),
+        lambda s: s["i"].cast("long"),
+    )
+
+
+# ------------------------------------------------------------ order/dedupe
+
+
+def sort(arr: Column, key: Lambda | None = None, desc: bool = False) -> Column:
+    """Natural or keyed sort; stable for equal keys (array_sort is stable).
+    Reference: ops/array.rs:144-229."""
+    if key is None and not desc:
+        return F.array_sort(arr)
+    k = key or (lambda x: x)
+
+    def cmp(a: Column, b: Column) -> Column:
+        ka, kb = k(a), k(b)
+        lt, gt = (1, -1) if desc else (-1, 1)
+        return (
+            F.when(ka.isNull() & kb.isNull(), 0)
+            .when(ka.isNull(), -1)
+            .when(kb.isNull(), 1)
+            .when(ka < kb, lt)
+            .when(ka > kb, gt)
+            .otherwise(0)
+        )
+
+    return F.array_sort(arr, cmp)
+
+
+def reverse(arr: Column) -> Column:  # ops/collection.rs:45
+    return F.reverse(arr)
+
+
+def unique(arr: Column) -> Column:
+    """Dedup keeping first occurrence (array_distinct preserves first).
+    Reference: ops/collection.rs:77 (alias distinct)."""
+    return F.array_distinct(arr)
+
+
+def unique_by(arr: Column, key: Lambda) -> Column:
+    """Keep first element per key. Reference: ops/array.rs:273-292."""
+    with_idx = F.zip_with(
+        arr, F.sequence(F.lit(0), F.size(arr) - 1), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
+    )
+    keep = F.filter(
+        with_idx,
+        lambda s: F.size(
+            F.filter(with_idx, lambda t: (t["i"] < s["i"]) & key(t["v"]).eqNullSafe(key(s["v"])))
+        )
+        == 0,
+    )
+    return F.transform(keep, lambda s: s["v"])
+
+
+def compact(arr: Column) -> Column:  # ops/collection.rs:23
+    return F.array_compact(arr)
+
+
+def flatten(arr: Column) -> Column:  # ops/collection.rs:35
+    return F.flatten(arr)
+
+
+# --------------------------------------------------------------- positional
+
+
+def first(arr: Column, n: int | None = None) -> Column:
+    """first() → element; first(n) → prefix array. Negative n from end.
+    Reference: ops/collection.rs:344-377."""
+    if n is None:
+        return F.try_element_at(arr, F.lit(1))
+    return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, 1, F.greatest(F.size(arr) + n, F.lit(0)))
+
+
+def last(arr: Column, n: int | None = None) -> Column:
+    """Reference: ops/collection.rs:344-377."""
+    if n is None:
+        return F.try_element_at(arr, F.lit(-1))
+    if n >= 0:
+        return F.slice(arr, F.greatest(F.size(arr) - n + 1, F.lit(1)), n)
+    return F.slice(arr, F.lit(1 - n), F.greatest(F.size(arr) + n, F.lit(0)))
+
+
+def nth(arr: Column, i: int) -> Column:
+    """0-based, negative ok, OOB → null. Reference: ops/collection.rs:344."""
+    from jetro_spark.functions.core import jt_element_at
+
+    return jt_element_at(arr, i)
+
+
+# ----------------------------------------------------------- element edits
+
+
+def append(arr: Column, v: Column) -> Column:  # ops/collection.rs:379
+    return F.array_append(arr, v)
+
+
+def prepend(arr: Column, v: Column) -> Column:  # ops/collection.rs:390
+    return F.array_prepend(arr, v)
+
+
+def remove(arr: Column, pred: Lambda) -> Column:
+    """Remove elements matching predicate. Reference: ops/array.rs:230-248."""
+    return F.filter(arr, lambda x: ~F.coalesce(pred(x), F.lit(False)))
+
+
+# ------------------------------------------------------- windows over arrays
+
+
+def enumerate_(arr: Column) -> Column:
+    """→ [{index, value}]. Reference: ops/collection.rs:409."""
+    return F.zip_with(
+        F.sequence(F.lit(0), F.size(arr) - 1),
+        arr,
+        lambda i, x: F.struct(i.cast("long").alias("index"), x.alias("value")),
+    )
+
+
+def pairwise(arr: Column) -> Column:
+    """Overlapping pairs. Reference: ops/collection.rs:556."""
+    return F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.array(a, b),
+    )
+
+
+def window(arr: Column, n: int) -> Column:
+    """Sliding windows of size n. Reference: ops/collection.rs:556-595."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - n + 1, F.lit(0))),
+        lambda i: F.slice(arr, i, n),
+    )
+
+
+def chunk(arr: Column, n: int) -> Column:
+    """Fixed chunks (last may be short; alias batch). Reference: ops/string.rs:85."""
+    n_chunks = F.ceil(F.size(arr) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: F.slice(arr, i * n + 1, n)
+    )
+
+
+def accumulate(arr: Column, fn: Callable[[Column, Column], Column], init: Column | None = None) -> Column:
+    """Running fold producing intermediate array. Reference: mod.rs:160-161.
+
+    Implemented as prefix-slices folded with aggregate (O(n²) on tiny
+    in-document arrays; relational mode uses a running window instead)."""
+    seed = init
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.aggregate(
+            F.slice(arr, 1, i),
+            seed if seed is not None else F.lit(0).cast("double"),
+            fn,
+        ),
+    )
+
+
+def partition(arr: Column, pred: Lambda) -> Column:
+    """→ {pass, fail}. Reference: ops/array.rs:928-946."""
+    return F.struct(
+        filter_(arr, pred).alias("pass"),
+        F.filter(arr, lambda x: ~F.coalesce(pred(x), F.lit(False))).alias("fail"),
+    )
+
+
+def zip_(a: Column, b: Column) -> Column:
+    """Pairwise zip, truncating to shorter. Reference: ops/array.rs:388-433."""
+    n = F.least(F.size(a), F.size(b))
+    return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y))
+
+
+def zip_longest(a: Column, b: Column) -> Column:
+    """Zip padding shorter side with null. Reference: util.rs:399-420."""
+    return F.zip_with(a, b, lambda x, y: F.array(x, y))
+
+
+def fanout(recv: Column, *exprs: Column) -> Column:
+    """Apply N expressions to one receiver → array. Reference: ops/array.rs:807."""
+    return F.array(*exprs)
+
+
+def collect(v: Column, is_array: bool) -> Column:
+    """scalar→[scalar], array→id, null→[]. Reference: ops/array.rs:376-387."""
+    if is_array:
+        return F.coalesce(v, F.array())
+    return F.when(v.isNull(), F.array()).otherwise(F.array(v))
+
+
+# ------------------------------------------------------------------ set ops
+
+
+def diff(a: Column, b: Column) -> Column:  # ops/collection.rs:596
+    return F.array_except(a, b)
+
+
+def intersect(a: Column, b: Column) -> Column:  # ops/collection.rs:618
+    return F.array_intersect(a, b)
+
+
+def union(a: Column, b: Column) -> Column:  # ops/collection.rs:634
+    return F.array_union(a, b)
+
+
+def includes(arr: Column, v: Column) -> Column:
+    """Membership (`has` / `in` desugar here). Reference: ops/misc.rs:129."""
+    return F.array_contains(arr, v)
+
+
+def index(arr: Column, v: Column) -> Column:
+    """0-based first index of value, -1 when absent (array_position is
+    1-based, 0 when absent). Reference: ops/collection.rs:471-496."""
+    return (F.array_position(arr, v) - 1).cast("long")
+
+
+# -------------------------------------------------------------- aggregates
+
+
+def sum_(arr: Column, fn: Lambda | None = None) -> Column:
+    """sum([]) = 0 (jetro), unlike SQL sum → null.
+    Reference: pipeline.rs:320-329."""
+    vals = F.transform(arr, fn) if fn else arr
+    return F.aggregate(
+        F.array_compact(vals), F.lit(0).cast("double"), lambda acc, x: acc + x.cast("double")
+    )
+
+
+def avg(arr: Column, fn: Lambda | None = None) -> Column:
+    """avg([]) = null. Reference: pipeline.rs:320-329."""
+    vals = F.array_compact(F.transform(arr, fn) if fn else arr)
+    return F.when(F.size(vals) > 0, sum_(vals) / F.size(vals)).otherwise(F.lit(None))
+
+
+def min_(arr: Column, fn: Lambda | None = None) -> Column:
+    vals = F.transform(arr, fn) if fn else arr
+    return F.array_min(vals)
+
+
+def max_(arr: Column, fn: Lambda | None = None) -> Column:
+    vals = F.transform(arr, fn) if fn else arr
+    return F.array_max(vals)
+
+
+def count(arr: Column, pred: Lambda | None = None) -> Column:
+    """Length or predicate-count. Reference: mod.rs:20-21."""
+    if pred is None:
+        return F.size(arr).cast("long")
+    return F.size(filter_(arr, pred)).cast("long")
+
+
+def any_(arr: Column, pred: Lambda) -> Column:
+    """∃ (alias exists). Reference: ops/array.rs:874-891."""
+    return F.exists(arr, lambda x: F.coalesce(pred(x), F.lit(False)))
+
+
+def all_(arr: Column, pred: Lambda) -> Column:
+    """∀. Reference: ops/array.rs:874-891."""
+    return F.forall(arr, lambda x: F.coalesce(pred(x), F.lit(False)))
+
+
+def min_by(arr: Column, key: Lambda) -> Column:
+    """Element with minimal key. Reference: ops/array.rs:341-375."""
+    sorted_ = sort(arr, key=key)
+    return F.try_element_at(sorted_, F.lit(1))
+
+
+def max_by(arr: Column, key: Lambda) -> Column:
+    """Reference: ops/array.rs:341-375."""
+    sorted_ = sort(arr, key=key, desc=True)
+    return F.try_element_at(sorted_, F.lit(1))
+
+
+def group_by(arr: Column, key: Lambda) -> Column:
+    """{key_str: [items]} as insertion-ordered array<struct<key,value>>
+    keyed by STRINGIFIED key, first-seen order.
+    Reference: ops/array.rs:947-965, util.rs:216-226."""
+    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)).alias("value"),
+        ),
+    )
+
+
+def count_by(arr: Column, key: Lambda) -> Column:
+    """{key_str: n}. Reference: ops/array.rs:966-987."""
+    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.size(F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)))
+            .cast("long")
+            .alias("value"),
+        ),
+    )
+
+
+def index_by(arr: Column, key: Lambda) -> Column:
+    """{key_str: item} last-wins. Reference: ops/array.rs:988-1004."""
+    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.element_at(
+                F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)), -1
+            ).alias("value"),
+        ),
+    )
+
+
+# --------------------------------------------------- positional analytics
+# (document-mode forms of SURVEY §2.6; relational forms in operators/)
+
+
+def lag(arr: Column, n: int = 1) -> Column:
+    """Shift right with null fill. Reference: ops/collection.rs:227-249."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.when(i > n, F.element_at(arr, i - n)).otherwise(F.lit(None)),
+    )
+
+
+def lead(arr: Column, n: int = 1) -> Column:
+    """Shift left with null fill. Reference: ops/collection.rs:227-249."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.when(i + n <= F.size(arr), F.element_at(arr, i + n)).otherwise(F.lit(None)),
+    )
+
+
+def rolling(arr: Column, n: int, agg: str) -> Column:
+    """rolling_{sum,avg,min,max}(n): first n-1 outputs null.
+    Reference: ops/collection.rs:124-226."""
+    def win(i: Column) -> Column:
+        return F.slice(arr, i - n + 1, n)
+
+    def reduce(w: Column) -> Column:
+        if agg == "sum":
+            return F.aggregate(w, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        if agg == "avg":
+            return F.aggregate(w, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+        if agg == "min":
+            return F.array_min(w)
+        if agg == "max":
+            return F.array_max(w)
+        raise ValueError(agg)
+
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.when(i >= n, reduce(win(i))).otherwise(F.lit(None)),
+    )
+
+
+def cum_max(arr: Column) -> Column:
+    """Reference: ops/collection.rs:278-321."""
+    return F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: F.array_max(F.slice(arr, 1, i)))
+
+
+def cum_min(arr: Column) -> Column:
+    return F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: F.array_min(F.slice(arr, 1, i)))
+
+
+def diff_window(arr: Column) -> Column:
+    """First differences; first output null. Reference: ops/collection.rs:250."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.when(i > 1, F.element_at(arr, i) - F.element_at(arr, i - 1)).otherwise(
+            F.lit(None)
+        ),
+    )
+
+
+def pct_change(arr: Column) -> Column:
+    """Reference: ops/collection.rs:264-277."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.when(
+            i > 1,
+            (F.element_at(arr, i) - F.element_at(arr, i - 1)).cast("double")
+            / F.element_at(arr, i - 1).cast("double"),
+        ).otherwise(F.lit(None)),
+    )
+
+
+def zscore(arr: Column) -> Column:
+    """(x - mean) / sample-stddev over the array.
+    Reference: ops/collection.rs:322-343."""
+    n = F.size(arr)
+    mean = sum_(arr) / n
+    var = F.aggregate(
+        arr, F.lit(0.0), lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean)
+    ) / (n - 1)
+    sd = F.sqrt(var)
+    return F.transform(arr, lambda x: (x.cast("double") - mean) / sd)

@@ -1,0 +1,145 @@
+"""Core jetro semantics shims (SURVEY.md §1.6).
+
+The reference defines language-level semantics Spark does not share; each
+gets a Column-builder shim here so the compiled plans preserve jetro
+behaviour exactly:
+
+- truthiness            reference: jetro-core/src/util.rs:63-74,174-176
+- comparison null-coerce reference: jetro-core/src/util.rs:79-95,140-168
+- ``/`` float division   reference: jetro-core/src/parse/ast.rs:368-370
+- 0-based / negative index, half-open slices
+                        reference: jetro-core/src/data/value.rs:282-344
+- fuzzy match ``~=``     reference: jetro-core/src/parse/ast.rs:385-386
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def jt_truthy(col: Column, dtype: T.DataType | None = None) -> Column:
+    """Jetro truthiness: null→false; bool→itself; number→!=0;
+    string→non-empty; array/object→non-empty.
+
+    When the static type is known (always, in relational mode) the check
+    compiles to a single codegen-able comparison.
+    Reference: jetro-core/src/util.rs:63-74.
+    """
+    if dtype is None:
+        # Unknown type: rely on boolean context with null→false.
+        return F.coalesce(col.cast("boolean"), F.lit(False))
+    if isinstance(dtype, T.BooleanType):
+        return F.coalesce(col, F.lit(False))
+    if isinstance(dtype, T.NullType):
+        return F.lit(False)
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                          T.DoubleType, T.FloatType, T.DecimalType)):
+        return F.coalesce(col != F.lit(0), F.lit(False))
+    if isinstance(dtype, T.StringType):
+        return F.coalesce(F.length(col) > 0, F.lit(False))
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.coalesce(F.size(col) > 0, F.lit(False))
+    if isinstance(dtype, T.StructType):
+        return col.isNotNull()
+    return col.isNotNull()
+
+
+def jt_pred(col: Column) -> Column:
+    """Wrap a boolean predicate so NULL compares as false (jetro ordered
+    comparison of incomparable values → false, never null).
+    Reference: jetro-core/src/util.rs:140-168."""
+    return F.coalesce(col, F.lit(False))
+
+
+def jt_div(a: Column, b: Column) -> Column:
+    """Jetro ``/`` is always float division (int/int promotes to double).
+    Reference: jetro-core/src/parse/ast.rs:368-370."""
+    return a.cast("double") / b.cast("double")
+
+
+def jt_add(a: Column, b: Column, dtype: T.DataType | None = None) -> Column:
+    """Jetro ``+``: numeric add, string concat, or array concat by type.
+    Reference: jetro-core/src/util.rs:255-276."""
+    if isinstance(dtype, T.StringType):
+        return F.concat(a, b)
+    if isinstance(dtype, T.ArrayType):
+        return F.concat(a, b)
+    return a + b
+
+
+def jt_element_at(arr: Column, idx: int) -> Column:
+    """0-based indexing with Python-style negatives over Spark's 1-based
+    ``element_at`` (negative-from-end is -1-based in both, so only the
+    non-negative case shifts). OOB → null (Spark ``try_element_at``).
+    Reference: jetro-core/src/data/value.rs:297-344."""
+    spark_idx = idx + 1 if idx >= 0 else idx
+    return F.try_element_at(arr, F.lit(spark_idx))
+
+
+def jt_element_at_dyn(arr: Column, idx: Column) -> Column:
+    """Dynamic-index variant of :func:`jt_element_at`."""
+    spark_idx = F.when(idx >= 0, idx + 1).otherwise(idx)
+    return F.try_element_at(arr, spark_idx.cast("int"))
+
+
+def jt_slice(arr: Column, start: int | None, stop: int | None) -> Column:
+    """Python-style half-open slice ``[a:b]`` with open ends and negative
+    indices, over Spark's 1-based ``slice(arr, start, length)``.
+    Reference: jetro-core/src/grammar.pest:65-70, SYNTAX.md:84-97."""
+    n = F.size(arr)
+
+    def norm(i: int) -> Column:
+        # clamp(i < 0 ? n + i : i, 0, n)
+        c = F.lit(i) + n if i < 0 else F.lit(i)
+        return F.greatest(F.lit(0), F.least(c, n))
+
+    lo = norm(start) if start is not None else F.lit(0)
+    hi = norm(stop) if stop is not None else n
+    length = F.greatest(hi - lo, F.lit(0))
+    return F.slice(arr, lo + 1, length)
+
+
+def jt_fuzzy_match(a: Column, b: Column) -> Column:
+    """``~=``: case-insensitive substring test.
+    Reference: jetro-core/src/parse/ast.rs:385-386, SYNTAX.md:133."""
+    return F.contains(F.lower(a), F.lower(b))
+
+
+def jt_cast(col: Column, target: str, dtype: T.DataType | None = None) -> Column:
+    """``x as int|float|number|string|bool|array|object|null``.
+    Reference: jetro-core/src/parse/ast.rs:211-230. Uses try_cast semantics
+    (failure → null) to match jetro's error-free cast behaviour."""
+    if target == "int":
+        return col.try_cast("long")
+    if target in ("float", "number"):
+        return col.try_cast("double")
+    if target == "string":
+        return col.cast("string")
+    if target == "bool":
+        return col.try_cast("boolean")
+    if target == "array":
+        # array-wrap rule: scalar → [scalar], array → identity
+        if isinstance(dtype, T.ArrayType):
+            return col
+        return F.array(col)
+    if target == "null":
+        return F.lit(None)
+    raise ValueError(f"unsupported cast target: {target}")
+
+
+def jt_type_of(col: Column) -> Column:
+    """``type`` builtin → jetro kind names (number/string/bool/array/object/null).
+    Reference: jetro-core/src/builtins/ops/misc.rs:36."""
+    t = F.typeof(col)
+    return (
+        F.when(col.isNull(), F.lit("null"))
+        .when(t.isin("tinyint", "smallint", "int", "bigint", "float", "double")
+              | t.startswith("decimal"), F.lit("number"))
+        .when(t == F.lit("string"), F.lit("string"))
+        .when(t == F.lit("boolean"), F.lit("bool"))
+        .when(t.startswith("array"), F.lit("array"))
+        .when(t.startswith("struct") | t.startswith("map"), F.lit("object"))
+        .otherwise(t)
+    )

@@ -1,0 +1,376 @@
+"""String / regex / encoding / math scalar builtins (SURVEY.md §2.9).
+
+All element-wise and vectorisable (the reference marks these ``is_element``,
+jetro-core/src/builtins/registry.rs:594-616). Implementations compose
+``pyspark.sql.functions`` only — they stay inside whole-stage codegen.
+
+Reference implementations: jetro-core/src/builtins/ops/string.rs (line
+numbers cited per function) and ops/regex.rs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- case/shape
+
+
+def upper(c: Column) -> Column:  # string.rs:126
+    return F.upper(c)
+
+
+def lower(c: Column) -> Column:  # string.rs:140
+    return F.lower(c)
+
+
+def capitalize(c: Column) -> Column:
+    """First char upper, rest unchanged. Reference: string.rs:172."""
+    return F.concat(F.upper(F.substring(c, 1, 1)), c.substr(F.lit(2), F.length(c)))
+
+
+def title_case(c: Column) -> Column:
+    """Every word capitalised. Reference: string.rs:188."""
+    return F.initcap(c)
+
+
+def snake_case(c: Column) -> Column:
+    """camelCase / kebab / spaces → snake_case. Reference: string.rs:324."""
+    s = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2")
+    s = F.regexp_replace(s, r"[\s\-]+", "_")
+    return F.lower(s)
+
+
+def kebab_case(c: Column) -> Column:
+    """Reference: string.rs:332."""
+    s = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1-$2")
+    s = F.regexp_replace(s, r"[\s_]+", "-")
+    return F.lower(s)
+
+
+def camel_case(c: Column) -> Column:
+    """snake/kebab/space-separated → camelCase. Reference: string.rs:340."""
+    words = F.split(F.lower(c), r"[\s_\-]+")
+    head = F.element_at(words, 1)
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, F.initcap), ""))
+
+
+def pascal_case(c: Column) -> Column:
+    """Reference: string.rs:357."""
+    words = F.split(F.lower(c), r"[\s_\-]+")
+    return F.array_join(F.transform(words, F.initcap), "")
+
+
+def reverse_str(c: Column) -> Column:  # string.rs:370
+    return F.reverse(c)
+
+
+# ----------------------------------------------------------------- trim/pad
+
+
+def trim(c: Column) -> Column:  # string.rs:154
+    return F.trim(c)
+
+
+def trim_left(c: Column) -> Column:  # string.rs:160 (alias lstrip)
+    return F.ltrim(c)
+
+
+def trim_right(c: Column) -> Column:  # string.rs:166
+    return F.rtrim(c)
+
+
+def pad_left(c: Column, width: int, fill: str = " ") -> Column:
+    """Pad to width (never truncates — jetro keeps longer strings intact).
+    Reference: string.rs:571."""
+    return F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, fill))
+
+
+def pad_right(c: Column, width: int, fill: str = " ") -> Column:
+    """Reference: string.rs:583."""
+    return F.when(F.length(c) >= width, c).otherwise(F.rpad(c, width, fill))
+
+
+def center(c: Column, width: int, fill: str = " ") -> Column:
+    """Center-pad (left gets the smaller half). Reference: string.rs:595."""
+    total = F.greatest(F.lit(width) - F.length(c), F.lit(0))
+    left = F.floor(total / 2).cast("int")
+    return F.rpad(F.lpad(c, (F.length(c) + left).cast("int"), fill), width, fill)
+
+
+def indent(c: Column, prefix: str) -> Column:
+    """Prefix every line. Reference: string.rs:617."""
+    return F.concat(F.lit(prefix), F.regexp_replace(c, r"\n", "\n" + prefix))
+
+
+def repeat(c: Column, n: int) -> Column:  # string.rs:545
+    return F.repeat(c, n)
+
+
+# --------------------------------------------------------------- split/join
+
+
+def split(c: Column, sep: str) -> Column:
+    """Literal (non-regex) split. Reference: string.rs:70."""
+    import re
+
+    return F.split(c, re.escape(sep))
+
+
+def lines(c: Column) -> Column:  # string.rs:382
+    return F.split(c, r"\r?\n")
+
+
+def words(c: Column) -> Column:
+    """Whitespace-separated, empties dropped. Reference: string.rs:390."""
+    return F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def chars(c: Column) -> Column:
+    """String → array of single-char strings. Reference: string.rs:402."""
+    return F.split(c, "(?!^)(?<!^$)")  # split between every char
+
+
+def chars_of(c: Column) -> Column:
+    """Code points. Reference: string.rs:414."""
+    return F.transform(chars(c), lambda ch: F.ascii(ch).cast("long"))
+
+
+def byte_len(c: Column) -> Column:  # string.rs:428
+    return F.octet_length(c).cast("long")
+
+
+def join(arr: Column, sep: str) -> Column:
+    """Array of strings → joined string. Reference: ops/collection.rs:421."""
+    return F.array_join(arr, sep)
+
+
+# ------------------------------------------------------------- affix/search
+
+
+def starts_with(c: Column, p: str | Column) -> Column:
+    return c.startswith(p)
+
+
+def ends_with(c: Column, p: str | Column) -> Column:
+    return c.endswith(p)
+
+
+def strip_prefix(c: Column, p: str) -> Column:
+    """Remove prefix if present. Reference: string.rs:551."""
+    return F.when(c.startswith(p), c.substr(F.lit(len(p) + 1), F.length(c))).otherwise(c)
+
+
+def strip_suffix(c: Column, s: str) -> Column:
+    """Reference: string.rs:561."""
+    return F.when(
+        c.endswith(s), F.substring(c, 1, (F.length(c) - len(s)).cast("int"))
+    ).otherwise(c)
+
+
+def index_of(c: Column, sub: str) -> Column:
+    """0-based first index, -1 when absent. Reference: vm dispatch /
+    ops/collection.rs:471-496."""
+    return (F.instr(c, sub) - 1).cast("long")
+
+
+def matches(c: Column, sub: str | Column) -> Column:
+    """Substring containment test. Reference: mod.rs:368-369."""
+    return F.contains(c, F.lit(sub) if isinstance(sub, str) else sub)
+
+
+def str_slice(c: Column, start: int | None, stop: int | None) -> Column:
+    """Python-style half-open string slice with negatives. Reference: string.rs:8."""
+    n = F.length(c)
+
+    def norm(i: int) -> Column:
+        v = F.lit(i) + n if i < 0 else F.lit(i)
+        return F.greatest(F.lit(0), F.least(v, n))
+
+    lo = norm(start) if start is not None else F.lit(0)
+    hi = norm(stop) if stop is not None else n
+    return F.substring(c, (lo + 1).cast("int"), F.greatest(hi - lo, F.lit(0)).cast("int"))
+
+
+# ------------------------------------------------------------------ replace
+
+
+def replace(c: Column, old: str, new: str) -> Column:
+    """Replace FIRST occurrence only (instr + splice, not regex — literal).
+    Reference: string.rs:100."""
+    pos = F.instr(c, old)
+    return F.when(
+        pos > 0,
+        F.concat(
+            F.substring(c, 1, (pos - 1).cast("int")),
+            F.lit(new),
+            c.substr(pos + len(old), F.length(c)),
+        ),
+    ).otherwise(c)
+
+
+def replace_all(c: Column, old: str, new: str) -> Column:
+    """Replace all occurrences (literal). Reference: string.rs:100."""
+    return F.replace(c, F.lit(old), F.lit(new))
+
+
+# -------------------------------------------------------------------- regex
+# ⚠ Dialect delta: the reference uses Rust `regex` (no lookaround, no
+# backreferences) while Spark uses Java `Pattern` (a superset for these
+# features) — every pattern valid in the reference is valid here.
+
+
+def re_match(c: Column, pattern: str) -> Column:  # regex.rs:11
+    return c.rlike(pattern)
+
+
+def re_match_first(c: Column, pattern: str) -> Column:
+    """First match or null. Reference: regex.rs:27."""
+    ext = F.regexp_extract(c, f"({pattern})", 1)
+    return F.when(ext == "", F.lit(None)).otherwise(ext)
+
+
+def re_match_all(c: Column, pattern: str) -> Column:  # regex.rs:47
+    return F.regexp_extract_all(c, F.lit(f"({pattern})"), F.lit(1))
+
+
+def re_captures(c: Column, pattern: str, group: int = 1) -> Column:  # regex.rs:67
+    ext = F.regexp_extract(c, pattern, group)
+    return F.when(ext == "", F.lit(None)).otherwise(ext)
+
+
+def re_captures_all(c: Column, pattern: str, group: int = 1) -> Column:  # regex.rs:96
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(group))
+
+
+def re_split(c: Column, pattern: str) -> Column:  # regex.rs:162
+    return F.split(c, pattern)
+
+
+def re_replace(c: Column, pattern: str, new: str) -> Column:
+    """Replace first regex match. Reference: regex.rs:124.
+
+    Spark's regexp_replace replaces all; emulate first-only by anchoring a
+    non-greedy prefix group."""
+    return F.regexp_replace(c, f"^((?:(?!{pattern}).)*?){pattern}", f"$1{new}")
+
+
+def re_replace_all(c: Column, pattern: str, new: str) -> Column:  # regex.rs:141
+    return F.regexp_replace(c, pattern, new)
+
+
+def contains_any(c: Column, patterns: list[str]) -> Column:  # regex.rs:179
+    return c.rlike("|".join(f"(?:{p})" for p in patterns))
+
+
+def contains_all(c: Column, patterns: list[str]) -> Column:  # regex.rs:187-193
+    out = None
+    for p in patterns:
+        t = c.rlike(p)
+        out = t if out is None else (out & t)
+    return out if out is not None else F.lit(True)
+
+
+# --------------------------------------------------------------- predicates
+
+
+def is_blank(c: Column) -> Column:  # mod.rs:306
+    return c.rlike(r"^\s*$")
+
+
+def is_numeric(c: Column) -> Column:  # mod.rs:308
+    return c.rlike(r"^[0-9]+$")
+
+
+def is_alpha(c: Column) -> Column:  # mod.rs:310
+    return c.rlike(r"^[A-Za-z]+$")
+
+
+def is_ascii(c: Column) -> Column:  # mod.rs:312
+    return ~c.rlike(r"[^\x00-\x7F]")
+
+
+# ------------------------------------------------------------ parse/convert
+
+
+def parse_int(c: Column) -> Column:  # string.rs:509
+    return c.try_cast("long")
+
+
+def parse_float(c: Column) -> Column:  # string.rs:517
+    return c.try_cast("double")
+
+
+def parse_bool(c: Column) -> Column:  # string.rs:526
+    return (
+        F.when(F.lower(c).isin("true", "1", "yes"), F.lit(True))
+        .when(F.lower(c).isin("false", "0", "no"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def to_number(c: Column) -> Column:
+    return c.try_cast("double")
+
+
+def to_string(c: Column) -> Column:  # misc.rs:42
+    return c.cast("string")
+
+
+# ----------------------------------------------------------------- encoding
+
+
+def to_base64(c: Column) -> Column:  # string.rs:293
+    return F.base64(c.cast("binary"))
+
+
+def from_base64(c: Column) -> Column:  # string.rs:536
+    return F.unbase64(c).cast("string")
+
+
+def url_encode(c: Column) -> Column:  # string.rs:244
+    return F.url_encode(c)
+
+
+def url_decode(c: Column) -> Column:  # string.rs:265
+    return F.try_url_decode(c)
+
+
+def html_escape(c: Column) -> Column:
+    """&, <, >, ", ' → entities. Reference: string.rs:213."""
+    s = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    s = F.replace(s, F.lit("<"), F.lit("&lt;"))
+    s = F.replace(s, F.lit(">"), F.lit("&gt;"))
+    s = F.replace(s, F.lit('"'), F.lit("&quot;"))
+    return F.replace(s, F.lit("'"), F.lit("&#x27;"))
+
+
+def html_unescape(c: Column) -> Column:
+    """Reference: string.rs:232."""
+    s = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    s = F.replace(s, F.lit("&gt;"), F.lit(">"))
+    s = F.replace(s, F.lit("&quot;"), F.lit('"'))
+    s = F.replace(s, F.lit("&#x27;"), F.lit("'"))
+    return F.replace(s, F.lit("&amp;"), F.lit("&"))
+
+
+# --------------------------------------------------------------------- math
+
+
+def ceil(c: Column) -> Column:  # string.rs:437
+    return F.ceil(c).cast("long")
+
+
+def floor(c: Column) -> Column:  # string.rs:455
+    return F.floor(c).cast("long")
+
+
+def round_(c: Column, digits: int = 0) -> Column:  # string.rs:473
+    return F.round(c, digits)
+
+
+def abs_(c: Column) -> Column:  # string.rs:491
+    return F.abs(c)
+
+

@@ -1,0 +1,131 @@
+"""Relational forms of jetro's keyed/merging operators (SURVEY.md §2.4-2.5).
+
+Scale notes (100 TB design intent):
+- ``equi_join`` leaves strategy choice to Catalyst/AQE (broadcast for small
+  sides, sort-merge otherwise, skew-join splitting under AQE). Callers can
+  pass ``broadcast_right=True`` when the right side is a dimension table.
+- ``group_collect``/``count_by``/``index_by`` are single-shuffle groupBys
+  with map-side partial aggregation (Spark does this automatically for
+  count/min/max/first-last style aggregates).
+- ``unique_by`` uses a groupBy+min_by rather than a window over the whole
+  key partition, avoiding a full sort per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    lkey: str,
+    rkey: str,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Jetro ``equi_join``: INNER hash equi-join of two arrays of objects;
+    merged output object = left fields then right fields, with the RIGHT
+    side winning on column-name collision; null-key rows drop (inner-join
+    null semantics already guarantee this).
+
+    Reference: jetro-core/src/builtins/ops/array.rs:489-548,
+    jetro-core/src/builtins/mod.rs:395-397.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    l_aliased = left.alias("__l")
+    r_aliased = r.alias("__r")
+    joined = l_aliased.join(r_aliased, F.col(f"__l.{lkey}") == F.col(f"__r.{rkey}"), "inner")
+    right_cols = set(right.columns)
+    out: list[Column] = []
+    for c in left.columns:
+        if c not in right_cols:  # right wins on collision
+            out.append(F.col(f"__l.{c}").alias(c))
+    for c in right.columns:
+        out.append(F.col(f"__r.{c}").alias(c))
+    return joined.select(*out)
+
+
+def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
+    """Relational ``group_by``: one row per key with the collected group.
+    Key is STRINGIFIED to match jetro's object-key semantics
+    (reference: jc/util.rs:216-226, ops/array.rs:947-965)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(k.cast("string").alias(key_alias))
+        .agg(F.collect_list(F.struct(*df.columns)).alias("value"))
+    )
+
+
+def count_by(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
+    """Relational ``count_by`` → (key_str, n).
+    Reference: ops/array.rs:966-987."""
+    k = F.col(key) if isinstance(key, str) else key
+    return df.groupBy(k.cast("string").alias(key_alias)).agg(F.count(F.lit(1)).alias("value"))
+
+
+def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None,
+             key_alias: str = "key") -> DataFrame:
+    """Relational ``index_by``: one row per key, LAST occurrence wins.
+
+    Jetro's "last" is positional (document order). Relationally the caller
+    supplies ``order`` (a column defining that order); max_by gives the
+    winner in one shuffle. Reference: ops/array.rs:988-1004."""
+    k = F.col(key) if isinstance(key, str) else key
+    payload = F.struct(*df.columns)
+    if order is None:
+        agg = F.last(payload)
+    else:
+        o = F.col(order) if isinstance(order, str) else order
+        agg = F.max_by(payload, o)
+    return df.groupBy(k.cast("string").alias(key_alias)).agg(agg.alias("value"))
+
+
+def unique_by(df: DataFrame, key: str | Column, order: str | Column | None = None) -> DataFrame:
+    """Dedup keeping FIRST occurrence per key (jetro keeps first).
+
+    With an ``order`` column this is an exact, deterministic min_by per key
+    — a single shuffle with map-side partials (no per-key sort, unlike a
+    row_number window). Without one, falls back to dropDuplicates.
+    Reference: ops/array.rs:273-292."""
+    if order is None:
+        kname = key if isinstance(key, str) else "__k"
+        if isinstance(key, str):
+            return df.dropDuplicates([kname])
+        return df.withColumn(kname, key).dropDuplicates([kname]).drop(kname)
+    k = F.col(key) if isinstance(key, str) else key
+    o = F.col(order) if isinstance(order, str) else order
+    winner = df.groupBy(k.alias("__key")).agg(F.min_by(F.struct(*df.columns), o).alias("__w"))
+    return winner.select("__w.*")
+
+
+def pivot2(df: DataFrame, key: str, value: str) -> DataFrame:
+    """``pivot(k, v)``: array-of-objects → single flat object
+    {row[k]: row[v]} (last wins). Relationally: one row of key→value map.
+    Reference: ops/array.rs:550-618."""
+    return df.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct(F.col(key), F.col(value)))).alias("pivot")
+    )
+
+
+def pivot3(df: DataFrame, row: str, col: str, val: str, values: list | None = None) -> DataFrame:
+    """``pivot(row, col, val)`` → grid, first value per cell.
+    Reference: ops/array.rs:550-618. Relational = Spark's native pivot;
+    pass ``values`` when known to skip the extra distinct-scan job."""
+    p = df.groupBy(row).pivot(col, values) if values else df.groupBy(row).pivot(col)
+    return p.agg(F.first(val))
+
+
+def explode_field(df: DataFrame, field: str, alias: str | None = None) -> DataFrame:
+    """``explode(field)``: one row per array element, other columns kept.
+    Reference: ops/collection.rs:497-524."""
+    alias = alias or field
+    others = [c for c in df.columns if c != field]
+    return df.select(*others, F.explode(F.col(field)).alias(alias))
+
+
+def implode(df: DataFrame, field: str, group_cols: list[str] | None = None) -> DataFrame:
+    """``implode(field)``: inverse of explode — collapse rows sharing all
+    other columns back into an array. Reference: ops/collection.rs:525-555."""
+    group_cols = group_cols or [c for c in df.columns if c != field]
+    return df.groupBy(*group_cols).agg(F.collect_list(F.col(field)).alias(field))

@@ -1,0 +1,84 @@
+"""SparkSession factory + test-table loading.
+
+Local-mode settings follow the public Spark tuning guidance: shuffle
+partitions sized to cores (not the 200 default), AQE enabled for runtime
+re-planning and skew-join handling, Arrow enabled for the pandas-UDF path.
+At cluster scale the same code runs unchanged — only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def get_spark(app_name: str = "jetro_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for local[N] testing.
+
+    The config choices are scale-first: AQE + coalesce + skew-join are what
+    a 1000-executor run wants too; shuffle partitions are overridable via
+    spark.sql.shuffle.partitions at submit time on a real cluster.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables; optionally register temp views.
+
+    The driver's parquet carries nanosecond timestamps (TIMESTAMP(NANOS));
+    Spark reads those only with the legacy nanosAsLong conf, under which
+    they surface as timestamp_ntz — set it on whatever session we're given.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # events.ts is TIMESTAMP(NANOS) → bigint nanos under the legacy
+            # conf. Keep the raw nanos (what DuckDB's epoch_ns sees too) and
+            # add a µs-truncated timestamp for window/streaming operators.
+            df = df.withColumn(
+                "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        dfs[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return dfs
