@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 Lambda = Callable[[Column], Column]
 
 
+def _seq1(n: Column) -> Column:
+    """1..n ascending, ``[]`` when n <= 0.
+
+    ``F.sequence(1, n)`` DESCENDS when n < 1 (sequence(1,0) = [1,0]), which
+    would emit phantom indices for empty/short arrays; the reference returns
+    empty results there (ops/collection.rs:124-249)."""
+    return F.filter(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda i: i <= n)
+
+
+def _seq0(n: Column) -> Column:
+    """0..n-1 ascending, ``[]`` when n <= 0 (see :func:`_seq1`)."""
+    return F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), lambda i: i < n)
+
+
 # ------------------------------------------------------- filter/map streams
 
 
@@ -94,7 +108,7 @@ def find_index(arr: Column, pred: Lambda) -> Column:
         F.filter(
             F.zip_with(
                 arr,
-                F.sequence(F.lit(0), F.size(arr) - 1),
+                _seq0(F.size(arr)),
                 lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
             ),
             lambda s: s["m"],
@@ -110,7 +124,7 @@ def indices_where(arr: Column, pred: Lambda) -> Column:
         F.filter(
             F.zip_with(
                 arr,
-                F.sequence(F.lit(0), F.size(arr) - 1),
+                _seq0(F.size(arr)),
                 lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
             ),
             lambda s: s["m"],
@@ -157,7 +171,7 @@ def unique(arr: Column) -> Column:
 def unique_by(arr: Column, key: Lambda) -> Column:
     """Keep first element per key. Reference: ops/array.rs:273-292."""
     with_idx = F.zip_with(
-        arr, F.sequence(F.lit(0), F.size(arr) - 1), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
+        arr, _seq0(F.size(arr)), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
     )
     keep = F.filter(
         with_idx,
@@ -226,7 +240,7 @@ def remove(arr: Column, pred: Lambda) -> Column:
 def enumerate_(arr: Column) -> Column:
     """→ [{index, value}]. Reference: ops/collection.rs:409."""
     return F.zip_with(
-        F.sequence(F.lit(0), F.size(arr) - 1),
+        _seq0(F.size(arr)),
         arr,
         lambda i, x: F.struct(i.cast("long").alias("index"), x.alias("value")),
     )
@@ -243,18 +257,13 @@ def pairwise(arr: Column) -> Column:
 
 def window(arr: Column, n: int) -> Column:
     """Sliding windows of size n. Reference: ops/collection.rs:556-595."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - n + 1, F.lit(0))),
-        lambda i: F.slice(arr, i, n),
-    )
+    return F.transform(_seq1(F.size(arr) - n + 1), lambda i: F.slice(arr, i, n))
 
 
 def chunk(arr: Column, n: int) -> Column:
     """Fixed chunks (last may be short; alias batch). Reference: ops/string.rs:85."""
     n_chunks = F.ceil(F.size(arr) / F.lit(n)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1), lambda i: F.slice(arr, i * n + 1, n)
-    )
+    return F.transform(_seq0(n_chunks), lambda i: F.slice(arr, i * n + 1, n))
 
 
 def accumulate(arr: Column, fn: Callable[[Column, Column], Column], init: Column | None = None) -> Column:
@@ -264,7 +273,7 @@ def accumulate(arr: Column, fn: Callable[[Column, Column], Column], init: Column
     in-document arrays; relational mode uses a running window instead)."""
     seed = init
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.aggregate(
             F.slice(arr, 1, i),
             seed if seed is not None else F.lit(0).cast("double"),
@@ -436,7 +445,7 @@ def index_by(arr: Column, key: Lambda) -> Column:
 def lag(arr: Column, n: int = 1) -> Column:
     """Shift right with null fill. Reference: ops/collection.rs:227-249."""
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.when(i > n, F.element_at(arr, i - n)).otherwise(F.lit(None)),
     )
 
@@ -444,47 +453,55 @@ def lag(arr: Column, n: int = 1) -> Column:
 def lead(arr: Column, n: int = 1) -> Column:
     """Shift left with null fill. Reference: ops/collection.rs:227-249."""
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.when(i + n <= F.size(arr), F.element_at(arr, i + n)).otherwise(F.lit(None)),
     )
 
 
 def rolling(arr: Column, n: int, agg: str) -> Column:
-    """rolling_{sum,avg,min,max}(n): first n-1 outputs null.
+    """rolling_{sum,avg,min,max}(n): first n-1 outputs null; null elements
+    are SKIPPED (avg divides by the non-null count; all-null window → null).
     Reference: ops/collection.rs:124-226."""
     def win(i: Column) -> Column:
         return F.slice(arr, i - n + 1, n)
 
     def reduce(w: Column) -> Column:
+        cw = F.array_compact(w)
+        k = F.size(cw)
         if agg == "sum":
-            return F.aggregate(w, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            return F.when(
+                k > 0, F.aggregate(cw, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            ).otherwise(F.lit(None))
         if agg == "avg":
-            return F.aggregate(w, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+            return F.when(
+                k > 0,
+                F.aggregate(cw, F.lit(0.0), lambda a, x: a + x.cast("double")) / k,
+            ).otherwise(F.lit(None))
         if agg == "min":
-            return F.array_min(w)
+            return F.array_min(w)  # array_min skips nulls natively
         if agg == "max":
             return F.array_max(w)
         raise ValueError(agg)
 
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.when(i >= n, reduce(win(i))).otherwise(F.lit(None)),
     )
 
 
 def cum_max(arr: Column) -> Column:
     """Reference: ops/collection.rs:278-321."""
-    return F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: F.array_max(F.slice(arr, 1, i)))
+    return F.transform(_seq1(F.size(arr)), lambda i: F.array_max(F.slice(arr, 1, i)))
 
 
 def cum_min(arr: Column) -> Column:
-    return F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: F.array_min(F.slice(arr, 1, i)))
+    return F.transform(_seq1(F.size(arr)), lambda i: F.array_min(F.slice(arr, 1, i)))
 
 
 def diff_window(arr: Column) -> Column:
     """First differences; first output null. Reference: ops/collection.rs:250."""
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.when(i > 1, F.element_at(arr, i) - F.element_at(arr, i - 1)).otherwise(
             F.lit(None)
         ),
@@ -494,7 +511,7 @@ def diff_window(arr: Column) -> Column:
 def pct_change(arr: Column) -> Column:
     """Reference: ops/collection.rs:264-277."""
     return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
+        _seq1(F.size(arr)),
         lambda i: F.when(
             i > 1,
             (F.element_at(arr, i) - F.element_at(arr, i - 1)).cast("double")

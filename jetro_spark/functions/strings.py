@@ -128,13 +128,35 @@ def words(c: Column) -> Column:
 
 
 def chars(c: Column) -> Column:
-    """String → array of single-char strings. Reference: string.rs:402."""
-    return F.split(c, "(?!^)(?<!^$)")  # split between every char
+    """String → array of single-char strings. Reference: string.rs:402.
+
+    regexp_extract_all('(?s).') rather than a zero-width split: Java `.`
+    matches a full code point (surrogate pairs stay whole, unlike split
+    which can cut between surrogates), (?s) keeps newlines, and '' → []."""
+    return F.regexp_extract_all(c, F.lit("(?s)."), F.lit(0))
+
+
+def _codepoint(ch: Column) -> Column:
+    """Unicode code point of a single-character string, decoded from its
+    UTF-8 bytes with pure JVM expressions (Spark has chr() but no inverse)."""
+    b = F.encode(ch, "UTF-8")
+    n = F.octet_length(b)
+
+    def byte(i: int) -> Column:
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    b1 = byte(1)
+    return (
+        F.when(n == 1, b1)
+        .when(n == 2, (b1 % 32) * 64 + byte(2) % 64)
+        .when(n == 3, (b1 % 16) * 4096 + (byte(2) % 64) * 64 + byte(3) % 64)
+        .otherwise((b1 % 8) * 262144 + (byte(2) % 64) * 4096 + (byte(3) % 64) * 64 + byte(4) % 64)
+    )
 
 
 def chars_of(c: Column) -> Column:
-    """Code points. Reference: string.rs:414."""
-    return F.transform(chars(c), lambda ch: F.ascii(ch).cast("long"))
+    """Code points (full Unicode, not first-byte). Reference: string.rs:414."""
+    return F.transform(chars(c), _codepoint)
 
 
 def byte_len(c: Column) -> Column:  # string.rs:428
@@ -251,9 +273,18 @@ def re_split(c: Column, pattern: str) -> Column:  # regex.rs:162
 def re_replace(c: Column, pattern: str, new: str) -> Column:
     """Replace first regex match. Reference: regex.rs:124.
 
-    Spark's regexp_replace replaces all; emulate first-only by anchoring a
-    non-greedy prefix group."""
-    return F.regexp_replace(c, f"^((?:(?!{pattern}).)*?){pattern}", f"$1{new}")
+    Spark's regexp_replace replaces all; locate the first match with
+    regexp_instr/regexp_substr and splice. Group backreferences ($1) in
+    ``new`` still work: the replacement is applied to just the matched
+    substring re-anchored with the original pattern (non-capturing wrap
+    keeps group numbering). Handles multiline inputs and patterns with
+    capture groups — unlike a prefix-group rewrite."""
+    pos = F.regexp_instr(c, F.lit(pattern))  # 1-based start, 0 when no match
+    m = F.regexp_substr(c, F.lit(pattern))  # first matched substring
+    head = F.substring(c, 1, (pos - 1).cast("int"))
+    repl = F.regexp_replace(m, f"(?s)\\A(?:{pattern})\\z", new)
+    tail = c.substr(pos + F.length(m), F.length(c))
+    return F.when(pos > 0, F.concat(head, repl, tail)).otherwise(c)
 
 
 def re_replace_all(c: Column, pattern: str, new: str) -> Column:  # regex.rs:141

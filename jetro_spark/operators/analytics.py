@@ -12,16 +12,25 @@ pct_change :264-277, zscore :322-343).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _win(partition: list[str] | None, order: str | Column):
     o = F.col(order) if isinstance(order, str) else order
-    w = Window.orderBy(o)
-    if partition:
-        w = Window.partitionBy(*partition).orderBy(o)
-    return w
+    if not partition:
+        # A global Window.orderBy funnels the whole input through ONE task —
+        # fine for a small document array, a scale-killer on a table. Callers
+        # on table-backed data must pass `partition`.
+        warnings.warn(
+            "unpartitioned window: all rows flow through a single task; "
+            "pass partition=[...] for table-scale inputs",
+            stacklevel=3,
+        )
+        return Window.orderBy(o)
+    return Window.partitionBy(*partition).orderBy(o)
 
 
 def with_lag(df: DataFrame, col: str, n: int = 1, *, order: str,
@@ -75,7 +84,15 @@ def with_zscore(df: DataFrame, col: str, *, partition: list[str] | None = None,
                 alias: str | None = None) -> DataFrame:
     """(x-mean)/sample-stddev over the partition (whole frame if none).
     Reference: collection.rs:322-343."""
-    w = Window.partitionBy(*partition) if partition else Window.partitionBy()
+    if partition:
+        w = Window.partitionBy(*partition)
+    else:
+        warnings.warn(
+            "unpartitioned window: all rows flow through a single task; "
+            "pass partition=[...] for table-scale inputs",
+            stacklevel=2,
+        )
+        w = Window.partitionBy()
     mean = F.avg(col).over(w)
     sd = F.stddev_samp(col).over(w)
     return df.withColumn(alias or f"{col}_zscore", (F.col(col) - mean) / sd)

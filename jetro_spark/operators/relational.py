@@ -72,13 +72,20 @@ def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None
     supplies ``order`` (a column defining that order); max_by gives the
     winner in one shuffle. Reference: ops/array.rs:988-1004."""
     k = F.col(key) if isinstance(key, str) else key
-    payload = F.struct(*df.columns)
     if order is None:
-        agg = F.last(payload)
+        # Jetro's "last" is document order; synthesize a stable surrogate
+        # (monotonically_increasing_id follows partition/file row order for a
+        # parquet scan) instead of F.last over an unordered group, which is
+        # nondeterministic across partitionings/AQE re-runs.
+        df = df.withColumn("__doc_ord", F.monotonically_increasing_id())
+        order = "__doc_ord"
+        payload = F.struct(*[c for c in df.columns if c != "__doc_ord"])
     else:
-        o = F.col(order) if isinstance(order, str) else order
-        agg = F.max_by(payload, o)
-    return df.groupBy(k.cast("string").alias(key_alias)).agg(agg.alias("value"))
+        payload = F.struct(*df.columns)
+    o = F.col(order) if isinstance(order, str) else order
+    return df.groupBy(k.cast("string").alias(key_alias)).agg(
+        F.max_by(payload, o).alias("value")
+    )
 
 
 def unique_by(df: DataFrame, key: str | Column, order: str | Column | None = None) -> DataFrame:
@@ -86,25 +93,40 @@ def unique_by(df: DataFrame, key: str | Column, order: str | Column | None = Non
 
     With an ``order`` column this is an exact, deterministic min_by per key
     — a single shuffle with map-side partials (no per-key sort, unlike a
-    row_number window). Without one, falls back to dropDuplicates.
+    row_number window). Without one, a document-order surrogate
+    (monotonically_increasing_id = partition/file row order) keeps the
+    "first occurrence" deterministic, unlike dropDuplicates.
     Reference: ops/array.rs:273-292."""
+    out_cols = list(df.columns)
     if order is None:
-        kname = key if isinstance(key, str) else "__k"
-        if isinstance(key, str):
-            return df.dropDuplicates([kname])
-        return df.withColumn(kname, key).dropDuplicates([kname]).drop(kname)
+        df = df.withColumn("__doc_ord", F.monotonically_increasing_id())
+        order = "__doc_ord"
     k = F.col(key) if isinstance(key, str) else key
     o = F.col(order) if isinstance(order, str) else order
-    winner = df.groupBy(k.alias("__key")).agg(F.min_by(F.struct(*df.columns), o).alias("__w"))
+    winner = df.groupBy(k.alias("__key")).agg(F.min_by(F.struct(*out_cols), o).alias("__w"))
     return winner.select("__w.*")
 
 
-def pivot2(df: DataFrame, key: str, value: str) -> DataFrame:
+def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = None) -> DataFrame:
     """``pivot(k, v)``: array-of-objects → single flat object
-    {row[k]: row[v]} (last wins). Relationally: one row of key→value map.
+    {row[k]: row[v]} (LAST wins). Relationally: one row of key→value map.
+
+    Duplicate keys are deduped BEFORE map_from_entries (Spark's default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION throws on duplicates, and
+    last-wins is pivot's primary use case — reference array.rs pivot_apply
+    IndexMap::insert). The per-key max_by shuffles by key (scalable,
+    map-side partials); only the final distinct-key map assembly is a
+    single task — document-mode-faithful single-object output, so keep
+    key cardinality small or use pivot3 for grids.
     Reference: ops/array.rs:550-618."""
-    return df.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct(F.col(key), F.col(value)))).alias("pivot")
+    o = (F.col(order) if isinstance(order, str) else order) if order is not None \
+        else F.monotonically_increasing_id()
+    d = df.withColumn("__ord", o)
+    winners = d.groupBy(F.col(key).alias("__k")).agg(
+        F.max_by(F.col(value), F.col("__ord")).alias("__v")
+    )
+    return winners.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("__k", "__v"))).alias("pivot")
     )
 
 

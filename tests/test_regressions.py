@@ -1,0 +1,118 @@
+"""Regression tests for round-1 review findings (ADVICE.md / VERDICT.md):
+
+- F.sequence(start, stop) descends when stop < start — every index-sequence
+  builtin must return empty/null-free results on empty or shorter-than-n
+  arrays (reference ops/collection.rs:124-249 returns empty there).
+- rolling() must skip nulls and divide avg by the non-null count
+  (collection.rs rolling_sum/avg_apply).
+- chars()/chars_of() must emit exactly one entry per character, full
+  Unicode (string.rs:402-414).
+- re_replace first-only must survive multiline inputs, capture groups and
+  $-backreferences (regex.rs:124).
+- pivot2 must be last-wins on duplicate keys, not DUPLICATED_MAP_KEY.
+- index_by/unique_by without an order column must be deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jetro_spark.functions import arrays as A
+from jetro_spark.functions import strings as S
+from jetro_spark.operators.relational import index_by, pivot2, unique_by
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def _empty():
+    return F.array().cast("array<long>")
+
+
+def test_empty_array_windows(spark):
+    EMPTY = _empty()
+    # sequence(1,0) = [1,0] would emit phantom windows/elements
+    assert one(spark, A.window(EMPTY, 3)) == []
+    assert one(spark, A.chunk(EMPTY, 3)) == []
+    assert one(spark, A.lag(EMPTY)) == []
+    assert one(spark, A.lead(EMPTY)) == []
+    assert one(spark, A.rolling(EMPTY, 2, "sum")) == []
+    assert one(spark, A.cum_max(EMPTY)) == []
+    assert one(spark, A.cum_min(EMPTY)) == []
+    assert one(spark, A.diff_window(EMPTY)) == []
+    assert one(spark, A.pct_change(EMPTY)) == []
+    assert one(spark, A.enumerate_(EMPTY)) == []
+    assert one(spark, A.accumulate(EMPTY, lambda a, x: a + x)) == []
+    assert one(spark, A.unique_by(EMPTY, lambda x: x)) == []
+    assert one(spark, A.find_index(EMPTY, lambda x: x > 0)) == -1
+    assert one(spark, A.indices_where(EMPTY, lambda x: x > 0)) == []
+
+
+def test_shorter_than_n_arrays(spark):
+    two = F.array(F.lit(1), F.lit(2))
+    # window([1,2], 3) previously threw SparkRuntimeException
+    assert one(spark, A.window(two, 3)) == []
+    assert one(spark, A.window(two, 2)) == [[1, 2]]
+    assert one(spark, A.chunk(two, 3)) == [[1, 2]]
+    assert one(spark, A.rolling(two, 3, "sum")) == [None, None]
+
+
+def test_rolling_skips_nulls(spark):
+    arr = F.array(F.lit(1), F.lit(None).cast("long"), F.lit(3), F.lit(None).cast("long"))
+    # window [1,null] → sum skips null = 1.0; [null,3] → 3.0; [3,null] → 3.0
+    assert one(spark, A.rolling(arr, 2, "sum")) == [None, 1.0, 3.0, 3.0]
+    # avg divides by non-null count, not window size
+    assert one(spark, A.rolling(arr, 2, "avg")) == [None, 1.0, 3.0, 3.0]
+    all_null = F.array(F.lit(None).cast("long"), F.lit(None).cast("long"))  # noqa: F841
+    assert one(spark, A.rolling(all_null, 2, "sum")) == [None, None]
+
+
+def test_chars_exact(spark):
+    # no trailing empty string (previous pattern matched the end position)
+    assert one(spark, S.chars(F.lit("ab"))) == ["a", "b"]
+    assert one(spark, S.chars(F.lit("a"))) == ["a"]
+    # newline-terminated: Java `$` matches before a final \n — must not skip
+    assert one(spark, S.chars(F.lit("ab\n"))) == ["a", "b", "\n"]
+    # non-ASCII
+    assert one(spark, S.chars(F.lit("héø"))) == ["h", "é", "ø"]
+
+
+def test_chars_of_unicode(spark):
+    assert one(spark, S.chars_of(F.lit("ab"))) == [97, 98]
+    # 2-byte (é U+00E9), 3-byte (€ U+20AC), 4-byte (😀 U+1F600) UTF-8
+    assert one(spark, S.chars_of(F.lit("é"))) == [0xE9]
+    assert one(spark, S.chars_of(F.lit("€"))) == [0x20AC]
+    assert one(spark, S.chars_of(F.lit("😀"))) == [0x1F600]
+
+
+def test_re_replace_first_only(spark):
+    assert one(spark, S.re_replace(F.lit("a1b2c3"), r"\d", "#")) == "a#b2c3"
+    # multiline: first match after a newline (broken under the old '.'-based rewrite)
+    assert one(spark, S.re_replace(F.lit("abc\nx1y1"), r"\d", "#")) == "abc\nx#y1"
+    # user pattern containing a capture group + $1 backreference
+    assert one(spark, S.re_replace(F.lit("foo12bar34"), r"(\d)(\d)", "$2$1")) == "foo21bar34"
+    # no match → unchanged
+    assert one(spark, S.re_replace(F.lit("abc"), r"\d", "#")) == "abc"
+
+
+def test_pivot2_duplicate_keys_last_wins(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2), ("a", 3, 3)], ["k", "v", "ord"]
+    )
+    row = pivot2(df, "k", "v", order="ord").first()
+    assert row["pivot"] == {"a": 3, "b": 2}
+
+
+def test_index_by_default_order_deterministic(spark, tables):
+    o = tables["orders"]
+    a = {r["key"]: r["value"]["o_orderkey"] for r in index_by(o, "o_custkey").collect()}
+    b = {r["key"]: r["value"]["o_orderkey"] for r in index_by(o, "o_custkey").collect()}
+    assert a == b
+
+
+def test_unique_by_default_order_deterministic(spark, tables):
+    o = tables["orders"]
+    a = sorted(r["o_orderkey"] for r in unique_by(o, "o_custkey").collect())
+    b = sorted(r["o_orderkey"] for r in unique_by(o, "o_custkey").collect())
+    assert a == b
