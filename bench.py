@@ -41,6 +41,11 @@ HEADLINE = [
     "win_rolling",
     "win_zscore",
     "time_bucket",
+    # jetro-expression-string queries through the JQL relational compiler
+    "jql_filter_map",
+    "jql_sort_take",
+    "jql_equi_join",
+    "jql_count_by",
 ]
 
 
@@ -65,6 +70,25 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
+
+    # document-mode bench_lock suite: the reference's own 13-query locked
+    # workload (20k orders × 6 items, BASELINE.md) as jetro expression
+    # strings through the document-mode compiler — the apples-to-apples
+    # baseline comparison. Ingest cost is excluded (the reference times
+    # cache-hot queries on a parsed doc too).
+    from jetro_spark.benchdoc import BENCH_QUERIES, synth_doc
+    from jetro_spark.jql.engine import Jetro
+
+    jt = Jetro.from_value(spark, synth_doc(20_000, 6))
+    jt.df.persist()
+    jt.df.count()  # materialize the document once, like their warm cache
+    for name, expr in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        jt.frame(expr).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+    jt.df.unpersist()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

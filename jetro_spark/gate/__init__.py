@@ -22,19 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    from jetro_spark.gate import relational, scalars, analytics
+def _modules():
+    from jetro_spark.gate import analytics, jql, relational, scalars
 
+    return (relational, scalars, analytics, jql)
+
+
+def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (relational, scalars, analytics):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from jetro_spark.gate import relational, scalars, analytics
-
     out: dict[str, str] = {}
-    for mod in (relational, scalars, analytics):
+    for mod in _modules():
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,106 @@
+"""Gate queries: jetro expression strings compiled by the JQL compiler in
+RELATIONAL mode over the driver's tables (SURVEY.md §2.12, §7.1).
+
+These are the language-level correctness gate: each query is a real jetro
+expression string going parse → AST → relational lowering → DataFrame,
+checked against a DuckDB ANSI-SQL oracle. Reference semantics:
+jc/grammar.pest, jc/parse/ast.rs; lowering this replaces:
+jc/compile/compiler.rs + jc/vm/exec.rs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jetro_spark.jql.engine import JetroTables
+from jetro_spark.session import load_tables
+
+
+def _q(expr: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir, register=False)
+        return JetroTables(spark, tables).query(expr)
+    fn.__doc__ = f"jql: {expr}"
+    return fn
+
+
+QUERIES = {
+    # filter → where, map(ObjLit) → select (pushdown-eligible)
+    "jql_filter_map": _q(
+        "$.lineitem.filter(l_quantity > 45)"
+        ".map({okey: l_orderkey, lnum: l_linenumber, qty: l_quantity})"),
+    # multi-key sort + take → TakeOrderedAndProject (no full sort at scale)
+    "jql_sort_take": _q(
+        "$.orders.sort(-o_totalprice, o_orderkey).take(10)"
+        ".map({okey: o_orderkey, total: o_totalprice})"),
+    # predicate count sink
+    "jql_count_pred": _q(
+        '$.orders.filter(o_orderstatus == "F" and o_totalprice > 100000).count()'),
+    # numeric reducer over projection (integral doubles: order-exact)
+    "jql_map_sum": _q("$.lineitem.map(l_quantity).sum()"),
+    "jql_map_max": _q("$.orders.map(o_totalprice).max()"),
+    # keyed reducer (stringified key, jetro object semantics)
+    "jql_count_by": _q("$.orders.count_by(o_orderpriority)"),
+    # comprehension → filter+project without materialization
+    "jql_comprehension": _q(
+        "[o.o_orderkey for o in $.orders if o.o_totalprice > 150000]"),
+    # equi_join (inner, right-wins) + shaping
+    "jql_equi_join": _q(
+        '$.orders.equi_join($.customer, "o_custkey", "c_custkey")'
+        ".map({okey: o_orderkey, cname: c_name, seg: c_mktsegment})"),
+    # quantified predicates as single-row aggregates
+    "jql_any_all": _q("$.lineitem.any(l_discount > 0.09)"),
+    # map-into-shape sugar `[* if p] => {...}`
+    "jql_map_shape": _q(
+        "$.part[* if p_size > 40] => {pkey: p_partkey, name: p_name}"),
+    # inline filter postfix `{pred}` + fuzzy match
+    "jql_inline_filter": _q(
+        '$.customer{c_mktsegment ~= "build"}.map({ckey: c_custkey})'),
+    # unique on projection
+    "jql_unique": _q("$.lineitem.map(l_returnflag).unique()"),
+}
+
+ORACLES = {
+    "jql_filter_map": """
+        SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty
+        FROM lineitem WHERE l_quantity > 45
+    """,
+    "jql_sort_take": """
+        SELECT o_orderkey AS okey, o_totalprice AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "jql_count_pred": """
+        SELECT count(*) AS value FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+    "jql_map_sum": """
+        SELECT CAST(coalesce(sum(l_quantity), 0) AS DOUBLE) AS value FROM lineitem
+    """,
+    "jql_map_max": """
+        SELECT max(o_totalprice) AS value FROM orders
+    """,
+    "jql_count_by": """
+        SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS value
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "jql_comprehension": """
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    """,
+    "jql_equi_join": """
+        SELECT o_orderkey AS okey, c_name AS cname, c_mktsegment AS seg
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "jql_any_all": """
+        SELECT coalesce(bool_or(l_discount > 0.09), false) AS value FROM lineitem
+    """,
+    "jql_map_shape": """
+        SELECT p_partkey AS pkey, p_name AS name FROM part WHERE p_size > 40
+    """,
+    "jql_inline_filter": """
+        SELECT c_custkey AS ckey FROM customer
+        WHERE contains(lower(c_mktsegment), 'build')
+    """,
+    "jql_unique": """
+        SELECT DISTINCT l_returnflag FROM lineitem
+    """,
+}

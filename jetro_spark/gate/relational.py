@@ -209,10 +209,15 @@ def q_implode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # direct array input (no implode round-trip: the bench line should
+    # measure explode itself, not groupBy+collect_list+explode)
     (li,) = _t(spark, sf_dir, "lineitem")
-    im = implode(li.select("l_orderkey", "l_quantity"), "l_quantity", ["l_orderkey"])
-    ex = explode_field(im, "l_quantity")
-    return ex.select("l_orderkey", "l_quantity")
+    arr = li.select(
+        "l_orderkey", "l_linenumber",
+        F.array("l_quantity", "l_discount", "l_tax").alias("vals"),
+    )
+    ex = explode_field(arr, "vals", alias="val")
+    return ex.select("l_orderkey", "l_linenumber", "val")
 
 
 # --- set ops: diff / intersect / union (relational) --------------------------
@@ -351,7 +356,9 @@ ORACLES = {
         FROM lineitem GROUP BY l_orderkey
     """,
     "explode": """
-        SELECT l_orderkey, l_quantity FROM lineitem
+        SELECT l_orderkey, l_linenumber,
+               unnest([l_quantity, l_discount, l_tax]) AS val
+        FROM lineitem
     """,
     "set_ops": """
         SELECT l_partkey, 'intersect' AS op FROM

@@ -1,0 +1,1496 @@
+"""JQL compiler — lowers the jetro expression AST to PySpark Columns.
+
+Document mode: the document root is a struct column (one-row DataFrame);
+array pipelines compile to Spark higher-order functions over array<struct>
+columns, scalar builtins to the Column builders in jetro_spark.functions.
+Catalyst replaces the reference's planner/VM entirely (SURVEY.md §3-4).
+
+Type-directed lowering: every compiled expression carries its static
+DataType (`TC`), which drives jetro semantics Spark doesn't share —
+truthiness (util.rs:63-74), `+` add/concat dispatch (util.rs:255-276),
+cross-family equality → false (util.rs:79-95), missing field ≡ null
+(value.rs:282-296) — all resolved at PLAN time, zero runtime dispatch.
+
+Deep search (`$..x`, deep_find/deep_shape/deep_like) is a plan-time
+schema walk (SURVEY.md §2.10): the StructType is traversed at compile
+time and the result is a union of typed column paths — Catalyst sees
+plain field accesses, so pruning/pushdown still apply.
+
+Reference: jetro-core/src/parse/ast.rs (AST), jc/compile/compiler.rs
+(their bytecode lowering — replaced by this), jc/builtins/mod.rs:406-434
+(builtin registry the METHODS table mirrors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jetro_spark.functions import arrays as AR
+from jetro_spark.functions import strings as S
+from jetro_spark.functions.core import (
+    jt_cast,
+    jt_div,
+    jt_element_at_dyn,
+    jt_fuzzy_match,
+    jt_slice,
+    jt_truthy,
+    jt_type_of,
+)
+from jetro_spark.jql import ast as A
+from jetro_spark.jql.parser import parse
+
+NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+           T.FloatType, T.DoubleType, T.DecimalType)
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _family(dt: T.DataType | None) -> str:
+    if dt is None:
+        return "unknown"
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(dt, NUMERIC):
+        return "number"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    return "unknown"
+
+
+def is_objrepr(dt: T.DataType | None) -> bool:
+    """Ordered-object representation: array<struct<key:string, value:X>>
+    (jetro objects are insertion-ordered IndexMaps — value.rs:47; we keep
+    group_by/count_by/index_by output ordered the same way)."""
+    return (
+        isinstance(dt, T.ArrayType)
+        and isinstance(dt.elementType, T.StructType)
+        and [f.name for f in dt.elementType.fields] == ["key", "value"]
+    )
+
+
+def unify(dts: list[T.DataType | None]) -> T.DataType | None:
+    non_null = [d for d in dts if d is not None and not isinstance(d, T.NullType)]
+    if not non_null:
+        return T.NullType()
+    first = non_null[0]
+    if all(d == first for d in non_null):
+        return first
+    if all(isinstance(d, NUMERIC) for d in non_null):
+        if any(isinstance(d, (T.DoubleType, T.FloatType, T.DecimalType)) for d in non_null):
+            return T.DoubleType()
+        return T.LongType()
+    if all(isinstance(d, T.StructType) for d in non_null):
+        return union_struct(non_null)
+    if all(isinstance(d, T.ArrayType) for d in non_null):
+        return T.ArrayType(unify([d.elementType for d in non_null]) or T.NullType())
+    return None
+
+
+def union_struct(sts: list[T.StructType]) -> T.StructType:
+    """Union schema by field name, first-seen order, null-padded."""
+    out: list[T.StructField] = []
+    seen: dict[str, int] = {}
+    for st in sts:
+        for f in st.fields:
+            if f.name in seen:
+                u = unify([out[seen[f.name]].dataType, f.dataType])
+                out[seen[f.name]] = T.StructField(f.name, u or f.dataType, True)
+            else:
+                seen[f.name] = len(out)
+                out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+def _probe(dt: T.DataType | None) -> Column:
+    """A typed null column used to dry-run type inference for HOF bodies."""
+    return F.lit(None).cast(dt) if dt is not None else F.lit(None)
+
+
+@dataclass(frozen=True)
+class TC:
+    """Typed column. ``row=True`` marks relational row scope where field
+    access must compile to a top-level F.col (pushdown-friendly) rather
+    than a struct getField."""
+    col: Column | None
+    dtype: T.DataType | None
+    row: bool = False
+
+
+@dataclass(frozen=True)
+class Env:
+    root: TC | None = None
+    current: TC | None = None
+    locals: dict = dc_field(default_factory=dict)
+
+    def bind(self, name: str, tc: TC) -> "Env":
+        return Env(self.root, self.current, {**self.locals, name: tc})
+
+    def with_current(self, tc: TC) -> "Env":
+        return Env(self.root, tc, self.locals)
+
+
+def field_access(tc: TC, name: str) -> TC:
+    """Missing field ≡ null (value.rs:282-296); chains keep navigating
+    through null producing null."""
+    if tc.row:
+        st = tc.dtype
+        if isinstance(st, T.StructType) and name in st.fieldNames():
+            return TC(F.col(name), st[name].dataType)
+        return TC(F.lit(None), T.NullType())
+    if isinstance(tc.dtype, T.StructType):
+        if name in tc.dtype.fieldNames():
+            return TC(tc.col.getField(name), tc.dtype[name].dataType)
+        return TC(F.lit(None), T.NullType())
+    if is_objrepr(tc.dtype):
+        val_dt = tc.dtype.elementType["value"].dataType
+        hit = F.try_element_at(F.filter(tc.col, lambda s: s["key"] == F.lit(name)), F.lit(1))
+        return TC(hit["value"], val_dt)
+    if isinstance(tc.dtype, T.MapType):
+        return TC(tc.col.getItem(name), tc.dtype.valueType)
+    if tc.dtype is None:
+        return TC(tc.col.getField(name), None)
+    if isinstance(tc.dtype, T.NullType):
+        return TC(F.lit(None), T.NullType())
+    raise CompileError(f"field access .{name} on {_family(tc.dtype)} "
+                       f"(use .map({name}) to project over an array)")
+
+
+class Compiler:
+    """One instance per compilation; stateless between calls."""
+
+    # ------------------------------------------------------------ entry
+
+    def compile(self, node: A.Node, env: Env) -> TC:
+        m = getattr(self, f"c_{type(node).__name__}", None)
+        if m is None:
+            raise CompileError(f"unsupported node {type(node).__name__}")
+        return m(node, env)
+
+    # -------------------------------------------------------- primaries
+
+    def c_Literal(self, n: A.Literal, env: Env) -> TC:
+        v = n.value
+        if v is None:
+            return TC(F.lit(None), T.NullType())
+        if isinstance(v, bool):
+            return TC(F.lit(v), T.BooleanType())
+        if isinstance(v, int):
+            return TC(F.lit(v).cast("long"), T.LongType())
+        if isinstance(v, float):
+            return TC(F.lit(v), T.DoubleType())
+        return TC(F.lit(v), T.StringType())
+
+    def c_Root(self, n: A.Root, env: Env) -> TC:
+        if env.root is None:
+            raise CompileError("no document bound for $")
+        return env.root
+
+    def c_Current(self, n: A.Current, env: Env) -> TC:
+        if env.current is None:
+            raise CompileError("@ outside lambda/pipe context")
+        return env.current
+
+    def c_Ident(self, n: A.Ident, env: Env) -> TC:
+        if n.name in env.locals:
+            return env.locals[n.name]
+        if env.current is not None:
+            try:
+                return field_access(env.current, n.name)
+            except CompileError:
+                pass
+        if env.root is not None:
+            try:
+                return field_access(env.root, n.name)
+            except CompileError:
+                pass
+        raise CompileError(f"unresolved identifier {n.name!r}")
+
+    def c_FString(self, n: A.FString, env: Env) -> TC:
+        parts: list[Column] = []
+        for p in n.parts:
+            if isinstance(p, str):
+                parts.append(F.lit(p))
+            else:
+                expr, spec = p
+                tc = self.compile(expr, env)
+                parts.append(self._format(tc, spec))
+        return TC(F.concat(*parts) if parts else F.lit(""), T.StringType())
+
+    def _format(self, tc: TC, spec: str | None) -> Column:
+        if spec is None:
+            return tc.col.cast("string")
+        # `.Nf` fixed decimals is the documented spec form (SYNTAX.md §2)
+        if spec.startswith(".") and spec.endswith("f"):
+            nd = int(spec[1:-1])
+            return F.format_string(f"%.{nd}f", tc.col.cast("double"))
+        raise CompileError(f"unsupported format spec {spec!r}")
+
+    # ------------------------------------------------------------ unary
+
+    def c_Neg(self, n: A.Neg, env: Env) -> TC:
+        tc = self.compile(n.expr, env)
+        return TC(-tc.col, tc.dtype)
+
+    def c_Not(self, n: A.Not, env: Env) -> TC:
+        tc = self.compile(n.expr, env)
+        return TC(~jt_truthy(tc.col, tc.dtype), T.BooleanType())
+
+    # ----------------------------------------------------------- binary
+
+    def c_Binary(self, n: A.Binary, env: Env) -> TC:
+        op = n.op
+        if op in ("and", "or"):
+            lt, rt = self.compile(n.left, env), self.compile(n.right, env)
+            lb, rb = jt_truthy(lt.col, lt.dtype), jt_truthy(rt.col, rt.dtype)
+            return TC(lb & rb if op == "and" else lb | rb, T.BooleanType())
+        lt, rt = self.compile(n.left, env), self.compile(n.right, env)
+        if op == "+":
+            return self._add(lt, rt)
+        if op == "-":
+            return TC(lt.col - rt.col, unify([lt.dtype, rt.dtype]))
+        if op == "*":
+            return TC(lt.col * rt.col, unify([lt.dtype, rt.dtype]))
+        if op == "/":
+            return TC(jt_div(lt.col, rt.col), T.DoubleType())
+        if op == "%":
+            return TC(lt.col % rt.col, unify([lt.dtype, rt.dtype]))
+        if op == "~=":
+            return TC(F.coalesce(jt_fuzzy_match(lt.col, rt.col), F.lit(False)), T.BooleanType())
+        if op in ("==", "!="):
+            return self._eq(lt, rt, op == "!=")
+        if op in ("<", "<=", ">", ">="):
+            cmp = {"<": lt.col < rt.col, "<=": lt.col <= rt.col,
+                   ">": lt.col > rt.col, ">=": lt.col >= rt.col}[op]
+            # ordered comparison of incomparables → false (util.rs:162)
+            return TC(F.coalesce(cmp, F.lit(False)), T.BooleanType())
+        raise CompileError(f"unsupported operator {op}")
+
+    def _add(self, lt: TC, rt: TC) -> TC:
+        """`+`: numeric add, string concat, or array concat (util.rs:255-276)."""
+        lf, rf = _family(lt.dtype), _family(rt.dtype)
+        if "string" in (lf, rf) and lf != "number" and rf != "number":
+            return TC(F.concat(lt.col.cast("string"), rt.col.cast("string")), T.StringType())
+        if lf == "array" and rf == "array":
+            return TC(F.concat(lt.col, rt.col), unify([lt.dtype, rt.dtype]))
+        return TC(lt.col + rt.col, unify([lt.dtype, rt.dtype]))
+
+    def _eq(self, lt: TC, rt: TC, negated: bool) -> TC:
+        """Cross-numeric equality works, cross-family → false, never null
+        (util.rs:79-95,140-168)."""
+        lf, rf = _family(lt.dtype), _family(rt.dtype)
+        if lf == "null" or rf == "null":
+            # x == null ⇔ x is null (Val::Null equality)
+            other = rt if lf == "null" else lt
+            base = other.col.isNull() if not (lf == "null" and rf == "null") else F.lit(True)
+        elif "unknown" not in (lf, rf) and lf != rf:
+            base = F.lit(False)
+        else:
+            base = F.coalesce(lt.col == rt.col, F.lit(False))
+        return TC(~base if negated else base, T.BooleanType())
+
+    def c_Has(self, n: A.Has, env: Env) -> TC:
+        lt, rt = self.compile(n.left, env), self.compile(n.right, env)
+        if _family(lt.dtype) == "string":
+            return TC(F.coalesce(F.contains(lt.col, rt.col), F.lit(False)), T.BooleanType())
+        return TC(F.coalesce(F.array_contains(lt.col, rt.col), F.lit(False)), T.BooleanType())
+
+    def c_Coalesce(self, n: A.Coalesce, env: Env) -> TC:
+        lt, rt = self.compile(n.left, env), self.compile(n.right, env)
+        return TC(F.coalesce(lt.col, rt.col), unify([lt.dtype, rt.dtype]))
+
+    def c_KindCheck(self, n: A.KindCheck, env: Env) -> TC:
+        """Static types make kind checks mostly plan-time constants; only
+        nullability stays dynamic (a null string column is kind null)."""
+        tc = self.compile(n.expr, env)
+        fam = _family(tc.dtype)
+        if n.kind == "null":
+            base = tc.col.isNull() if fam != "null" else F.lit(True)
+        elif fam == "unknown":
+            base = jt_type_of(tc.col) == F.lit(n.kind)
+        elif fam == n.kind:
+            base = tc.col.isNotNull()
+        else:
+            base = F.lit(False)
+        return TC(~base if n.negated else base, T.BooleanType())
+
+    def c_Cast(self, n: A.Cast, env: Env) -> TC:
+        tc = self.compile(n.expr, env)
+        out = {
+            "int": T.LongType(), "float": T.DoubleType(), "number": T.DoubleType(),
+            "string": T.StringType(), "bool": T.BooleanType(), "null": T.NullType(),
+        }.get(n.target)
+        if n.target == "array":
+            out = tc.dtype if isinstance(tc.dtype, T.ArrayType) else T.ArrayType(
+                tc.dtype or T.NullType())
+        if n.target == "object":
+            return tc
+        return TC(jt_cast(tc.col, n.target, tc.dtype), out)
+
+    def c_Ternary(self, n: A.Ternary, env: Env) -> TC:
+        c = self.compile(n.cond, env)
+        a, b = self.compile(n.then, env), self.compile(n.other, env)
+        return TC(F.when(jt_truthy(c.col, c.dtype), a.col).otherwise(b.col),
+                  unify([a.dtype, b.dtype]))
+
+    def c_Try(self, n: A.Try, env: Env) -> TC:
+        """`try BODY else DEFAULT` catches errors AND null (ast.rs:143-150).
+        Errors are avoided at lowering time (try_cast/try_element_at/
+        try_divide), so null-coalescing covers both. A body that fails to
+        COMPILE (e.g. field access on wrong family) is a static error in
+        jetro too — but deep chains on missing fields yield null, not
+        errors, so compile failures fall back to the default arm."""
+        try:
+            body = self.compile(n.body, env)
+        except CompileError:
+            return self.compile(n.default, env)
+        dflt = self.compile(n.default, env)
+        return TC(F.coalesce(body.col, dflt.col), unify([body.dtype, dflt.dtype]))
+
+    # ------------------------------------------------------------- path
+
+    def c_Path(self, n: A.Path, env: Env) -> TC:
+        tc = self.compile(n.base, env)
+        for step in n.steps:
+            tc = self.step(tc, step, env)
+        return tc
+
+    def step(self, tc: TC, step: A.Node, env: Env) -> TC:
+        if isinstance(step, A.Field):
+            return field_access(tc, step.name)
+        if isinstance(step, A.DynField):
+            key = self.compile(step.expr, env)
+            if is_objrepr(tc.dtype):
+                val_dt = tc.dtype.elementType["value"].dataType
+                hit = F.try_element_at(
+                    F.filter(tc.col, lambda s: s["key"] == key.col), F.lit(1))
+                return TC(hit["value"], val_dt)
+            if isinstance(tc.dtype, T.MapType):
+                return TC(tc.col.getItem(key.col), tc.dtype.valueType)
+            raise CompileError("dynamic field on non-object")
+        if isinstance(step, A.Index):
+            idx = self.compile(step.expr, env)
+            if is_objrepr(tc.dtype) and _family(idx.dtype) == "string":
+                # object[key] lookup (SYNTAX.md §9 index_by example)
+                val_dt = tc.dtype.elementType["value"].dataType
+                hit = F.try_element_at(
+                    F.filter(tc.col, lambda s: s["key"] == idx.col), F.lit(1))
+                return TC(hit["value"], val_dt)
+            elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
+            return TC(jt_element_at_dyn(tc.col, idx.col), elem)
+        if isinstance(step, A.Slice):
+            if _family(tc.dtype) == "string":
+                return TC(S.str_slice(tc.col, step.start, step.stop), T.StringType())
+            return TC(jt_slice(tc.col, step.start, step.stop), tc.dtype)
+        if isinstance(step, A.InlineFilter):
+            elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
+            pred = self._pred(step.pred, env, elem)
+            return TC(F.filter(tc.col, pred), tc.dtype)
+        if isinstance(step, A.Quantifier):
+            if step.mark == "?":
+                return tc  # null-safety is free: nulls propagate
+            # `!` assert non-empty / exactly-one (SYNTAX.md §3)
+            if isinstance(tc.dtype, T.ArrayType):
+                err = F.lit("jql: `!` expects non-empty result")
+                return TC(
+                    F.when(F.size(tc.col) > 0, tc.col)
+                    .otherwise(F.raise_error(err).cast(tc.dtype.simpleString())),
+                    tc.dtype)
+            return tc
+        if isinstance(step, A.MapShape):
+            elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
+            arr = tc.col
+            if step.pred is not None:
+                arr = F.filter(arr, self._pred(step.pred, env, elem))
+            fn, out_dt = self._lam(step.shape, env, elem)
+            return TC(F.transform(arr, fn), T.ArrayType(out_dt or T.NullType()))
+        if isinstance(step, A.Descendant):
+            return self.descend(tc, step.name, env)
+        if isinstance(step, A.DeepMethod):
+            return self.deep_method(tc, step, env)
+        if isinstance(step, A.Method):
+            return self.call(tc, step.name, step.args, env)
+        raise CompileError(f"unsupported path step {type(step).__name__}")
+
+    # ------------------------------------------------- lambda machinery
+
+    def _lam(self, node: A.Node, env: Env, elem_dt: T.DataType | None,
+             extra: dict | None = None):
+        """Per-element body: (fn(Column)->Column, out_dtype).
+
+        Inside a method arg, bare identifiers resolve to fields of the
+        current element (SYNTAX.md §6: `filter(price > 10)`); an explicit
+        `lambda x:` / `x =>` binds its param instead."""
+        if isinstance(node, A.Lambda):
+            params, body = node.params, node.body
+        else:
+            params, body = [], node
+
+        def env_for(x: Column) -> Env:
+            e = env.with_current(TC(x, elem_dt))
+            for p in params[:1]:
+                e = e.bind(p, TC(x, elem_dt))
+            if extra:
+                for k, v in extra.items():
+                    e = e.bind(k, v)
+            return e
+
+        out_dt = self.compile(body, env_for(_probe(elem_dt))).dtype
+
+        def fn(x: Column) -> Column:
+            return self.compile(body, env_for(x)).col
+
+        return fn, out_dt
+
+    def _lam2(self, node: A.Node, env: Env, dt_a, dt_b):
+        """Two-arg lambda body (accumulate): (fn(a, b)->Column, out_dtype)."""
+        if not isinstance(node, A.Lambda) or len(node.params) != 2:
+            raise CompileError("expected a two-parameter lambda")
+        pa, pb = node.params
+
+        def env_for(a: Column, b: Column) -> Env:
+            return env.bind(pa, TC(a, dt_a)).bind(pb, TC(b, dt_b))
+
+        out_dt = self.compile(node.body, env_for(_probe(dt_a), _probe(dt_b))).dtype
+
+        def fn(a: Column, b: Column) -> Column:
+            return self.compile(node.body, env_for(a, b)).col
+
+        return fn, out_dt
+
+    def _pred(self, node: A.Node, env: Env, elem_dt: T.DataType | None):
+        fn, dt = self._lam(node, env, elem_dt)
+        return lambda x: jt_truthy(fn(x), dt)
+
+    # ------------------------------------------------------ constructors
+
+    def c_ObjLit(self, n: A.ObjLit, env: Env) -> TC:
+        """Object literal → struct (insertion-ordered, value.rs:47).
+        `k?: v` / `when` guards compile to null values (struct schemas are
+        fixed; jetro's per-row field omission needs a dynamic object —
+        divergence documented, null ≡ missing on read anyway)."""
+        cols: list[Column] = []
+        fields: list[T.StructField] = []
+        for f in n.fields:
+            if f.kind in ("kv", "opt_v"):
+                tc = self.compile(f.value, env)
+                col = tc.col
+                if f.guard is not None:
+                    g = self.compile(f.guard, env)
+                    col = F.when(jt_truthy(g.col, g.dtype), col)
+                cols.append(col.alias(f.key))
+                fields.append(T.StructField(f.key, tc.dtype or T.NullType(), True))
+            elif f.kind in ("short", "opt"):
+                tc = self.c_Ident(A.Ident(f.key), env)
+                cols.append(tc.col.alias(f.key))
+                fields.append(T.StructField(f.key, tc.dtype or T.NullType(), True))
+            elif f.kind == "spread":
+                tc = self.compile(f.value, env)
+                if not isinstance(tc.dtype, T.StructType):
+                    raise CompileError("...spread of non-object")
+                for sf in tc.dtype.fields:
+                    cols.append(tc.col.getField(sf.name).alias(sf.name))
+                    fields.append(T.StructField(sf.name, sf.dataType, True))
+            else:
+                raise CompileError(f"unsupported object field kind {f.kind}")
+        # later duplicate keys win (IndexMap::insert semantics)
+        dedup: dict[str, int] = {}
+        out_c, out_f = [], []
+        for c, sf in zip(cols, fields):
+            if sf.name in dedup:
+                out_c[dedup[sf.name]] = c
+                out_f[dedup[sf.name]] = sf
+            else:
+                dedup[sf.name] = len(out_c)
+                out_c.append(c)
+                out_f.append(sf)
+        return TC(F.struct(*out_c), T.StructType(out_f))
+
+    def c_ArrLit(self, n: A.ArrLit, env: Env) -> TC:
+        pieces: list[Column] = []
+        dts: list[T.DataType | None] = []
+        for e in n.elems:
+            tc = self.compile(e.expr, env)
+            if e.spread:
+                pieces.append(tc.col)
+                if isinstance(tc.dtype, T.ArrayType):
+                    dts.append(tc.dtype.elementType)
+            else:
+                pieces.append(F.array(tc.col))
+                dts.append(tc.dtype)
+        if not pieces:
+            return TC(F.array(), T.ArrayType(T.NullType()))
+        elem = unify(dts)
+        arr = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        return TC(arr, T.ArrayType(elem or T.NullType()))
+
+    # ------------------------------------------------------ let / lambda
+
+    def c_Let(self, n: A.Let, env: Env) -> TC:
+        return self.compile(n.body, env.bind(n.name, self.compile(n.value, env)))
+
+    def c_Lambda(self, n: A.Lambda, env: Env) -> TC:
+        raise CompileError("lambda outside method-argument position")
+
+    # ---------------------------------------------------- comprehensions
+
+    def c_Comp(self, n: A.Comp, env: Env) -> TC:
+        src = self.compile(n.source, env)
+        if is_objrepr(src.dtype) or isinstance(src.dtype, T.StructType):
+            src = self._entries(src)  # `for k, v in obj`
+        if not isinstance(src.dtype, T.ArrayType):
+            raise CompileError("comprehension source must be an array/object")
+        elem = src.dtype.elementType
+
+        def bind_vars(x: Column) -> Env:
+            e = env.with_current(TC(x, elem))
+            if len(n.vars) == 1:
+                e = e.bind(n.vars[0], TC(x, elem))
+            else:  # 2-var (k, v) over entries
+                e = e.bind(n.vars[0], TC(x["key"], T.StringType()))
+                e = e.bind(n.vars[1], field_access(TC(x, elem), "value"))
+            return e
+
+        arr = src.col
+        if n.cond is not None:
+            def pred(x: Column) -> Column:
+                tc = self.compile(n.cond, bind_vars(x))
+                return jt_truthy(tc.col, tc.dtype)
+            arr = F.filter(arr, pred)
+
+        def value_fn(x: Column) -> Column:
+            return self.compile(n.value, bind_vars(x)).col
+
+        out_dt = self.compile(n.value, bind_vars(_probe(elem))).dtype
+        if n.kind in ("list", "gen"):
+            return TC(F.transform(arr, value_fn), T.ArrayType(out_dt or T.NullType()))
+        if n.kind == "set":
+            return TC(F.array_distinct(F.transform(arr, value_fn)),
+                      T.ArrayType(out_dt or T.NullType()))
+        if n.kind == "dict":
+            def kv_fn(x: Column) -> Column:
+                e = bind_vars(x)
+                k = self.compile(n.key, e).col.cast("string")
+                return F.struct(k.alias("key"), self.compile(n.value, e).col.alias("value"))
+            return TC(F.transform(arr, kv_fn),
+                      T.ArrayType(T.StructType([
+                          T.StructField("key", T.StringType(), True),
+                          T.StructField("value", out_dt or T.NullType(), True)])))
+        raise CompileError(f"unsupported comprehension kind {n.kind}")
+
+    def _entries(self, tc: TC) -> TC:
+        """Object → ordered entries array<struct<key,value>>."""
+        if is_objrepr(tc.dtype):
+            return tc
+        if isinstance(tc.dtype, T.StructType):
+            vdt = unify([f.dataType for f in tc.dtype.fields]) or T.StringType()
+            entries = [
+                F.struct(F.lit(f.name).alias("key"),
+                         tc.col.getField(f.name).cast(vdt).alias("value"))
+                for f in tc.dtype.fields
+            ]
+            return TC(F.array(*entries), T.ArrayType(T.StructType([
+                T.StructField("key", T.StringType(), True),
+                T.StructField("value", vdt, True)])))
+        raise CompileError("entries on non-object")
+
+    # ---------------------------------------------------------- pipeline
+
+    def c_Pipe(self, n: A.Pipe, env: Env) -> TC:
+        acc = self.compile(n.base, env)
+        cur_env = env
+        for s in n.steps:
+            if isinstance(s, A.PipeBind):
+                cur_env = self._bind_pipe(acc, s, cur_env)
+                continue
+            expr = s.expr if isinstance(s, A.PipeForward) else s
+            acc = self._pipe_apply(acc, expr, cur_env)
+        return acc
+
+    def _bind_pipe(self, acc: TC, b: A.PipeBind, env: Env) -> Env:
+        if b.kind == "ident":
+            return env.bind(b.names[0], acc)
+        if b.kind == "obj":
+            for name in b.names:
+                env = env.bind(name, field_access(acc, name))
+            if b.rest is not None:
+                if not isinstance(acc.dtype, T.StructType):
+                    raise CompileError("...rest destructure of non-object")
+                rest_fields = [f for f in acc.dtype.fields if f.name not in b.names]
+                rest = TC(
+                    F.struct(*[acc.col.getField(f.name).alias(f.name) for f in rest_fields]),
+                    T.StructType(rest_fields))
+                env = env.bind(b.rest, rest)
+            return env
+        # arr destructure
+        elem = acc.dtype.elementType if isinstance(acc.dtype, T.ArrayType) else None
+        for i, name in enumerate(b.names):
+            env = env.bind(name, TC(F.try_element_at(acc.col, F.lit(i + 1)), elem))
+        return env
+
+    def _pipe_apply(self, acc: TC, expr: A.Node, env: Env) -> TC:
+        """RHS of `|`: method call on piped value, zero-arg method name,
+        or any expression with @ bound (SYNTAX.md §10)."""
+        if isinstance(expr, A.GlobalCall) and expr.name in METHODS:
+            return self.call(acc, expr.name, expr.args, env.with_current(acc))
+        if isinstance(expr, A.Ident) and expr.name in METHODS:
+            return self.call(acc, expr.name, [], env.with_current(acc))
+        return self.compile(expr, env.with_current(acc))
+
+    def c_PipeForward(self, n: A.PipeForward, env: Env) -> TC:
+        return self.compile(n.expr, env)
+
+    # ------------------------------------------------------ global calls
+
+    def c_GlobalCall(self, n: A.GlobalCall, env: Env) -> TC:
+        name, args = n.name, n.args
+        if name == "coalesce":
+            tcs = [self.compile(a.value, env) for a in args]
+            return TC(F.coalesce(*[t.col for t in tcs]), unify([t.dtype for t in tcs]))
+        if name == "chain":
+            tcs = [self.compile(a.value, env) for a in args]
+            return TC(F.concat(*[t.col for t in tcs]), unify([t.dtype for t in tcs]))
+        if name == "product":
+            a = self.compile(args[0].value, env)
+            b = self.compile(args[1].value, env)
+            ea = a.dtype.elementType if isinstance(a.dtype, T.ArrayType) else None
+            eb = b.dtype.elementType if isinstance(b.dtype, T.ArrayType) else None
+            pair_dt = T.ArrayType(unify([ea, eb]) or T.NullType())
+            return TC(
+                F.flatten(F.transform(a.col, lambda x: F.transform(
+                    b.col, lambda y: F.array(x, y)))),
+                T.ArrayType(pair_dt))
+        if name in ("type_of", "type"):
+            tc = self.compile(args[0].value, env)
+            return self.call(tc, "type", [], env)
+        if name in METHODS and args:
+            recv = self.compile(args[0].value, env)
+            return self.call(recv, name, args[1:], env)
+        raise CompileError(f"unknown function {name}")
+
+    # ------------------------------------------------------- deep search
+    # Plan-time schema walk (SURVEY.md §2.10): the StructType is traversed
+    # at compile time; the emitted plan is a concat of typed field paths.
+    # Reference: ops/array.rs:619-806, exec/structural.rs (their runtime
+    # bitmap index — unnecessary here because schemas are static).
+
+    def descend(self, tc: TC, name: str | None, env: Env) -> TC:
+        if name is None:
+            raise CompileError("bare `$..` (every node) is not supported; "
+                               "name the field: $..field")
+        if tc.dtype is None:
+            raise CompileError("deep search requires a statically-known schema")
+        leaf_dts: list[T.DataType] = []
+        self._collect_leaf_types(tc.dtype, name, leaf_dts)
+        if not leaf_dts:
+            return TC(F.array(), T.ArrayType(T.NullType()))
+        out = unify(leaf_dts)
+        if out is None:
+            out = T.StringType()
+        arr = self._descend_col(tc.col, tc.dtype, name, out)
+        return TC(arr, T.ArrayType(out))
+
+    def _collect_leaf_types(self, dt: T.DataType, name: str, out: list) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                if f.name == name:
+                    out.append(f.dataType)
+                self._collect_leaf_types(f.dataType, name, out)
+        elif isinstance(dt, T.ArrayType):
+            self._collect_leaf_types(dt.elementType, name, out)
+
+    def _descend_col(self, col: Column, dt: T.DataType, name: str,
+                     out: T.DataType) -> Column:
+        """DFS pre-order array of every `name` field value below col."""
+        empty = F.array().cast(T.ArrayType(out).simpleString())
+        if isinstance(dt, T.StructType):
+            pieces: list[Column] = []
+            for f in dt.fields:
+                v = col.getField(f.name)
+                if f.name == name:
+                    pieces.append(F.array(v.cast(out.simpleString())))
+                sub = self._descend_col(v, f.dataType, name, out)
+                if sub is not None:
+                    pieces.append(sub)
+            if not pieces:
+                return None
+            return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        if isinstance(dt, T.ArrayType):
+            sub_builder = self._descend_col(_probe(dt.elementType), dt.elementType, name, out)
+            if sub_builder is None:
+                return None
+            return F.flatten(F.transform(
+                col, lambda e: F.coalesce(
+                    self._descend_col(e, dt.elementType, name, out), empty)))
+        return None
+
+    def deep_method(self, tc: TC, step: A.DeepMethod, env: Env) -> TC:
+        if step.name in ("find", "deep_find"):
+            preds = [a.value for a in step.args]
+            return self._deep_find(tc, preds, env)
+        if step.name in ("shape", "deep_shape"):
+            keys = self._shape_keys(step.args)
+            return self._deep_nodes(tc, keys, None, env)
+        if step.name in ("like", "deep_like"):
+            if len(step.args) != 1 or not isinstance(step.args[0].value, A.ObjLit):
+                raise CompileError("deep_like expects an object literal")
+            obj = step.args[0].value
+            keys = [f.key for f in obj.fields]
+            return self._deep_nodes(tc, keys, obj, env)
+        if step.name in METHODS:
+            # `$..x.method()` parses as DeepMethod(x is separate) — here the
+            # name IS a builtin applied to a bare `$..` which we don't do.
+            raise CompileError(f"deep method {step.name} not supported")
+        raise CompileError(f"unknown deep method {step.name}")
+
+    def _shape_keys(self, args: list[A.Arg]) -> list[str]:
+        keys = []
+        for a in args:
+            v = a.value
+            if isinstance(v, A.ObjLit):
+                keys.extend(f.key for f in v.fields)
+            elif isinstance(v, A.Ident):
+                keys.append(v.name)
+            elif isinstance(v, A.Literal) and isinstance(v.value, str):
+                keys.append(v.value)
+            else:
+                raise CompileError("deep_shape expects key names")
+        return keys
+
+    def _pred_fields(self, node: A.Node, out: set) -> None:
+        """Field names a deep_find predicate dereferences off @ — used to
+        exclude, at PLAN time, struct shapes that can never match."""
+        if isinstance(node, A.Path) and isinstance(node.base, A.Current):
+            if node.steps and isinstance(node.steps[0], A.Field):
+                out.add(node.steps[0].name)
+            return
+        if isinstance(node, A.Ident):
+            out.add(node.name)
+            return
+        for v in vars(node).values() if hasattr(node, "__dict__") else []:
+            if isinstance(v, A.Node):
+                self._pred_fields(v, out)
+            elif isinstance(v, list):
+                for x in v:
+                    if isinstance(x, A.Node):
+                        self._pred_fields(x, out)
+                    elif isinstance(x, A.Arg):
+                        self._pred_fields(x.value, out)
+
+    def _struct_nodes(self, dt: T.DataType, required: set[str]) -> list[T.StructType]:
+        """All struct shapes in the schema containing every required key."""
+        found: list[T.StructType] = []
+
+        def walk(d: T.DataType) -> None:
+            if isinstance(d, T.StructType):
+                if required <= set(d.fieldNames()):
+                    found.append(d)
+                for f in d.fields:
+                    walk(f.dataType)
+            elif isinstance(d, T.ArrayType):
+                walk(d.elementType)
+
+        walk(dt)
+        return found
+
+    def _deep_collect(self, col: Column, dt: T.DataType, want, cast_to: T.StructType,
+                      match_fn) -> Column | None:
+        """Concat of matching descendant objects, each cast to the union
+        schema, filtered by match_fn(elem_col, struct_dt) -> Column|None."""
+        out_dt = T.ArrayType(cast_to)
+        empty = F.array().cast(out_dt.simpleString())
+
+        def pad(c: Column, st: T.StructType) -> Column:
+            names = set(st.fieldNames())
+            return F.struct(*[
+                (c.getField(f.name).cast(f.dataType.simpleString())
+                 if f.name in names else F.lit(None).cast(f.dataType.simpleString())
+                 ).alias(f.name)
+                for f in cast_to.fields])
+
+        def rec(c: Column, d: T.DataType) -> Column | None:
+            pieces: list[Column] = []
+            if isinstance(d, T.StructType):
+                if want(d):
+                    m = match_fn(c, d)
+                    piece = F.array(pad(c, d))
+                    if m is not None:
+                        piece = F.when(m, piece).otherwise(empty)
+                    pieces.append(piece)
+                for f in d.fields:
+                    sub = rec(c.getField(f.name), f.dataType)
+                    if sub is not None:
+                        pieces.append(sub)
+            elif isinstance(d, T.ArrayType):
+                ed = d.elementType
+                if rec(_probe(ed), ed) is not None:
+                    pieces.append(F.flatten(F.transform(
+                        c, lambda e: F.coalesce(rec(e, ed), empty))))
+            if not pieces:
+                return None
+            return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+
+        return rec(col, dt)
+
+    def _deep_find(self, tc: TC, preds: list[A.Node], env: Env) -> TC:
+        required: set[str] = set()
+        for p in preds:
+            self._pred_fields(p, required)
+        candidates = self._struct_nodes(tc.dtype, required)
+        if not candidates:
+            return TC(F.array(), T.ArrayType(T.NullType()))
+        union = union_struct(candidates)
+        cand_keys = {tuple(st.fieldNames()) for st in candidates}
+
+        def want(st: T.StructType) -> bool:
+            return tuple(st.fieldNames()) in cand_keys
+
+        def match(c: Column, st: T.StructType) -> Column:
+            conds = []
+            for p in preds:
+                fn, dt = self._lam(p, env, st)
+                conds.append(jt_truthy(fn(c), dt))
+            out = conds[0]
+            for x in conds[1:]:
+                out = out & x
+            return out
+
+        arr = self._deep_collect(tc.col, tc.dtype, want, union, match)
+        return TC(arr if arr is not None else F.array(), T.ArrayType(union))
+
+    def _deep_nodes(self, tc: TC, keys: list[str], like: A.ObjLit | None,
+                    env: Env) -> TC:
+        candidates = self._struct_nodes(tc.dtype, set(keys))
+        if not candidates:
+            return TC(F.array(), T.ArrayType(T.NullType()))
+        union = union_struct(candidates)
+        cand_keys = {tuple(st.fieldNames()) for st in candidates}
+
+        def want(st: T.StructType) -> bool:
+            return tuple(st.fieldNames()) in cand_keys
+
+        def match(c: Column, st: T.StructType):
+            if like is None:
+                return None
+            conds = []
+            for f in like.fields:
+                lit = self.compile(f.value, env)
+                fv = field_access(TC(c, st), f.key)
+                conds.append(self._eq(fv, lit, False).col)
+            out = conds[0]
+            for x in conds[1:]:
+                out = out & x
+            return out
+
+        arr = self._deep_collect(tc.col, tc.dtype, want, union, match)
+        return TC(arr if arr is not None else F.array(), T.ArrayType(union))
+
+    # -------------------------------------------------------- method call
+
+    def call(self, recv: TC, name: str, args: list[A.Arg], env: Env) -> TC:
+        handler = METHODS.get(name)
+        if handler is None:
+            raise CompileError(f"unknown builtin {name!r}")
+        return handler(self, recv, args, env)
+
+
+# ---------------------------------------------------------------------------
+# builtin dispatch table — mirrors jc/builtins/mod.rs:406-434 (registry);
+# aliases per registry.rs:384-388.
+# ---------------------------------------------------------------------------
+
+
+def _const(node: A.Node):
+    if isinstance(node, A.Literal):
+        return node.value
+    if isinstance(node, A.Neg) and isinstance(node.expr, A.Literal):
+        return -node.expr.value
+    return None
+
+
+def _const_int(args: list[A.Arg], i: int, default=None):
+    if i >= len(args):
+        return default
+    v = _const(args[i].value)
+    if not isinstance(v, int):
+        raise CompileError("expected integer literal argument")
+    return v
+
+
+def _const_str(args: list[A.Arg], i: int, default=None):
+    if i >= len(args):
+        return default
+    v = _const(args[i].value)
+    if not isinstance(v, str):
+        raise CompileError("expected string literal argument")
+    return v
+
+
+def _elem(recv: TC) -> T.DataType | None:
+    return recv.dtype.elementType if isinstance(recv.dtype, T.ArrayType) else None
+
+
+def _arr_out(recv: TC) -> T.DataType:
+    return recv.dtype if isinstance(recv.dtype, T.ArrayType) else T.ArrayType(T.NullType())
+
+
+def _sort_args(self: Compiler, recv: TC, args: list[A.Arg], env: Env):
+    """sort() natural; sort(key) asc; sort(-key) desc; multi-key."""
+    if not args:
+        return None, False
+    keyspecs = []
+    for a in args:
+        node, desc = a.value, False
+        if isinstance(node, A.Neg):
+            node, desc = node.expr, True
+        fn, _ = self._lam(node, env, _elem(recv))
+        keyspecs.append((fn, desc))
+    return keyspecs, True
+
+
+def m_filter(self, recv, args, env):
+    return TC(F.filter(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              recv.dtype)
+
+
+def m_map(self, recv, args, env):
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    return TC(F.transform(recv.col, fn), T.ArrayType(dt or T.NullType()))
+
+
+def m_flat_map(self, recv, args, env):
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    inner = dt.elementType if isinstance(dt, T.ArrayType) else T.NullType()
+    return TC(F.flatten(F.transform(recv.col, fn)), T.ArrayType(inner))
+
+
+def m_take(self, recv, args, env):
+    return TC(AR.take(recv.col, _const_int(args, 0)), recv.dtype)
+
+
+def m_skip(self, recv, args, env):
+    return TC(AR.skip(recv.col, _const_int(args, 0)), recv.dtype)
+
+
+def m_take_while(self, recv, args, env):
+    return TC(AR.take_while(recv.col, self._lam(args[0].value, env, _elem(recv))[0]),
+              recv.dtype)
+
+
+def m_drop_while(self, recv, args, env):
+    return TC(AR.drop_while(recv.col, self._lam(args[0].value, env, _elem(recv))[0]),
+              recv.dtype)
+
+
+def m_first(self, recv, args, env):
+    n = _const_int(args, 0)
+    if n is None:
+        return TC(AR.first(recv.col), _elem(recv))
+    return TC(AR.first(recv.col, n), recv.dtype)
+
+
+def m_last(self, recv, args, env):
+    n = _const_int(args, 0)
+    if n is None:
+        return TC(AR.last(recv.col), _elem(recv))
+    return TC(AR.last(recv.col, n), recv.dtype)
+
+
+def m_nth(self, recv, args, env):
+    return TC(AR.nth(recv.col, _const_int(args, 0)), _elem(recv))
+
+
+def m_find_first(self, recv, args, env):
+    return TC(AR.find_first(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              _elem(recv))
+
+
+def m_find_index(self, recv, args, env):
+    return TC(AR.find_index(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              T.LongType())
+
+
+def m_indices_where(self, recv, args, env):
+    return TC(AR.indices_where(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              T.ArrayType(T.LongType()))
+
+
+def m_sort(self, recv, args, env):
+    keyspecs, keyed = _sort_args(self, recv, args, env)
+    if not keyed:
+        return TC(AR.sort(recv.col), recv.dtype)
+    col = recv.col
+    # multi-key: stable sort by each key from last to first
+    for fn, desc in reversed(keyspecs):
+        col = AR.sort(col, key=fn, desc=desc)
+    return TC(col, recv.dtype)
+
+
+def m_reverse(self, recv, args, env):
+    return TC(F.reverse(recv.col), recv.dtype)  # array AND string
+
+
+def m_unique(self, recv, args, env):
+    return TC(AR.unique(recv.col), recv.dtype)
+
+
+def m_unique_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.unique_by(recv.col, fn), recv.dtype)
+
+
+def m_compact(self, recv, args, env):
+    return TC(AR.compact(recv.col), recv.dtype)
+
+
+def m_flatten(self, recv, args, env):
+    n = _const_int(args, 0, 1)
+    col, dt = recv.col, recv.dtype
+    for _ in range(n):
+        col = F.flatten(col)
+        dt = dt.elementType if isinstance(dt, T.ArrayType) else dt
+    return TC(col, dt if isinstance(dt, T.ArrayType) else T.ArrayType(T.NullType()))
+
+
+def m_append(self, recv, args, env):
+    v = self.compile(args[0].value, env)
+    return TC(AR.append(recv.col, v.col), recv.dtype)
+
+
+def m_prepend(self, recv, args, env):
+    v = self.compile(args[0].value, env)
+    return TC(AR.prepend(recv.col, v.col), recv.dtype)
+
+
+def m_remove(self, recv, args, env):
+    node = args[0].value
+    # value-or-pred: literal → remove equal values; else predicate
+    cv = _const(node)
+    if cv is not None or isinstance(node, A.Literal):
+        v = self.compile(node, env)
+        return TC(F.array_remove(recv.col, v.col), recv.dtype)
+    return TC(AR.remove(recv.col, self._pred(node, env, _elem(recv))), recv.dtype)
+
+
+def m_enumerate(self, recv, args, env):
+    return TC(AR.enumerate_(recv.col), T.ArrayType(T.StructType([
+        T.StructField("index", T.LongType(), True),
+        T.StructField("value", _elem(recv) or T.NullType(), True)])))
+
+
+def m_pairwise(self, recv, args, env):
+    return TC(AR.pairwise(recv.col), T.ArrayType(_arr_out(recv)))
+
+
+def m_window(self, recv, args, env):
+    return TC(AR.window(recv.col, _const_int(args, 0)), T.ArrayType(recv.dtype))
+
+
+def m_chunk(self, recv, args, env):
+    return TC(AR.chunk(recv.col, _const_int(args, 0)), T.ArrayType(recv.dtype))
+
+
+def m_accumulate(self, recv, args, env):
+    init = None
+    init_dt = T.DoubleType()
+    if len(args) > 1:
+        it = self.compile(args[1].value, env)
+        init, init_dt = it.col, it.dtype
+    fn, _ = self._lam2(args[0].value, env, init_dt, _elem(recv))
+    return TC(AR.accumulate(recv.col, fn, init), T.ArrayType(init_dt))
+
+
+def m_partition(self, recv, args, env):
+    return TC(AR.partition(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              T.StructType([T.StructField("pass", recv.dtype, True),
+                            T.StructField("fail", recv.dtype, True)]))
+
+
+def m_zip(self, recv, args, env):
+    other = self.compile(args[0].value, env)
+    pair = unify([_elem(recv), _elem(other)])
+    return TC(AR.zip_(recv.col, other.col), T.ArrayType(T.ArrayType(pair or T.NullType())))
+
+
+def m_zip_longest(self, recv, args, env):
+    other = self.compile(args[0].value, env)
+    pair = unify([_elem(recv), _elem(other)])
+    return TC(AR.zip_longest(recv.col, other.col),
+              T.ArrayType(T.ArrayType(pair or T.NullType())))
+
+
+def m_fanout(self, recv, args, env):
+    cols = []
+    dts = []
+    for a in args:
+        fn, dt = self._lam(a.value, env, recv.dtype)
+        cols.append(fn(recv.col))
+        dts.append(dt)
+    return TC(F.array(*cols), T.ArrayType(unify(dts) or T.NullType()))
+
+
+def m_collect(self, recv, args, env):
+    is_arr = isinstance(recv.dtype, T.ArrayType)
+    out = recv.dtype if is_arr else T.ArrayType(recv.dtype or T.NullType())
+    return TC(AR.collect(recv.col, is_arr), out)
+
+
+def m_diff(self, recv, args, env):
+    other = self.compile(args[0].value, env)
+    return TC(AR.diff(recv.col, other.col), recv.dtype)
+
+
+def m_intersect(self, recv, args, env):
+    other = self.compile(args[0].value, env)
+    return TC(AR.intersect(recv.col, other.col), recv.dtype)
+
+
+def m_union(self, recv, args, env):
+    other = self.compile(args[0].value, env)
+    return TC(AR.union(recv.col, other.col), recv.dtype)
+
+
+def m_includes(self, recv, args, env):
+    v = self.compile(args[0].value, env)
+    if _family(recv.dtype) == "string":
+        return TC(F.coalesce(F.contains(recv.col, v.col), F.lit(False)), T.BooleanType())
+    return TC(F.coalesce(F.array_contains(recv.col, v.col), F.lit(False)), T.BooleanType())
+
+
+def m_index_of(self, recv, args, env):
+    if _family(recv.dtype) == "string":
+        return TC(S.index_of(recv.col, _const_str(args, 0)), T.LongType())
+    v = self.compile(args[0].value, env)
+    return TC(AR.index(recv.col, v.col), T.LongType())
+
+
+def m_join(self, recv, args, env):
+    return TC(S.join(recv.col, _const_str(args, 0, "")), T.StringType())
+
+
+def m_len(self, recv, args, env):
+    fam = _family(recv.dtype)
+    if fam == "string":
+        return TC(F.length(recv.col).cast("long"), T.LongType())
+    if isinstance(recv.dtype, T.StructType):
+        return TC(F.lit(len(recv.dtype.fields)).cast("long"), T.LongType())
+    return TC(F.size(recv.col).cast("long"), T.LongType())
+
+
+def _agg_vals(self, recv, args, env):
+    """Optional field/lambda projection before a numeric reducer."""
+    if args:
+        fn, dt = self._lam(args[0].value, env, _elem(recv))
+        return F.transform(recv.col, fn), dt
+    return recv.col, _elem(recv)
+
+
+def m_sum(self, recv, args, env):
+    vals, _ = _agg_vals(self, recv, args, env)
+    return TC(AR.sum_(vals), T.DoubleType())
+
+
+def m_avg(self, recv, args, env):
+    vals, _ = _agg_vals(self, recv, args, env)
+    return TC(AR.avg(vals), T.DoubleType())
+
+
+def m_min(self, recv, args, env):
+    vals, dt = _agg_vals(self, recv, args, env)
+    return TC(F.array_min(vals), dt)
+
+
+def m_max(self, recv, args, env):
+    vals, dt = _agg_vals(self, recv, args, env)
+    return TC(F.array_max(vals), dt)
+
+
+def m_count(self, recv, args, env):
+    if args:
+        return TC(AR.count(recv.col, self._pred(args[0].value, env, _elem(recv))),
+                  T.LongType())
+    return TC(AR.count(recv.col), T.LongType())
+
+
+def m_any(self, recv, args, env):
+    return TC(AR.any_(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              T.BooleanType())
+
+
+def m_all(self, recv, args, env):
+    return TC(AR.all_(recv.col, self._pred(args[0].value, env, _elem(recv))),
+              T.BooleanType())
+
+
+def m_min_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.min_by(recv.col, fn), _elem(recv))
+
+
+def m_max_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.max_by(recv.col, fn), _elem(recv))
+
+
+def _objrepr_dt(value_dt: T.DataType) -> T.ArrayType:
+    return T.ArrayType(T.StructType([
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", value_dt, True)]))
+
+
+def m_group_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.group_by(recv.col, fn), _objrepr_dt(recv.dtype))
+
+
+def m_count_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.count_by(recv.col, fn), _objrepr_dt(T.LongType()))
+
+
+def m_index_by(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.index_by(recv.col, fn), _objrepr_dt(_elem(recv) or T.NullType()))
+
+
+def m_approx_count_distinct(self, recv, args, env):
+    # document-mode: exact distinct count of stringified values (HLL is an
+    # aggregate, unavailable per-array; reference uses 4096-register HLL —
+    # exact is a strict accuracy upgrade at array scale)
+    return TC(F.size(F.array_distinct(F.transform(
+        recv.col, lambda x: x.cast("string")))).cast("long"), T.LongType())
+
+
+def m_equi_join(self, recv, args, env):
+    """Doc-mode equi_join over two array<struct> (ops/array.rs:489-548):
+    inner hash join, shallow merge, right wins on collision."""
+    other = self.compile(args[0].value, env)
+    lk = _const_str(args, 1)
+    rk = _const_str(args, 2)
+    lst, rst = _elem(recv), _elem(other)
+    if not isinstance(lst, T.StructType) or not isinstance(rst, T.StructType):
+        raise CompileError("equi_join expects arrays of objects")
+    merged_fields: list[T.StructField] = [
+        f for f in lst.fields if f.name not in set(rst.fieldNames())
+    ] + list(rst.fields)
+    merged = T.StructType(merged_fields)
+    rnames = set(rst.fieldNames())
+
+    def merge(le: Column, re_: Column) -> Column:
+        cols = []
+        for f in lst.fields:
+            if f.name not in rnames:
+                cols.append(le.getField(f.name).alias(f.name))
+        for f in rst.fields:
+            cols.append(re_.getField(f.name).alias(f.name))
+        return F.struct(*cols)
+
+    lkey = lambda e: e.getField(lk)  # noqa: E731
+    rkey = lambda e: e.getField(rk)  # noqa: E731
+    out = F.flatten(F.transform(
+        F.filter(recv.col, lambda le: lkey(le).isNotNull()),
+        lambda le: F.transform(
+            F.filter(other.col, lambda re_: F.coalesce(
+                rkey(re_) == lkey(le), F.lit(False))),
+            lambda re_: merge(le, re_))))
+    return TC(out, T.ArrayType(merged))
+
+
+# ------------------------------ scalar / string builtins (element-wise)
+
+
+def _s1(fn, out_dt=T.StringType()):
+    def h(self, recv, args, env):
+        return TC(fn(recv.col), out_dt)
+    return h
+
+
+def _s_arg(fn, out_dt=T.StringType()):
+    def h(self, recv, args, env):
+        return TC(fn(recv.col, _const_str(args, 0)), out_dt)
+    return h
+
+
+def m_slice(self, recv, args, env):
+    start = _const_int(args, 0)
+    stop = _const_int(args, 1) if len(args) > 1 else None
+    if _family(recv.dtype) == "string":
+        return TC(S.str_slice(recv.col, start, stop), T.StringType())
+    return TC(jt_slice(recv.col, start, stop), recv.dtype)
+
+
+def m_replace(self, recv, args, env):
+    return TC(S.replace(recv.col, _const_str(args, 0), _const_str(args, 1)),
+              T.StringType())
+
+
+def m_replace_all(self, recv, args, env):
+    return TC(S.replace_all(recv.col, _const_str(args, 0), _const_str(args, 1)),
+              T.StringType())
+
+
+def m_split(self, recv, args, env):
+    return TC(S.split(recv.col, _const_str(args, 0)), T.ArrayType(T.StringType()))
+
+
+def m_pad(which):
+    def h(self, recv, args, env):
+        n = _const_int(args, 0)
+        ch = _const_str(args, 1, " ")
+        fn = {"left": S.pad_left, "right": S.pad_right, "center": S.center}[which]
+        return TC(fn(recv.col, n, ch), T.StringType())
+    return h
+
+
+def m_repeat(self, recv, args, env):
+    return TC(S.repeat(recv.col, _const_int(args, 0)), T.StringType())
+
+
+def m_indent(self, recv, args, env):
+    n = _const_int(args, 0)
+    pad = _const_str(args, 1, " ")
+    return TC(S.indent(recv.col, pad * n), T.StringType())
+
+
+def m_to_string(self, recv, args, env):
+    return TC(recv.col.cast("string"), T.StringType())
+
+
+def m_type(self, recv, args, env):
+    fam = _family(recv.dtype)
+    if fam == "unknown":
+        return TC(jt_type_of(recv.col), T.StringType())
+    if fam == "null":
+        return TC(F.lit("null"), T.StringType())
+    return TC(F.when(recv.col.isNull(), F.lit("null")).otherwise(F.lit(fam)),
+              T.StringType())
+
+
+def m_or(self, recv, args, env):
+    """`.or(default)` — replace null (SYNTAX.md §19 Core)."""
+    d = self.compile(args[0].value, env)
+    return TC(F.coalesce(recv.col, d.col), unify([recv.dtype, d.dtype]))
+
+
+def m_round(self, recv, args, env):
+    n = _const_int(args, 0, 0)
+    return TC(F.round(recv.col, n), T.DoubleType() if n else recv.dtype)
+
+
+def m_re_arg(fn, out):
+    def h(self, recv, args, env):
+        return TC(fn(recv.col, _const_str(args, 0)), out)
+    return h
+
+
+def m_re_replace(self, recv, args, env):
+    return TC(S.re_replace(recv.col, _const_str(args, 0), _const_str(args, 1)),
+              T.StringType())
+
+
+def m_re_replace_all(self, recv, args, env):
+    return TC(S.re_replace_all(recv.col, _const_str(args, 0), _const_str(args, 1)),
+              T.StringType())
+
+
+def m_contains_list(fn):
+    def h(self, recv, args, env):
+        pats = [_const_str(args, i) for i in range(len(args))]
+        return TC(fn(recv.col, pats), T.BooleanType())
+    return h
+
+
+METHODS = {
+    # arrays / pipelines (§2.3)
+    "filter": m_filter, "find": m_filter, "find_all": m_filter,
+    "map": m_map, "flat_map": m_flat_map,
+    "take": m_take, "skip": m_skip, "drop": m_skip,
+    "take_while": m_take_while, "drop_while": m_drop_while,
+    "first": m_first, "last": m_last, "nth": m_nth,
+    "find_first": m_find_first, "find_one": m_find_first,
+    "find_index": m_find_index, "indices_where": m_indices_where,
+    "sort": m_sort, "sort_by": m_sort,
+    "reverse": m_reverse, "reverse_str": m_reverse,
+    "unique": m_unique, "distinct": m_unique, "unique_by": m_unique_by,
+    "compact": m_compact, "flatten": m_flatten,
+    "append": m_append, "prepend": m_prepend, "remove": m_remove,
+    "enumerate": m_enumerate, "pairwise": m_pairwise,
+    "window": m_window, "chunk": m_chunk, "batch": m_chunk,
+    "accumulate": m_accumulate, "partition": m_partition,
+    "zip": m_zip, "zip_longest": m_zip_longest,
+    "fanout": m_fanout, "collect": m_collect,
+    "diff": m_diff, "intersect": m_intersect, "union": m_union,
+    "includes": m_includes, "contains": m_includes,
+    "index": m_index_of, "index_of": m_index_of,
+    "join": m_join,
+    # aggregates (§2.4)
+    "len": m_len, "count": m_count,
+    "sum": m_sum, "avg": m_avg, "min": m_min, "max": m_max,
+    "any": m_any, "exists": m_any, "all": m_all,
+    "min_by": m_min_by, "max_by": m_max_by,
+    "group_by": m_group_by, "count_by": m_count_by, "index_by": m_index_by,
+    "approx_count_distinct": m_approx_count_distinct,
+    "equi_join": m_equi_join,
+    # strings (§2.9)
+    "upper": _s1(S.upper), "lower": _s1(S.lower),
+    "capitalize": _s1(S.capitalize), "title_case": _s1(S.title_case),
+    "snake_case": _s1(S.snake_case), "kebab_case": _s1(S.kebab_case),
+    "camel_case": _s1(S.camel_case), "pascal_case": _s1(S.pascal_case),
+    "trim": _s1(S.trim), "trim_left": _s1(S.trim_left), "lstrip": _s1(S.trim_left),
+    "trim_right": _s1(S.trim_right),
+    "pad_left": m_pad("left"), "pad_right": m_pad("right"), "center": m_pad("center"),
+    "indent": m_indent, "repeat": m_repeat,
+    "split": m_split, "lines": _s1(S.lines, T.ArrayType(T.StringType())),
+    "words": _s1(S.words, T.ArrayType(T.StringType())),
+    "chars": _s1(S.chars, T.ArrayType(T.StringType())),
+    "chars_of": _s1(S.chars_of, T.ArrayType(T.LongType())),
+    "byte_len": _s1(S.byte_len, T.LongType()),
+    "starts_with": _s_arg(S.starts_with, T.BooleanType()),
+    "ends_with": _s_arg(S.ends_with, T.BooleanType()),
+    "strip_prefix": _s_arg(S.strip_prefix), "strip_suffix": _s_arg(S.strip_suffix),
+    "matches": _s_arg(S.matches, T.BooleanType()),
+    "slice": m_slice,
+    "replace": m_replace, "replace_all": m_replace_all,
+    "re_match": m_re_arg(S.re_match, T.BooleanType()),
+    "re_match_first": m_re_arg(S.re_match_first, T.StringType()),
+    "re_match_all": m_re_arg(S.re_match_all, T.ArrayType(T.StringType())),
+    "re_captures": m_re_arg(S.re_captures, T.StringType()),
+    "re_captures_all": m_re_arg(S.re_captures_all, T.ArrayType(T.StringType())),
+    "re_split": m_re_arg(S.re_split, T.ArrayType(T.StringType())),
+    "re_replace": m_re_replace, "re_replace_all": m_re_replace_all,
+    "contains_any": m_contains_list(S.contains_any),
+    "contains_all": m_contains_list(S.contains_all),
+    "is_blank": _s1(S.is_blank, T.BooleanType()),
+    "is_numeric": _s1(S.is_numeric, T.BooleanType()),
+    "is_alpha": _s1(S.is_alpha, T.BooleanType()),
+    "is_ascii": _s1(S.is_ascii, T.BooleanType()),
+    "parse_int": _s1(S.parse_int, T.LongType()),
+    "parse_float": _s1(S.parse_float, T.DoubleType()),
+    "parse_bool": _s1(S.parse_bool, T.BooleanType()),
+    "to_number": _s1(S.to_number, T.DoubleType()),
+    "to_string": m_to_string, "type": m_type, "or": m_or,
+    "to_base64": _s1(S.to_base64), "from_base64": _s1(S.from_base64),
+    "url_encode": _s1(S.url_encode), "url_decode": _s1(S.url_decode),
+    "html_escape": _s1(S.html_escape), "html_unescape": _s1(S.html_unescape),
+    "ceil": _s1(S.ceil, T.LongType()), "floor": _s1(S.floor, T.LongType()),
+    "round": m_round, "abs": _s1(S.abs_, None),
+}
+
+
+# ---------------------------------------------------------------------------
+
+
+def compile_expr(src: str, root: TC) -> TC:
+    """Parse + compile a jetro expression against a document root."""
+    return Compiler().compile(parse(src), Env(root=root))

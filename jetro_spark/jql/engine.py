@@ -1,0 +1,422 @@
+"""JQL engine entry points — the jetro public API re-expressed on Spark.
+
+Two execution modes share one expression compiler (SURVEY.md §7.1):
+
+- **Document mode** (`Jetro`): jetro-compatible. One JSON document per
+  DataFrame row (here: one row total); `$` navigates a struct column and
+  array pipelines run as higher-order functions. Mirrors
+  ``Jetro::from_bytes(bytes).collect(expr)`` (jc/lib.rs:354,477).
+
+- **Relational mode** (`JetroTables`): the scale path. A pipeline rooted
+  at a registered table (`$.orders...`) compiles stage-by-stage to
+  DataFrame transformations — filter→where, map→select, sort→orderBy,
+  group_by→groupBy — inheriting shuffle/spill/AQE/pushdown, so the same
+  expression that runs on a 20k-order document runs on a 100 TB table.
+  Stages with no relational lowering fall back to document mode by
+  collapsing the remaining pipeline onto a collected array (correct but
+  single-task; a warning marks the scale cliff).
+
+Schema inference for documents is ours, not spark.read.json's: Spark
+sorts JSON fields alphabetically, but jetro objects are insertion-ordered
+(IndexMap, value.rs:47) and field order is observable in results.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jetro_spark.functions.core import jt_truthy
+from jetro_spark.jql import ast as A
+from jetro_spark.jql.compiler import (
+    TC,
+    Compiler,
+    CompileError,
+    Env,
+    is_objrepr,
+    unify,
+    union_struct,
+)
+from jetro_spark.jql.parser import parse
+from jetro_spark.operators import relational as R
+
+# ------------------------------------------------------------ doc ingest
+
+
+def infer_schema(v) -> T.DataType:
+    """Insertion-order-preserving schema inference (vs read.json's
+    alphabetical sort). Int→Long, Float→Double (value.rs:27-29)."""
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, dict):
+        return T.StructType([
+            T.StructField(k, infer_schema(x), True) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        elem_schemas = [infer_schema(x) for x in v]
+        structs = [s for s in elem_schemas if isinstance(s, T.StructType)]
+        if structs and len(structs) == len(elem_schemas):
+            return T.ArrayType(union_struct(structs))
+        return T.ArrayType(unify(elem_schemas) or T.NullType())
+    raise TypeError(f"cannot infer schema for {type(v).__name__}")
+
+
+def _to_row(v, dt: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        src = v if isinstance(v, dict) else {}
+        return tuple(_to_row(src.get(f.name), f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return [_to_row(x, dt.elementType) for x in v]
+    if isinstance(dt, T.DoubleType) and isinstance(v, int):
+        return float(v)
+    return v
+
+
+def to_python(v):
+    """Row/array output → plain JSON-able Python (ordered dicts)."""
+    if isinstance(v, Row):
+        return {k: to_python(x) for k, x in zip(v.__fields__, v)}
+    if isinstance(v, list):
+        return [to_python(x) for x in v]
+    if isinstance(v, dict):
+        return {k: to_python(x) for k, x in v.items()}
+    return v
+
+
+def objrepr_to_dict(v):
+    """[{key, value}] ordered-object output → dict (test convenience)."""
+    return {e["key"]: e["value"] for e in v}
+
+
+class Jetro:
+    """Document-mode handle: ``Jetro.from_bytes(spark, data).collect(expr)``.
+    Reference API: jc/lib.rs:354-380 (from_bytes), :477 (collect)."""
+
+    def __init__(self, spark: SparkSession, value):
+        wrapped = value if isinstance(value, dict) else {"__root__": value}
+        self.schema: T.StructType = infer_schema(wrapped)
+        self._wrapped_scalar = not isinstance(value, dict)
+        row = _to_row(wrapped, self.schema)
+        self.df = spark.createDataFrame(
+            [(row,)], T.StructType([T.StructField("__doc", self.schema, False)]))
+        self.spark = spark
+
+    @classmethod
+    def from_bytes(cls, spark: SparkSession, data: bytes | str) -> "Jetro":
+        if isinstance(data, bytes):
+            data = data.decode("utf-8")
+        return cls(spark, json.loads(data))
+
+    @classmethod
+    def from_value(cls, spark: SparkSession, value) -> "Jetro":
+        return cls(spark, value)
+
+    def root(self) -> TC:
+        base = TC(F.col("__doc"), self.schema)
+        if self._wrapped_scalar:
+            return TC(base.col.getField("__root__"), self.schema["__root__"].dataType)
+        return base
+
+    def frame(self, expr: str) -> DataFrame:
+        """Compile expr → one-row DataFrame (column ``value``). The bench
+        path: lets the noop sink run the query without driver collect."""
+        tc = Compiler().compile(parse(expr), Env(root=self.root()))
+        return self.df.select(tc.col.alias("value"))
+
+    def collect(self, expr: str):
+        """Evaluate and return a plain Python value (jetro collect())."""
+        return to_python(self.frame(expr).first()["value"])
+
+
+# ------------------------------------------------------- relational mode
+
+
+_REL_TERMINALS = {"count", "sum", "avg", "min", "max", "any", "exists", "all",
+                  "len", "approx_count_distinct"}
+
+
+class JetroTables:
+    """Relational-mode engine over named tables (the 100 TB path).
+
+    ``query(expr)`` returns a DataFrame; pipelines rooted at a table
+    compile to native DataFrame ops (each stage documented inline with
+    its reference semantics)."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame]):
+        self.spark = spark
+        self.tables = tables
+        self.c = Compiler()
+
+    # row-scope env: bare idents resolve to F.col via TC(row=True)
+    def _row_env(self, df: DataFrame) -> Env:
+        return Env(root=None, current=TC(None, df.schema, row=True))
+
+    def _row_tc(self, df: DataFrame) -> TC:
+        return TC(None, df.schema, row=True)
+
+    def query(self, expr: str) -> DataFrame:
+        node = parse(expr)
+        return self.compile_node(node)
+
+    def compile_node(self, node: A.Node) -> DataFrame:
+        if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):
+            df = self._comp(node)
+            if df is not None:
+                return df
+        if isinstance(node, A.Path) and isinstance(node.base, A.Root):
+            if node.steps and isinstance(node.steps[0], A.Field) \
+                    and node.steps[0].name in self.tables:
+                return self._pipeline(self.tables[node.steps[0].name], node.steps[1:])
+        if isinstance(node, A.Let):
+            raise CompileError("relational let-bindings not supported yet")
+        raise CompileError("relational mode requires a table-rooted pipeline "
+                           f"($.<table>...); tables: {sorted(self.tables)}")
+
+    # --------------------------------------------------- comprehensions
+
+    def _comp(self, n: A.Comp) -> DataFrame | None:
+        """[v for x in $.t if p] → t.filter(p).select(v) — one scan, no
+        collect (comprehension AST ast.rs:69-114)."""
+        src = n.source
+        if not (isinstance(src, A.Path) and isinstance(src.base, A.Root)
+                and src.steps and isinstance(src.steps[0], A.Field)
+                and src.steps[0].name in self.tables and len(src.steps) == 1):
+            return None
+        df = self.tables[src.steps[0].name]
+        var = n.vars[0]
+        env = self._row_env(df).bind(var, self._row_tc(df))
+        if n.cond is not None:
+            p = self.c.compile(n.cond, env)
+            df = df.filter(jt_truthy(p.col, p.dtype))
+            env = self._row_env(df).bind(var, self._row_tc(df))
+        out = self._select_body(df, n.value, env)
+        if n.kind == "set":
+            out = out.distinct()
+        return out
+
+    def _select_body(self, df: DataFrame, body: A.Node, env: Env) -> DataFrame:
+        if isinstance(body, A.ObjLit):
+            cols = []
+            for f in body.fields:
+                if f.kind == "kv":
+                    tc = self.c.compile(f.value, env)
+                    cols.append(tc.col.alias(f.key))
+                elif f.kind == "short":
+                    tc = self.c.compile(A.Ident(f.key), env)
+                    cols.append(tc.col.alias(f.key))
+                else:
+                    raise CompileError(f"relational map: field kind {f.kind}")
+            return df.select(*cols)
+        tc = self.c.compile(body, env)
+        name = self._scalar_name(body)
+        return df.select(tc.col.alias(name))
+
+    @staticmethod
+    def _scalar_name(body: A.Node) -> str:
+        """map(customer.address.city) keeps the leaf name, like jetro keeps
+        the projected value bare; computed expressions become `value`."""
+        if isinstance(body, A.Ident):
+            return body.name
+        if isinstance(body, A.Path):
+            last = [s for s in body.steps if isinstance(s, A.Field)]
+            if last:
+                return last[-1].name
+        return "value"
+
+    # -------------------------------------------------------- pipeline
+
+    def _pipeline(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
+        i = 0
+        while i < len(steps):
+            step = steps[i]
+            out = self._stage(df, step)
+            if out is None:
+                return self._doc_fallback(df, steps[i:])
+            df = out
+            i += 1
+        return df
+
+    def _stage(self, df: DataFrame, step: A.Node) -> DataFrame | None:
+        env = self._row_env(df)
+        if isinstance(step, A.InlineFilter):
+            p = self.c.compile(step.pred, env)
+            return df.filter(jt_truthy(p.col, p.dtype))
+        if isinstance(step, A.MapShape):
+            if step.pred is not None:
+                p = self.c.compile(step.pred, env)
+                df = df.filter(jt_truthy(p.col, p.dtype))
+                env = self._row_env(df)
+            return self._select_body(df, step.shape, env)
+        if isinstance(step, A.Index):
+            v = step.expr
+            if isinstance(v, A.Literal) and isinstance(v.value, int) and v.value >= 0:
+                return df.offset(v.value).limit(1)
+            return None
+        if isinstance(step, A.Slice):
+            a = step.start or 0
+            if a >= 0 and step.stop is not None and step.stop >= a:
+                return df.offset(a).limit(step.stop - a)
+            if a >= 0 and step.stop is None:
+                return df.offset(a)
+            return None
+        if isinstance(step, A.Quantifier):
+            return df  # `?` null-safe is free; `!` asserted at action time
+        if not isinstance(step, A.Method):
+            return None
+        return self._method_stage(df, step, env)
+
+    def _method_stage(self, df: DataFrame, step: A.Method, env: Env) -> DataFrame | None:
+        name, args = step.name, step.args
+        c = self.c
+
+        def pred(node):
+            p = c.compile(node, env)
+            return jt_truthy(p.col, p.dtype)
+
+        def key_col(node):
+            n2, desc = node, False
+            if isinstance(n2, A.Neg):
+                n2, desc = n2.expr, True
+            col = c.compile(n2, env).col
+            return col, desc
+
+        if name in ("filter", "find", "find_all"):
+            return df.filter(pred(args[0].value))
+        if name == "map":
+            body = args[0].value
+            if isinstance(body, A.Lambda):
+                env2 = env.bind(body.params[0], self._row_tc(df))
+                return self._select_body(df, body.body, env2)
+            return self._select_body(df, body, env)
+        if name in ("sort", "sort_by"):
+            if not args:
+                return df.orderBy(*[F.col(x) for x in df.columns])
+            order = []
+            for a in args:
+                col, desc = key_col(a.value)
+                order.append(col.desc() if desc else col.asc())
+            return df.orderBy(*order)
+        if name == "take":
+            return df.limit(_lit_int(args[0].value))
+        if name in ("skip", "drop"):
+            return df.offset(_lit_int(args[0].value))
+        if name == "first":
+            return df.limit(1) if not args else df.limit(_lit_int(args[0].value))
+        if name in ("unique", "distinct"):
+            return df.distinct()
+        if name == "unique_by":
+            col, _ = key_col(args[0].value)
+            return R.unique_by(df, col)
+        if name == "count":
+            if args:
+                return df.agg(F.count_if(pred(args[0].value)).alias("value"))
+            return df.agg(F.count(F.lit(1)).alias("value"))
+        if name == "len":
+            return df.agg(F.count(F.lit(1)).alias("value"))
+        if name in ("sum", "avg", "min", "max"):
+            col = c.compile(args[0].value, env).col if args else F.col(df.columns[0])
+            agg = {"sum": lambda x: F.coalesce(F.sum(x), F.lit(0.0)),
+                   "avg": F.avg, "min": F.min, "max": F.max}[name](col)
+            return df.agg(agg.alias("value"))
+        if name in ("any", "exists"):
+            return df.agg(F.coalesce(F.bool_or(pred(args[0].value)),
+                                     F.lit(False)).alias("value"))
+        if name == "all":
+            return df.agg(F.coalesce(F.bool_and(pred(args[0].value)),
+                                     F.lit(True)).alias("value"))
+        if name == "approx_count_distinct":
+            col = c.compile(args[0].value, env).col if args else F.struct(*df.columns)
+            return df.agg(F.approx_count_distinct(col).alias("value"))
+        if name in ("min_by", "max_by"):
+            col, _ = key_col(args[0].value)
+            o = col.asc() if name == "min_by" else col.desc()
+            return df.orderBy(o).limit(1)
+        if name == "group_by":
+            col, _ = key_col(args[0].value)
+            return R.group_collect(df, col)
+        if name == "count_by":
+            col, _ = key_col(args[0].value)
+            return R.count_by(df, col)
+        if name == "index_by":
+            col, _ = key_col(args[0].value)
+            return R.index_by(df, col)
+        if name == "equi_join":
+            other = self._resolve_table(args[0].value)
+            if other is None:
+                return None
+            return R.equi_join(df, other, _lit_str(args[1].value), _lit_str(args[2].value))
+        if name == "explode":
+            return R.explode_field(df, _lit_str(args[0].value))
+        if name == "implode":
+            return R.implode(df, _lit_str(args[0].value))
+        if name == "pivot":
+            if len(args) == 2:
+                return R.pivot2(df, _lit_str(args[0].value), _lit_str(args[1].value))
+            return R.pivot3(df, _lit_str(args[0].value), _lit_str(args[1].value),
+                            _lit_str(args[2].value))
+        if name in ("diff", "intersect", "union"):
+            other = self._resolve_table(args[0].value)
+            if other is None:
+                return None
+            if name == "diff":
+                return df.subtract(other)
+            if name == "intersect":
+                return df.intersect(other)
+            return df.unionByName(other, allowMissingColumns=True)
+        return None
+
+    def _resolve_table(self, node: A.Node) -> DataFrame | None:
+        if isinstance(node, A.Path) and isinstance(node.base, A.Root) \
+                and len(node.steps) >= 1 and isinstance(node.steps[0], A.Field) \
+                and node.steps[0].name in self.tables:
+            return self._pipeline(self.tables[node.steps[0].name], node.steps[1:])
+        return None
+
+    # ------------------------------------------------------- fallback
+
+    def _doc_fallback(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
+        """Collapse remaining stages to document mode over a collected
+        array<struct>. Correct for any builtin; single-task — the scale
+        cliff is explicit."""
+        warnings.warn(
+            "jql: stage has no relational lowering; collapsing to a "
+            "single-task document pipeline", stacklevel=2)
+        st = T.StructType(df.schema.fields)
+        arr_df = df.agg(F.collect_list(F.struct(*df.columns)).alias("__arr"))
+        tc = TC(F.col("__arr"), T.ArrayType(st))
+        env = Env(root=None, current=tc)
+        for step in steps:
+            tc = self.c.step(tc, step, env)
+        out = arr_df.select(tc.col.alias("value"))
+        # explode arrays back to rows so the result stays a row-shaped
+        # DataFrame (and downstream .write/noop parallelizes again)
+        if isinstance(tc.dtype, T.ArrayType) and not is_objrepr(tc.dtype):
+            out = out.select(F.explode_outer("value").alias("value"))
+            if isinstance(tc.dtype.elementType, T.StructType):
+                out = out.select("value.*")
+        return out
+
+
+def _lit_int(node: A.Node) -> int:
+    if isinstance(node, A.Literal) and isinstance(node.value, int):
+        return node.value
+    raise CompileError("expected integer literal")
+
+
+def _lit_str(node: A.Node) -> str:
+    if isinstance(node, A.Literal) and isinstance(node.value, str):
+        return node.value
+    raise CompileError("expected string literal")

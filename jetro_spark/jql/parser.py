@@ -243,7 +243,12 @@ class Parser:
     # --------------------------------------------------------- postfix
 
     def postfix_expr(self) -> A.Node:
-        base = self.primary()
+        # leading `.field` / `..x` is shorthand for `@.field` (SYNTAX.md
+        # try/else examples: `try .first_name + ' ' + .last_name else .name`)
+        if self.at_punct(".") or self.at_punct(".."):
+            base: A.Node = A.Current()
+        else:
+            base = self.primary()
         steps: list[A.Node] = []
         while True:
             step = self.postfix_step()
@@ -535,7 +540,9 @@ class Parser:
         if self.eat_punct(","):
             vars_.append(self.expect("ident").value)
         self.expect("kw", "in")
-        source = self.expr()
+        # pipe_expr, not expr: the comprehension's `if` guard must not be
+        # swallowed as a ternary on the source (parenthesize for ternaries)
+        source = self.pipe_expr()
         cond = None
         if self.eat_kw("if"):
             cond = self.expr()

@@ -55,15 +55,30 @@ def get_spark(app_name: str = "jetro_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load the driver's parquet tables; optionally register temp views.
 
+    Results are memoized per (session, sf_dir): re-reading parquet footers
+    and re-inferring schemas added ~0.1-0.3 s of fixed cost to EVERY gate
+    query (each calls load_tables) — the cached DataFrames are lazy plans,
+    so reuse is free and safe.
+
     The driver's parquet carries nanosecond timestamps (TIMESTAMP(NANOS));
     Spark reads those only with the legacy nanosAsLong conf, under which
     they surface as timestamp_ntz — set it on whatever session we're given.
     """
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        if register:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -81,4 +96,5 @@ def load_tables(
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)
+    _TABLE_CACHE[key] = dict(dfs)
     return dfs
