@@ -58,6 +58,35 @@ QUERIES = {
         '$.customer{c_mktsegment ~= "build"}.map({ckey: c_custkey})'),
     # unique on projection
     "jql_unique": _q("$.lineitem.map(l_returnflag).unique()"),
+    # object transforms (§2.7): pick/keys/rename/merge/defaults/update/has
+    # — schema-directed struct rebuilds, all plan-time (ops/path.rs:225,
+    # ops/collection.rs:697-730)
+    "obj_transform": _q(
+        "$.customer.map(lambda c: {"
+        "  id: c.c_custkey,"
+        '  picked: {a: c.c_name, b: c.c_acctbal, x: c.c_mktsegment}.pick(a, b).keys().join(","),'
+        '  renamed: {old: c.c_name}.rename({old: nw}).get_path("nw"),'
+        '  merged: {a: c.c_acctbal}.merge({a: c.c_acctbal + 1, b: 2}).get_path("a"),'
+        '  dflt: {a: null, b: c.c_name}.defaults({a: "zz"}).get_path("a"),'
+        '  upd: {n: c.c_acctbal}.update("n", v => v * 2).get_path("n"),'
+        '  has_a: {a: 1}.has("a")'
+        "})"),
+    # path ops (§2.8): get/set/del_path, has_path, flatten_keys
+    # (ops/path.rs:203-350)
+    "path_ops": _q(
+        "$.customer.map(lambda c: let o = {"
+        "  cust: {id: c.c_custkey, name: c.c_name},"
+        "  geo: {seg: c.c_mktsegment}"
+        "} in {"
+        "  id: c.c_custkey,"
+        '  nm: o.get_path("cust.name"),'
+        '  hasit: o.has_path("cust.name"),'
+        '  hasnot: o.has_path("cust.zip"),'
+        '  setv: o.set_path("geo.extra", 7).get_path("geo.extra"),'
+        '  deleted: o.del_path("cust.name").get_path("cust.name") ?? "gone",'
+        "  nflat: o.flatten_keys().len(),"
+        "  flat1: o.flatten_keys().first().value"
+        "})"),
 }
 
 ORACLES = {
@@ -102,5 +131,26 @@ ORACLES = {
     """,
     "jql_unique": """
         SELECT DISTINCT l_returnflag FROM lineitem
+    """,
+    "obj_transform": """
+        SELECT c_custkey AS id,
+               'a,b' AS picked,
+               c_name AS renamed,
+               c_acctbal + 1 AS merged,
+               'zz' AS dflt,
+               c_acctbal * 2 AS upd,
+               true AS has_a
+        FROM customer
+    """,
+    "path_ops": """
+        SELECT c_custkey AS id,
+               c_name AS nm,
+               true AS hasit,
+               false AS hasnot,
+               CAST(7 AS BIGINT) AS setv,
+               'gone' AS deleted,
+               CAST(3 AS BIGINT) AS nflat,
+               CAST(c_custkey AS VARCHAR) AS flat1
+        FROM customer
     """,
 }

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jetro_spark.functions import arrays as AR
+from jetro_spark.functions import objects as OB
 from jetro_spark.functions import strings as S
 from jetro_spark.functions.core import (
     jt_cast,
@@ -1411,6 +1412,178 @@ def m_contains_list(fn):
     return h
 
 
+# ------------------------------ object transforms & path ops (§2.7-2.8)
+
+
+def _ob1(fn):
+    def h(self, recv, args, env):
+        c, d = fn(recv.col, recv.dtype)
+        return TC(c, d)
+    return h
+
+
+def m_keys(self, recv, args, env):
+    if is_objrepr(recv.dtype):
+        return TC(F.transform(recv.col, lambda e: e["key"]),
+                  T.ArrayType(T.StringType()))
+    return _ob1(OB.keys)(self, recv, args, env)
+
+
+def m_values(self, recv, args, env):
+    if is_objrepr(recv.dtype):
+        return TC(F.transform(recv.col, lambda e: e["value"]),
+                  T.ArrayType(recv.dtype.elementType["value"].dataType))
+    return _ob1(OB.values)(self, recv, args, env)
+
+
+def m_entries(self, recv, args, env):
+    if is_objrepr(recv.dtype):
+        return recv
+    return _ob1(OB.entries)(self, recv, args, env)
+
+
+def _key_names(args: list[A.Arg]) -> list[tuple[str, str]]:
+    """pick-style args: bare name or ``alias: src`` (ops/path.rs:225)."""
+    out = []
+    for a in args:
+        v = a.value
+        src = v.name if isinstance(v, A.Ident) else (
+            v.value if isinstance(v, A.Literal) and isinstance(v.value, str) else None)
+        if src is None:
+            raise CompileError("expected key name")
+        out.append((a.name or src, src))
+    return out
+
+
+def m_pick(self, recv, args, env):
+    c, d = OB.pick(recv.col, recv.dtype, _key_names(args))
+    return TC(c, d)
+
+
+def m_omit(self, recv, args, env):
+    c, d = OB.omit(recv.col, recv.dtype, [s for _, s in _key_names(args)])
+    return TC(c, d)
+
+
+def _ob2(fn):
+    def h(self, recv, args, env):
+        other = self.compile(args[0].value, env)
+        c, d = fn(recv.col, recv.dtype, other.col, other.dtype)
+        return TC(c, d)
+    return h
+
+
+def m_rename(self, recv, args, env):
+    obj = args[0].value
+    if not isinstance(obj, A.ObjLit):
+        raise CompileError("rename expects {old: new}")
+    mapping = {}
+    for f in obj.fields:
+        v = f.value
+        nm = v.name if isinstance(v, A.Ident) else (
+            v.value if isinstance(v, A.Literal) else None)
+        if not isinstance(nm, str):
+            raise CompileError("rename values must be names")
+        mapping[f.key] = nm
+    c, d = OB.rename(recv.col, recv.dtype, mapping)
+    return TC(c, d)
+
+
+def m_set(self, recv, args, env):
+    key = _const_str(args, 0)
+    v = self.compile(args[1].value, env)
+    c, d = OB.set_key(recv.col, recv.dtype, key, v.col, v.dtype or T.NullType())
+    return TC(c, d)
+
+
+def m_update(self, recv, args, env):
+    """update(k, λ): set k to λ(old value) (mod.rs:235)."""
+    key = _const_str(args, 0)
+    old = field_access(recv, key)
+    fn, odt = self._lam(args[1].value, env, old.dtype)
+    c, d = OB.set_key(recv.col, recv.dtype, key, fn(old.col), odt or T.NullType())
+    return TC(c, d)
+
+
+def m_has(self, recv, args, env):
+    names = [s for _, s in _key_names(args)]
+    if is_objrepr(recv.dtype):
+        conds = [F.exists(recv.col, lambda e, n=n: e["key"] == F.lit(n)) for n in names]
+        out = conds[0]
+        for x in conds[1:]:
+            out = out & x
+        return TC(out, T.BooleanType())
+    c, d = OB.has_keys(recv.col, recv.dtype, names)
+    return TC(c, d)
+
+
+def m_missing(self, recv, args, env):
+    h = m_has(self, recv, args, env)
+    return TC(~h.col, T.BooleanType())
+
+
+def m_transform_keys(self, recv, args, env):
+    fn, _ = self._lam(args[0].value, env, T.StringType())
+    c, d = OB.transform_keys(recv.col, recv.dtype, fn)
+    return TC(c, d)
+
+
+def m_transform_values(self, recv, args, env):
+    def fn_with_dt(col, dt):
+        fn, odt = self._lam(args[0].value, env, dt)
+        return fn(col), odt or T.NullType()
+    c, d = OB.transform_values(recv.col, recv.dtype, fn_with_dt)
+    return TC(c, d)
+
+
+def m_filter_keys(self, recv, args, env):
+    pred = self._pred(args[0].value, env, T.StringType())
+    c, d = OB.filter_keys(recv.col, recv.dtype, pred)
+    return TC(c, d)
+
+
+def m_filter_values(self, recv, args, env):
+    def pred_with_dt(col, dt):
+        return self._pred(args[0].value, env, dt)(col)
+    c, d = OB.filter_values(recv.col, recv.dtype, pred_with_dt)
+    return TC(c, d)
+
+
+def m_get_path(self, recv, args, env):
+    c, d = OB.get_path(recv.col, recv.dtype, _const_str(args, 0))
+    return TC(c, d)
+
+
+def m_has_path(self, recv, args, env):
+    c, d = OB.has_path(recv.col, recv.dtype, _const_str(args, 0))
+    return TC(c, d)
+
+
+def m_set_path(self, recv, args, env):
+    v = self.compile(args[1].value, env)
+    c, d = OB.set_path(recv.col, recv.dtype, _const_str(args, 0), v.col,
+                       v.dtype or T.NullType())
+    return TC(c, d)
+
+
+def m_del_path(self, recv, args, env):
+    c, d = OB.del_path(recv.col, recv.dtype, _const_str(args, 0))
+    return TC(c, d)
+
+
+def m_del_paths(self, recv, args, env):
+    arr = args[0].value
+    if not isinstance(arr, A.ArrLit):
+        raise CompileError("del_paths expects a literal array of paths")
+    paths = []
+    for e in arr.elems:
+        if not (isinstance(e.expr, A.Literal) and isinstance(e.expr.value, str)):
+            raise CompileError("del_paths expects string literals")
+        paths.append(e.expr.value)
+    c, d = OB.del_paths(recv.col, recv.dtype, paths)
+    return TC(c, d)
+
+
 METHODS = {
     # arrays / pipelines (§2.3)
     "filter": m_filter, "find": m_filter, "find_all": m_filter,
@@ -1442,6 +1615,21 @@ METHODS = {
     "group_by": m_group_by, "count_by": m_count_by, "index_by": m_index_by,
     "approx_count_distinct": m_approx_count_distinct,
     "equi_join": m_equi_join,
+    # object transforms (§2.7)
+    "keys": m_keys, "values": m_values,
+    "entries": m_entries, "to_pairs": m_entries,
+    "from_pairs": _ob1(OB.from_pairs), "invert": _ob1(OB.invert),
+    "pick": m_pick, "omit": m_omit,
+    "merge": _ob2(OB.merge), "deep_merge": _ob2(OB.deep_merge),
+    "defaults": _ob2(OB.defaults), "rename": m_rename,
+    "set": m_set, "update": m_update,
+    "has": m_has, "missing": m_missing,
+    "transform_keys": m_transform_keys, "transform_values": m_transform_values,
+    "filter_keys": m_filter_keys, "filter_values": m_filter_values,
+    # path ops (§2.8)
+    "get_path": m_get_path, "has_path": m_has_path,
+    "set_path": m_set_path, "del_path": m_del_path, "del_paths": m_del_paths,
+    "flatten_keys": _ob1(OB.flatten_keys), "unflatten_keys": _ob1(OB.unflatten_keys),
     # strings (§2.9)
     "upper": _s1(S.upper), "lower": _s1(S.lower),
     "capitalize": _s1(S.capitalize), "title_case": _s1(S.title_case),

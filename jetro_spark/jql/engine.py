@@ -208,21 +208,12 @@ class JetroTables:
         return out
 
     def _select_body(self, df: DataFrame, body: A.Node, env: Env) -> DataFrame:
-        if isinstance(body, A.ObjLit):
-            cols = []
-            for f in body.fields:
-                if f.kind == "kv":
-                    tc = self.c.compile(f.value, env)
-                    cols.append(tc.col.alias(f.key))
-                elif f.kind == "short":
-                    tc = self.c.compile(A.Ident(f.key), env)
-                    cols.append(tc.col.alias(f.key))
-                else:
-                    raise CompileError(f"relational map: field kind {f.kind}")
-            return df.select(*cols)
         tc = self.c.compile(body, env)
-        name = self._scalar_name(body)
-        return df.select(tc.col.alias(name))
+        if isinstance(tc.dtype, T.StructType):
+            # object-shaped map → one column per field (CollapseProject
+            # folds the star-expansion into a single Project)
+            return df.select(tc.col.alias("__s")).select("__s.*")
+        return df.select(tc.col.alias(self._scalar_name(body)))
 
     @staticmethod
     def _scalar_name(body: A.Node) -> str:
