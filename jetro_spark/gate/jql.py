@@ -71,6 +71,20 @@ QUERIES = {
         '  upd: {n: c.c_acctbal}.update("n", v => v * 2).get_path("n"),'
         '  has_a: {a: 1}.has("a")'
         "})"),
+    # deep search (§2.10): $..field and deep_find over nested structs —
+    # compiled as a plan-time schema walk (ops/array.rs:619-806,
+    # exec/structural.rs replaced by static field-path expansion)
+    "deep_search": _q(
+        "$.orders.map(lambda o: let d = {"
+        "  a: {total: o.o_totalprice, inner: {total: 2.0, tag: o.o_orderstatus}},"
+        "  b: {tag: o.o_orderstatus}"
+        "} in {"
+        "  okey: o.o_orderkey,"
+        "  tsum: d..total.sum(),"
+        "  ntags: d..tag.len(),"
+        '  nfind: d..find(@.tag == "F").len(),'
+        "  first_tag: d..tag.first()"
+        "})"),
     # path ops (§2.8): get/set/del_path, has_path, flatten_keys
     # (ops/path.rs:203-350)
     "path_ops": _q(
@@ -141,6 +155,14 @@ ORACLES = {
                c_acctbal * 2 AS upd,
                true AS has_a
         FROM customer
+    """,
+    "deep_search": """
+        SELECT o_orderkey AS okey,
+               o_totalprice + 2.0 AS tsum,
+               CAST(2 AS BIGINT) AS ntags,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 0 END AS BIGINT) AS nfind,
+               o_orderstatus AS first_tag
+        FROM orders
     """,
     "path_ops": """
         SELECT c_custkey AS id,

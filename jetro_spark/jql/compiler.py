@@ -340,10 +340,49 @@ class Compiler:
         return TC(jt_cast(tc.col, n.target, tc.dtype), out)
 
     def c_Ternary(self, n: A.Ternary, env: Env) -> TC:
+        # dead-branch elimination on statically-decidable conditions
+        # (kind checks against known types) — the reference const-folds
+        # ternaries too (INDEPTH.md:216), and this is what lets a
+        # type-dispatching walk lambda compile per node type
+        st = self._static_truth(n.cond, env)
+        if st is True:
+            return self.compile(n.then, env)
+        if st is False:
+            return self.compile(n.other, env)
         c = self.compile(n.cond, env)
         a, b = self.compile(n.then, env), self.compile(n.other, env)
         return TC(F.when(jt_truthy(c.col, c.dtype), a.col).otherwise(b.col),
                   unify([a.dtype, b.dtype]))
+
+    def _static_truth(self, node: A.Node, env: Env) -> bool | None:
+        """True/False when the condition is decidable at plan time, else
+        None. Kind checks against a mismatched static family are always
+        false (a matched family is only 'true unless null' → dynamic)."""
+        if isinstance(node, A.Literal):
+            if isinstance(node.value, bool):
+                return node.value
+            return None
+        if isinstance(node, A.Not):
+            inner = self._static_truth(node.expr, env)
+            return None if inner is None else not inner
+        if isinstance(node, A.KindCheck):
+            try:
+                fam = _family(self.compile(node.expr, env).dtype)
+            except CompileError:
+                return None
+            res: bool | None = None
+            if fam == "unknown":
+                res = None
+            elif node.kind == "null":
+                res = True if fam == "null" else None
+            elif fam == "null":
+                res = False
+            elif fam != node.kind:
+                res = False
+            if res is None:
+                return None
+            return (not res) if node.negated else res
+        return None
 
     def c_Try(self, n: A.Try, env: Env) -> TC:
         """`try BODY else DEFAULT` catches errors AND null (ast.rs:143-150).
@@ -896,6 +935,125 @@ class Compiler:
 
         arr = self._deep_collect(tc.col, tc.dtype, want, union, match)
         return TC(arr if arr is not None else F.array(), T.ArrayType(union))
+
+    # ------------------------------------------- tree transforms (§2.10)
+
+    def walk(self, recv: TC, lam_node: A.Node, env: Env, pre: bool) -> TC:
+        """walk(λ) post-order / walk_pre(λ) pre-order recursive transform
+        of every node — a plan-time schema recursion; the λ is compiled
+        once per distinct node TYPE, dead branches eliminated by
+        _static_truth. Reference: ops/array.rs:693-740 walk_apply."""
+
+        def apply(c: Column, d: T.DataType):
+            fn, odt = self._lam(lam_node, env, d)
+            return fn(c), (odt if odt is not None and not isinstance(odt, T.NullType) else d)
+
+        def rec(c: Column, d: T.DataType):
+            if pre:
+                c, d = apply(c, d)
+            if isinstance(d, T.StructType):
+                cols, fields = [], []
+                for f in d.fields:
+                    nc, nd = rec(c.getField(f.name), f.dataType)
+                    cols.append(nc.alias(f.name))
+                    fields.append(T.StructField(f.name, nd, True))
+                c, d = F.struct(*cols), T.StructType(fields)
+            elif isinstance(d, T.ArrayType):
+                ed = d.elementType
+                _, ndt = rec(_probe(ed), ed)
+                c, d = F.transform(c, lambda e: rec(e, ed)[0]), T.ArrayType(ndt)
+            if not pre:
+                c, d = apply(c, d)
+            return c, d
+
+        return TC(*rec(recv.col, recv.dtype))
+
+    def trace_path(self, recv: TC, pred_node: A.Node, env: Env) -> TC:
+        """{path, value} rows for every node whose predicate is truthy;
+        paths are `$.field[idx]` strings (array indices dynamic, field
+        names plan-time constants). Reference: ops/array.rs:759-806."""
+        # value type = union over node types where the pred isn't
+        # statically impossible to satisfy; string fallback when mixed
+        dts: list[T.DataType] = []
+
+        def collect_types(d: T.DataType) -> None:
+            dts.append(d)
+            if isinstance(d, T.StructType):
+                for f in d.fields:
+                    collect_types(f.dataType)
+            elif isinstance(d, T.ArrayType):
+                collect_types(d.elementType)
+
+        collect_types(recv.dtype)
+        scalar_dts = [d for d in dts if not isinstance(d, (T.StructType, T.ArrayType))]
+        vdt = unify(scalar_dts) or T.StringType()
+        row_dt = T.StructType([T.StructField("path", T.StringType(), True),
+                               T.StructField("value", vdt, True)])
+        out_dt = T.ArrayType(row_dt)
+        empty = F.array().cast(out_dt.simpleString())
+
+        def node_piece(c: Column, d: T.DataType, path: Column) -> Column:
+            fn, pdt = self._lam(pred_node, env, d)
+            try:
+                cond = jt_truthy(fn(c), pdt)
+            except Exception:  # λ not applicable to this node type
+                return empty
+            if isinstance(d, (T.StructType, T.ArrayType)):
+                val = F.lit(None).cast(vdt.simpleString())
+            else:
+                val = c.cast(vdt.simpleString())
+            row = F.struct(path.alias("path"), val.alias("value"))
+            return F.when(cond, F.array(row)).otherwise(empty)
+
+        def rec(c: Column, d: T.DataType, path: Column) -> Column:
+            pieces = [node_piece(c, d, path)]
+            if isinstance(d, T.StructType):
+                for f in d.fields:
+                    pieces.append(rec(c.getField(f.name), f.dataType,
+                                      F.concat(path, F.lit(f".{f.name}"))))
+            elif isinstance(d, T.ArrayType):
+                ed = d.elementType
+                idx = AR._seq0(F.size(c))
+                pieces.append(F.flatten(F.zip_with(
+                    c, idx,
+                    lambda e, i: rec(e, ed, F.concat(
+                        path, F.lit("["), i.cast("string"), F.lit("]"))))))
+            return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+
+        return TC(rec(recv.col, recv.dtype, F.lit("$")), out_dt)
+
+    def schema_desc(self, recv: TC) -> TC:
+        """schema(): structural schema descriptor — a plan-time constant
+        here (static schemas). {type, fields, required} for objects,
+        {type, items} for arrays. Reference: ops/schema.rs:219 schema_of
+        (their runtime inference; ours is free)."""
+
+        def desc(d: T.DataType):
+            if isinstance(d, T.StructType):
+                fcols = [desc(f.dataType)[0].alias(f.name) for f in d.fields]
+                fdts = T.StructType([
+                    T.StructField(f.name, desc(f.dataType)[1], True) for f in d.fields])
+                col = F.struct(
+                    F.lit("Object").alias("type"),
+                    F.array(*[F.lit(f.name) for f in d.fields]).alias("required"),
+                    F.struct(*fcols).alias("fields"))
+                return col, T.StructType([
+                    T.StructField("type", T.StringType(), True),
+                    T.StructField("required", T.ArrayType(T.StringType()), True),
+                    T.StructField("fields", fdts, True)])
+            if isinstance(d, T.ArrayType):
+                icol, idt = desc(d.elementType)
+                return (F.struct(F.lit("Array").alias("type"), icol.alias("items")),
+                        T.StructType([T.StructField("type", T.StringType(), True),
+                                      T.StructField("items", idt, True)]))
+            name = {"number": "Float", "string": "Str", "bool": "Bool",
+                    "null": "Null"}.get(_family(d), "Unknown")
+            if isinstance(d, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                name = "Int"
+            return (F.struct(F.lit(name).alias("type")),
+                    T.StructType([T.StructField("type", T.StringType(), True)]))
+
+        return TC(*desc(recv.dtype))
 
     # -------------------------------------------------------- method call
 
@@ -1626,6 +1784,11 @@ METHODS = {
     "has": m_has, "missing": m_missing,
     "transform_keys": m_transform_keys, "transform_values": m_transform_values,
     "filter_keys": m_filter_keys, "filter_values": m_filter_values,
+    # tree transforms (§2.10)
+    "walk": lambda s, r, a, e: s.walk(r, a[0].value, e, pre=False),
+    "walk_pre": lambda s, r, a, e: s.walk(r, a[0].value, e, pre=True),
+    "trace_path": lambda s, r, a, e: s.trace_path(r, a[0].value, e),
+    "schema": lambda s, r, a, e: s.schema_desc(r),
     # path ops (§2.8)
     "get_path": m_get_path, "has_path": m_has_path,
     "set_path": m_set_path, "del_path": m_del_path, "del_paths": m_del_paths,

@@ -101,6 +101,23 @@ def objrepr_to_dict(v):
     return {e["key"]: e["value"] for e in v}
 
 
+def _apply_lambda(spark: SparkSession, lam: A.Node, value):
+    """One rec() iteration: evaluate λ against a collected value by
+    re-ingesting it as a single-field document."""
+    sub = Jetro.from_value(spark, {"v": value})
+    root = sub.root()
+    from jetro_spark.jql.compiler import field_access
+
+    vtc = field_access(root, "v")
+    env = Env(root=root, current=vtc)
+    body = lam
+    if isinstance(lam, A.Lambda):
+        env = env.bind(lam.params[0], vtc)
+        body = lam.body
+    tc = Compiler().compile(body, env)
+    return to_python(sub.df.select(tc.col.alias("value")).first()["value"])
+
+
 class Jetro:
     """Document-mode handle: ``Jetro.from_bytes(spark, data).collect(expr)``.
     Reference API: jc/lib.rs:354-380 (from_bytes), :477 (collect)."""
@@ -138,7 +155,28 @@ class Jetro:
 
     def collect(self, expr: str):
         """Evaluate and return a plain Python value (jetro collect())."""
-        return to_python(self.frame(expr).first()["value"])
+        node = parse(expr)
+        # rec(λ): apply to fixpoint — a driver-side loop (SURVEY §2.10);
+        # data-dependent iteration counts can't live in one static plan.
+        # Reference: ops/array.rs:741-758 rec_apply (10k iteration cap).
+        if (isinstance(node, A.Path) and node.steps
+                and isinstance(node.steps[-1], A.Method)
+                and node.steps[-1].name == "rec"):
+            lam = node.steps[-1].args[0].value
+            base: A.Node = (A.Path(node.base, node.steps[:-1])
+                            if len(node.steps) > 1 else node.base)
+            value = self._collect_node(base)
+            for _ in range(10_000):
+                nxt = _apply_lambda(self.spark, lam, value)
+                if nxt == value:
+                    return nxt
+                value = nxt
+            raise CompileError("rec: exceeded 10000 iterations without fixpoint")
+        return self._collect_node(node)
+
+    def _collect_node(self, node: A.Node):
+        tc = Compiler().compile(node, Env(root=self.root()))
+        return to_python(self.df.select(tc.col.alias("value")).first()["value"])
 
 
 # ------------------------------------------------------- relational mode
