@@ -23,9 +23,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from jetro_spark.gate import analytics, jql, relational, scalars
+    from jetro_spark.gate import analytics, jql, llm, relational, scalars
 
-    return (relational, scalars, analytics, jql)
+    return (relational, scalars, analytics, jql, llm)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these run on ~100 TB of text):
+
+- **exact_dedup**: one hash-shuffle on a 64-bit fingerprint; keep-first
+  is a deterministic min_by, map-side partial aggregation applies.
+- **minhash_lsh_pairs**: NO all-pairs join anywhere. Signatures are
+  computed row-local (128 xxhash64 mins, JVM expressions); candidate
+  generation shuffles (band_idx, band_hash) and joins only within LSH
+  buckets; exact-Jaccard verification touches candidate pairs only.
+  With b=32 bands × r=4 rows, P(miss | jaccard=0.8) = (1-0.8⁴)³² ≈ 5e-8
+  — recall is effectively exact at any scale. Hot buckets (boilerplate
+  text) are the skew risk → AQE skew-join handles, and `max_bucket`
+  caps degenerate buckets explicitly.
+- **simhash**: row-local 32-bit signature; near-dup candidates pair by
+  signature bands, verified by Hamming distance — same no-all-pairs
+  shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jetro_spark.functions.arrays import _seq0, _seq1
+from jetro_spark.llm.text import normalize_text, ws_tokens
+from jetro_spark.operators.relational import unique_by
+
+# ------------------------------------------------------------ shingles
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text."""
+    n = normalize_text(c)
+    return F.array_distinct(F.transform(
+        _seq1(F.length(n) - (k - 1)), lambda i: n.substr(i, F.lit(k))))
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined)."""
+    toks = ws_tokens(normalize_text(c))
+    return F.array_distinct(F.transform(
+        _seq1(F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " ")))
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (the verify step)."""
+    inter = F.size(F.array_intersect(a, b))
+    uni = F.size(F.array_union(a, b))
+    return F.when(uni > 0, inter.cast("double") / uni.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------- minhash
+
+
+def minhash_signature(shingle_hashes: Column, n_hashes: int = 128) -> Column:
+    """n_hashes MinHash values over an ``array<long>`` of pre-hashed
+    shingles: min over shingles of xxhash64(h, seed). Row-local, pure
+    JVM expressions (no UDF — this is the hot loop at 100 TB). Taking
+    pre-hashed longs (not strings) matters: the inner loop runs
+    n_hashes × |shingles| times per row, and hashing a fixed-width long
+    is much cheaper than re-hashing a string; it also lets the caller
+    materialize the (string-processed) shingle set exactly once.
+    Empty shingle set → nulls (filtered upstream)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingle_hashes, lambda h: F.xxhash64(h, seed))))
+
+
+def band_hashes(sig: Column, bands: int = 32, rows: int = 4) -> Column:
+    """Split the signature into `bands` bands of `rows` values; hash each
+    band. Docs sharing ANY band hash become candidates."""
+    return F.transform(
+        _seq0(F.lit(bands)),
+        lambda b: F.hash(F.slice(sig, b * rows + 1, rows)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                order: str | None = None) -> DataFrame:
+    """Drop exact duplicates of the normalized text, keeping the first
+    occurrence (deterministic doc-order surrogate when no order given).
+    One shuffle on the 64-bit fingerprint."""
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return unique_by(df, fp, order=order)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold) via
+    banded MinHash-LSH candidates + exact n-gram Jaccard verification.
+
+    Plan shape (audit with .explain()): scan → per-row signature →
+    posexplode bands → shuffle by (band, hash) → within-bucket self-join
+    → distinct candidate pairs → re-join shingles → exact verify. The
+    only joins are bucket-equi-joins; nothing is ever all-pairs.
+    """
+    rows = n_hashes // bands
+    # CRITICAL plan shape: CollapseProject will happily inline an upstream
+    # projection into every downstream use — which here means the whole
+    # shingle build (normalize + |text| substrs + array_distinct) would be
+    # re-evaluated inside EVERY per-seed minhash lambda (128×/row), and the
+    # 128-hash signature inside every band slice (32×/row). HOFs evaluate
+    # with no common-subexpression elimination, so that is a >100×
+    # slowdown, not a constant. The repartition()s below insert Exchanges
+    # that pin each expensive projection to be computed exactly once
+    # map-side; the self-join on bands reuses one Exchange (ReuseExchange)
+    # for both sides. Shingles are hashed to array<long> first so the
+    # 128 × |shingles| inner loop hashes fixed-width longs, not strings.
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(char_shingles(F.col(text_col), k),
+                    lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0).repartition("id")
+    sigs = docs.select(
+        "id", minhash_signature(F.col("sh"), n_hashes).alias("sig"),
+    ).repartition("id")
+    bands_df = sigs.select(
+        "id", F.posexplode(band_hashes(F.col("sig"), bands, rows))
+        .alias("band", "bhash"))
+
+    # cap degenerate buckets (e.g. empty/boilerplate text all hashing
+    # together): a bucket of n docs costs n² candidate rows
+    bucket_sizes = bands_df.groupBy("band", "bhash").count()
+    bands_df = bands_df.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band", "bhash"])
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    sh = docs.select(F.col("id"), F.col("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "a_id")
+                  .withColumnRenamed("sh", "a_sh"), "a_id")
+        .join(sh.withColumnRenamed("id", "b_id")
+              .withColumnRenamed("sh", "b_sh"), "b_id")
+        .withColumn("jaccard", ngram_jaccard(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", **kw) -> DataFrame:
+    """Keep one representative per near-duplicate group: drop every doc
+    that matched a lower-id doc (min-id representative — a single pass,
+    not full transitive closure; chains A~B~C with A!~C keep A and C,
+    which is the standard one-round LSH-dedup contract)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash(c: Column, bits: int = 32) -> Column:
+    """SimHash signature: per-bit majority vote over token hashes —
+    row-local, expression-only. Near-identical texts differ in few bits."""
+    toks = ws_tokens(normalize_text(c))
+    hashes = F.transform(toks, lambda t: F.hash(t))
+
+    def bit_set(i: int) -> Column:
+        ones = F.size(F.filter(
+            hashes,
+            lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == F.lit(1)))
+        return F.when(ones * 2 > F.size(hashes),
+                      F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + bit_set(i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *, bits: int = 32,
+                  band_bits: int = 8, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash bands (two docs within `max_hamming`
+    bits share at least one identical band when bands > max_hamming),
+    verified by exact Hamming distance. Same no-all-pairs join shape as
+    MinHash-LSH."""
+    n_bands = bits // band_bits
+    docs = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col), bits).alias("sig"))
+    mask = (1 << band_bits) - 1
+    bands_df = docs.select(
+        "id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sig"), i * band_bits)
+            .bitwiseAND(F.lit(mask)).cast("long")
+            for i in range(n_bands)])).alias("band", "bhash"))
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("a.sig").alias("a_sig"),
+                F.col("b.id").alias("b_id"), F.col("b.sig").alias("b_sig"))
+        .distinct()
+    )
+    return (cand
+            .withColumn("hamming", hamming64(F.col("a_sig"), F.col("b_sig")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))

@@ -1,0 +1,121 @@
+"""Multimodal columns: opaque binary content + typed metadata.
+
+Model (brief: "treat image/audio/video as opaque binary columns with
+typed metadata"): a row = {content: binary, meta: struct<mime, width,
+height, n_frames, duration_ms, sample_rate>}. The Spark-side plumbing —
+schemas, Arrow-batched mapInPandas, partition shape — is real and
+tested; the actual codec calls are STUBBED (this container ships no
+image/audio libraries): decode raises NotImplementedError unless
+`fake=True` selects the deterministic fake used by tests.
+
+At 100 TB: binary payloads stay columnar (parquet binary), metadata
+predicates push down (filter on meta.mime never touches content bytes),
+and the Pandas UDFs stream Arrow batches — per-batch memory is bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch, not partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType([
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+])
+
+
+def binary_table(df: DataFrame, content_col: str, mime: str,
+                 id_col: str) -> DataFrame:
+    """Wrap raw bytes into the canonical multimodal layout."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(content_col).alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: dimensions derived from a content hash
+    (stable across runs/executors). Replaces PIL in this container."""
+    h = hashlib.sha256(content or b"").digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Fill meta.width/height by decoding content. Arrow-batched
+    mapInPandas; output schema = input schema (meta updated in place)."""
+    schema = df.schema
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            widths, heights = [], []
+            for content in pdf["content"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode needs PIL/opencv — not shipped "
+                        "in this container; pass fake=True for the "
+                        "deterministic test double")
+                w, h = _fake_decode(bytes(content) if content is not None else b"")
+                widths.append(w)
+                heights.append(h)
+            meta = pdf["meta"]
+            pdf["meta"] = [
+                {**(m or {}), "width": w, "height": h}
+                for m, w, h in zip(meta, widths, heights)
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def extract_features(df: DataFrame, dim: int = 8, *,
+                     fake: bool = False) -> DataFrame:
+    """content → float feature vector (the embed step of a multimodal
+    pipeline). Stub: sha256-derived deterministic vector; a real model
+    would batch onto an accelerator inside the same mapInPandas shape."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("features", T.ArrayType(T.FloatType()), True)])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real feature extraction needs a vision/audio model; "
+                        "pass fake=True for the deterministic test double")
+                raw = hashlib.sha256(
+                    bytes(content) if content is not None else b"").digest()
+                feats.append([raw[i] / 255.0 for i in range(dim)])
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling: one output row per sampled frame index
+    (meta.n_frames driven, no decode needed — pure expressions)."""
+    idx = F.sequence(F.lit(0),
+                     F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                     F.lit(every_n))
+    return (df.filter(F.col("meta.n_frames").isNotNull()
+                      & (F.col("meta.n_frames") > 0))
+            .withColumn("frame_idx", F.explode(idx)))

@@ -1,0 +1,144 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting.
+
+Everything here is pure `pyspark.sql.functions` — no Python UDFs — so
+the operators run inside whole-stage codegen and scale linearly with
+executors (the 100 TB path: a per-row map, no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- tokenize
+
+# GPT-style pre-tokenizer approximation: word pieces, numbers, or single
+# punctuation marks (a BPE front-end regex, not full BPE merges)
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form used
+    by dedup hashing and shingling."""
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization (empties dropped)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(ws_tokens(c)).cast("long")
+
+
+def bpe_ish_tokens(c: Column) -> Column:
+    """Regex pre-tokenizer pieces — a deterministic proxy for BPE token
+    counts (real BPE merges need a vocab; counts correlate ~linearly)."""
+    return F.regexp_extract_all(c, F.lit(BPE_ISH), F.lit(0))
+
+
+def bpe_ish_count(c: Column) -> Column:
+    return F.size(bpe_ish_tokens(c)).cast("long")
+
+
+# ------------------------------------------------------------- quality
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "this", "be",
+]
+
+
+def alpha_ratio(c: Column) -> Column:
+    """Fraction of [a-z0-9 ] characters after lowering — high for prose,
+    low for markup/binary junk."""
+    lc = F.lower(c)
+    junk = F.length(F.regexp_replace(lc, "[a-z0-9 ]", ""))
+    return F.when(F.length(lc) > 0,
+                  1.0 - junk.cast("double") / F.length(lc)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — near zero flags keyword
+    spam / non-language content."""
+    sw = stopwords or STOPWORDS_EN
+    toks = ws_tokens(normalize_text(c))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(c: Column) -> Column:
+    toks = ws_tokens(c)
+    total = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] heuristic: length band + alpha ratio + stopword
+    presence + sane word lengths (C4/Gopher-style filters, simplified).
+    Deterministic, expression-only — usable as a pushdown-able filter."""
+    n = F.length(c)
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)) \
+        .when(n >= 30, F.lit(0.5)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(c)
+    wl_ok = F.when((mwl >= 2.5) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.3 * len_ok + 0.3 * alpha_ratio(c)
+            + 0.2 * F.least(stopword_ratio(c) * F.lit(5.0), F.lit(1.0))
+            + 0.2 * wl_ok)
+
+
+# ------------------------------------------------------------- lang id
+
+# high-frequency marker words per language (function words dominate any
+# natural text; a dozen per language separates en/de/fr reliably)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "with", "on", "as", "are", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "im", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "en",
+           "que", "pour", "dans", "sur", "pas"],
+}
+
+
+def lang_hits(c: Column, lang: str) -> Column:
+    """Count of marker-word tokens for one language."""
+    toks = ws_tokens(normalize_text(c))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+
+def lang_id(c: Column, langs: list[str] | None = None) -> Column:
+    """Argmax of marker hits; ties break by list order; no hits → 'und'
+    (undetermined). N-gram-free heuristic: function-word counting is the
+    classic cheap lang-ID and is fully expression-based."""
+    langs = langs or list(LANG_MARKERS)
+    hits = [(lg, lang_hits(c, lg)) for lg in langs]
+    best = None
+    best_hits = None
+    for lg, h in reversed(hits):  # earlier languages win ties → fold from the right
+        if best is None:
+            best, best_hits = F.lit(lg), h
+        else:
+            best = F.when(h >= best_hits, F.lit(lg)).otherwise(best)
+            best_hits = F.when(h >= best_hits, h).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+# -------------------------------------------------------- fingerprints
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (exact-dup key)."""
+    return F.xxhash64(normalize_text(c))
+
+
+def bottomk_sketch(shingles: Column, k: int = 16) -> Column:
+    """Bottom-k sketch: the k smallest shingle hashes — a compact
+    similarity fingerprint (winnowing-flavored; |A∩B|/|A∪B| is estimated
+    by overlap of sketches). Pure expressions: hash → sort → slice."""
+    hashes = F.array_sort(F.transform(shingles, lambda s: F.xxhash64(s)))
+    return F.slice(hashes, 1, k)

@@ -1,0 +1,172 @@
+"""Tests for the LLM-data-pipeline operators (dedup, similarity, text
+analysis, multimodal plumbing). Reference has no such surface — these
+are the brief's extension operators; semantics are defined by our own
+docstrings, so tests are golden-value."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from jetro_spark.llm import dedup as D
+from jetro_spark.llm import multimodal as MM
+from jetro_spark.llm import similarity as SIM
+from jetro_spark.llm import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (4, "der schnelle braune fuchs springt und ist nicht da"),
+        (5, "le renard brun et rapide est dans la maison"),
+        (6, "completely unrelated text about spark engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(docs):
+    r = docs.filter(F.col("doc_id") == 1).select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.bpe_ish_count(F.col("text")).alias("b"),
+    ).first()
+    assert r["n"] == 9
+    assert r["b"] == 9
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a hat",), ("@@@@ #### $$$$",)], ["text"])
+    rows = df.select(
+        TX.alpha_ratio(F.col("text")).alias("alpha"),
+        TX.stopword_ratio(F.col("text")).alias("sw"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    prose, junk = rows
+    assert prose["alpha"] == 1.0
+    assert prose["sw"] > 0.4
+    assert junk["alpha"] < 0.3
+    assert junk["sw"] == 0.0
+    assert prose["q"] > junk["q"]
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred"] for r in docs.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("pred")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+
+
+def test_lang_id_no_hits(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",)], ["text"])
+    assert df.select(TX.lang_id(F.col("text")).alias("p")).first()["p"] == "und"
+
+
+def test_exact_dedup(docs):
+    kept = D.exact_dedup(docs, "text", order="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 dropped (dup of 1, first kept)
+
+
+def test_ngram_jaccard_identical(spark):
+    df = spark.createDataFrame([("abcdefgh", "abcdefgh")], ["a", "b"])
+    j = df.select(D.ngram_jaccard(
+        D.char_shingles(F.col("a"), 3),
+        D.char_shingles(F.col("b"), 3)).alias("j")).first()["j"]
+    assert j == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got          # exact dup
+    assert (1, 3) in got          # near dup (one word changed)
+    assert (2, 3) in got
+    # unrelated texts never pair
+    assert not any(6 in p for p in got)
+
+
+def test_simhash_pairs(docs):
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got          # identical text → hamming 0
+    assert not any(6 in p and 1 in p for p in got)
+
+
+def test_bottomk_sketch(spark):
+    df = spark.createDataFrame([("abcdefghij",)], ["t"])
+    sk = df.select(TX.bottomk_sketch(
+        D.char_shingles(F.col("t"), 3), k=4).alias("s")).first()["s"]
+    assert len(sk) == 4
+    assert sk == sorted(sk)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters along axes in 4-d space
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.1, 0.9, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]), (5, [0.0, 0.0, 0.9, 0.1]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(vectors):
+    out = SIM.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["nid"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got[0] == (1, 1)       # nearest = same-cluster vector
+
+
+def test_hyperplane_lsh_recall(vectors):
+    exact = SIM.brute_force_topk(vectors, vectors, k=1)
+    approx = SIM.hyperplane_lsh_topk(vectors, vectors, k=1,
+                                     tables=8, bits=2, dim=4)
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    # recall over the tiny fixture should be perfect with 8 tables
+    assert e == a
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-1")), (2, bytearray(b"imagebytes-2"))],
+        ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/png", "id")
+    assert [f.name for f in mm.schema["meta"].dataType.fields] == \
+        ["mime", "width", "height", "n_frames", "duration_ms", "sample_rate"]
+
+    decoded = MM.decode_images(mm, fake=True)
+    rows = decoded.collect()
+    assert all(r["meta"]["width"] >= 16 for r in rows)
+    # deterministic: same bytes → same dims on re-run
+    again = {r["media_id"]: r["meta"]["width"]
+             for r in MM.decode_images(mm, fake=True).collect()}
+    assert {r["media_id"]: r["meta"]["width"] for r in rows} == again
+
+    feats = MM.extract_features(mm, dim=4, fake=True).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/png", "id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.decode_images(mm, fake=False).collect()
+
+
+def test_sample_frames(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MM.META_SCHEMA),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(b"v"), ("video/mp4", None, None, 25, None, None))],
+        schema)
+    out = MM.sample_frames(df, every_n=10)
+    assert [r["frame_idx"] for r in out.orderBy("frame_idx").collect()] == [0, 10, 20]
