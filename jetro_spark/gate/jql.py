@@ -101,6 +101,24 @@ QUERIES = {
         "  nflat: o.flatten_keys().len(),"
         "  flat1: o.flatten_keys().first().value"
         "})"),
+    # patches (§2.11): sequential clauses, runtime `when` on existing
+    # fields, DELETE, `[* if p]` wildcard writes with `@` = pre-write
+    # leaf (vm/opcode.rs:408-530, tests/chain_write.rs) — all lowered to
+    # one collapsed struct-rebuild Project per row
+    "jql_patch": _q(
+        "$.orders.map(lambda o:"
+        " let d = {id: o.o_orderkey, price: o.o_totalprice,"
+        "          status: o.o_orderstatus, tmp: 1,"
+        "          items: [{q: 1.0, big: o.o_totalprice > 150000},"
+        "                  {q: 2.0, big: true}]},"
+        "     p = patch d {"
+        "       price: @ * 2.0,"
+        "       status: @.lower() when price > 100000,"
+        "       tmp: DELETE,"
+        "       items[* if big].q: @ + 10.0"
+        "     }"
+        " in {id: p.id, price: p.price, status: p.status,"
+        "     q1: p.items[0].q, q2: p.items[1].q})"),
 }
 
 ORACLES = {
@@ -174,5 +192,14 @@ ORACLES = {
                CAST(3 AS BIGINT) AS nflat,
                CAST(c_custkey AS VARCHAR) AS flat1
         FROM customer
+    """,
+    "jql_patch": """
+        SELECT o_orderkey AS id,
+               o_totalprice * 2.0 AS price,
+               CASE WHEN o_totalprice > 100000 THEN lower(o_orderstatus)
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_totalprice > 150000 THEN 11.0 ELSE 1.0 END AS q1,
+               12.0 AS q2
+        FROM orders
     """,
 }

@@ -266,6 +266,7 @@ class PatchStep(Node):
     name: str | None = None
     index: int | None = None
     pred: Node | None = None
+    dyn: Node | None = None  # dynamic index expression (PathStep::DynIndex)
 
 
 @dataclass

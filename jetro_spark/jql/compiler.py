@@ -123,23 +123,39 @@ def _probe(dt: T.DataType | None) -> Column:
 class TC:
     """Typed column. ``row=True`` marks relational row scope where field
     access must compile to a top-level F.col (pushdown-friendly) rather
-    than a struct getField."""
+    than a struct getField. ``doc=True`` marks a document-root value
+    (the engine's ``$``, a patch result, a pipe stage carrying one) —
+    the receivers on which chain-writes (.set/.modify/.delete/.unset)
+    desugar to patches (parser.rs:439-600 Root rule + Phase B's
+    pipe/let-alias lifting); on any other receiver they stay plain
+    method calls (chain_write.rs phaseb_lambda_body test)."""
     col: Column | None
     dtype: T.DataType | None
     row: bool = False
+    doc: bool = False
 
 
 @dataclass(frozen=True)
 class Env:
+    """``py_eval`` (engine-provided) evaluates a Column against the
+    one-row document frame at compile time — needed only for patch
+    guards whose branches have different schemas (guarded field add /
+    DELETE), where a runtime `when` can't express per-row presence in
+    a static schema."""
     root: TC | None = None
     current: TC | None = None
     locals: dict = dc_field(default_factory=dict)
+    py_eval: object = None
 
     def bind(self, name: str, tc: TC) -> "Env":
-        return Env(self.root, self.current, {**self.locals, name: tc})
+        return Env(self.root, self.current, {**self.locals, name: tc},
+                   self.py_eval)
 
     def with_current(self, tc: TC) -> "Env":
-        return Env(self.root, tc, self.locals)
+        return Env(self.root, tc, self.locals, self.py_eval)
+
+    def with_root(self, tc: TC) -> "Env":
+        return Env(tc, self.current, self.locals, self.py_eval)
 
 
 def field_access(tc: TC, name: str) -> TC:
@@ -402,9 +418,90 @@ class Compiler:
 
     def c_Path(self, n: A.Path, env: Env) -> TC:
         tc = self.compile(n.base, env)
+        rewritten = self._chain_write(tc, n, env)
+        if rewritten is not None:
+            return rewritten
         for step in n.steps:
             tc = self.step(tc, step, env)
         return tc
+
+    # chain-write terminal methods (parser.rs:482-516 is_terminal_write)
+    _TERMINAL_WRITES = {"set", "modify", "delete", "unset", "merge",
+                        "deep_merge"}
+
+    def _chain_write(self, base_tc: TC, n: A.Path, env: Env) -> TC | None:
+        """Desugar `$.a.b.set(v)` / `.modify(λ)` / `.delete()` /
+        `.unset(k)` / `.merge(o)` / `.deep_merge(o)` into a Patch when
+        the receiver is a document root (reference: parse-time rewrite
+        for `$`-rooted chains, parser.rs:439-600; pipe/let-alias roots
+        via Phase B fusion — here both are just `TC.doc`). Returns None
+        to fall back to the plain method call (e.g. inside lambdas —
+        chain_write.rs phaseb_lambda_body_writes_dont_leak_outside)."""
+        if not base_tc.doc or not n.steps:
+            return None
+        last = n.steps[-1]
+        if not isinstance(last, A.Method) or last.name not in self._TERMINAL_WRITES:
+            return None
+        # navigation prefix → patch path steps (first must be a field:
+        # it becomes the clause root)
+        psteps: list[A.PatchStep] = []
+        for s in n.steps[:-1]:
+            if isinstance(s, A.Field):
+                psteps.append(A.PatchStep("field", name=s.name))
+            elif isinstance(s, A.Index):
+                iv = _const(s.expr)
+                if isinstance(iv, int):
+                    psteps.append(A.PatchStep("index", index=iv))
+                else:
+                    psteps.append(A.PatchStep("index", dyn=s.expr))
+            elif isinstance(s, A.Descendant) and s.name:
+                psteps.append(A.PatchStep("descendant", name=s.name))
+            else:
+                return None
+        name, args = last.name, last.args
+        if name == "set":
+            if len(args) != 1:
+                return None  # 2-arg set = the object builtin
+            value: A.Node = args[0].value
+        elif name == "modify":
+            if len(args) != 1:
+                return None
+            v = args[0].value
+            if isinstance(v, A.Lambda) and v.params:
+                value = A.Let(v.params[0], A.Current(), v.body)
+            elif isinstance(v, A.Lambda):
+                value = v.body
+            else:
+                value = v
+        elif name == "delete":
+            if args:
+                return None
+            value = A.Delete()
+        elif name == "unset":
+            if len(args) != 1:
+                return None
+            k = args[0].value
+            key = k.value if isinstance(k, A.Literal) and isinstance(k.value, str) \
+                else k.name if isinstance(k, A.Ident) else None
+            if key is None:
+                return None
+            psteps.append(A.PatchStep("field", name=key))
+            value = A.Delete()
+        else:  # merge / deep_merge in place: value = @.merge(arg)
+            if len(args) != 1:
+                return None
+            value = A.Path(A.Current(), [A.Method(name, [args[0]])])
+        if not psteps or psteps[0].kind != "field":
+            return None
+        clause = A.PatchClause(psteps[0].name, psteps[1:], value, None)
+        from jetro_spark.jql.patch import _apply_clause
+        col, dt = _apply_clause(self, base_tc.col, base_tc.dtype, clause,
+                                env, base_tc)
+        return TC(col, dt, doc=True)
+
+    def c_Patch(self, n: A.Patch, env: Env) -> TC:
+        from jetro_spark.jql.patch import compile_patch
+        return compile_patch(self, n, env)
 
     def step(self, tc: TC, step: A.Node, env: Env) -> TC:
         if isinstance(step, A.Field):
@@ -520,11 +617,12 @@ class Compiler:
         `k?: v` / `when` guards compile to null values (struct schemas are
         fixed; jetro's per-row field omission needs a dynamic object —
         divergence documented, null ≡ missing on read anyway)."""
+        fused = self._objlit_fuse_writes(n, env)
         cols: list[Column] = []
         fields: list[T.StructField] = []
         for f in n.fields:
             if f.kind in ("kv", "opt_v"):
-                tc = self.compile(f.value, env)
+                tc = fused.get(id(f)) or self.compile(f.value, env)
                 col = tc.col
                 if f.guard is not None:
                     g = self.compile(f.guard, env)
@@ -556,6 +654,46 @@ class Compiler:
                 out_c.append(c)
                 out_f.append(sf)
         return TC(F.struct(*out_c), T.StructType(out_f))
+
+    def _objlit_fuse_writes(self, n: A.ObjLit, env: Env) -> dict:
+        """Phase-B object fusion (chain_write.rs phaseb_object_field_*):
+        when ≥2 object fields are `$`-rooted writes and NO other field
+        reads `$`, the writes batch against one shared doc — every write
+        field then sees the post-batch document (each write applies
+        once, in source order). A root-reading sibling field disables
+        fusion (it must observe the pre-write doc). Returns a map
+        id(field) → TC of the post-batch doc for the fused fields."""
+        if env.root is None or not env.root.doc:
+            return {}
+        write_fields = [f for f in n.fields
+                        if f.kind in ("kv", "opt_v") and f.guard is None
+                        and self._is_root_write(f.value)]
+        if len(write_fields) < 2:
+            return {}
+        for f in n.fields:
+            if f not in write_fields and self._reads_root(
+                    f.value if f.kind in ("kv", "opt_v", "spread") else None):
+                return {}
+        acc = env.root
+        for f in write_fields:
+            acc = self.compile(f.value, env.with_root(acc).with_current(acc))
+        return {id(f): acc for f in write_fields}
+
+    def _reads_root(self, node) -> bool:
+        if node is None:
+            return False
+        if isinstance(node, A.Root):
+            return True
+        for v in vars(node).values():
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            for x in vals:
+                if isinstance(x, A.Node) and self._reads_root(x):
+                    return True
+                if isinstance(x, tuple):  # f-string parts
+                    for y in x:
+                        if isinstance(y, A.Node) and self._reads_root(y):
+                            return True
+        return False
 
     def c_ArrLit(self, n: A.ArrLit, env: Env) -> TC:
         pieces: list[Column] = []
@@ -686,7 +824,21 @@ class Compiler:
             return self.call(acc, expr.name, expr.args, env.with_current(acc))
         if isinstance(expr, A.Ident) and expr.name in METHODS:
             return self.call(acc, expr.name, [], env.with_current(acc))
+        if acc.doc and self._is_root_write(expr):
+            # Phase-B pipe fusion (chain_write.rs phaseb_pipe_chain_*): a
+            # `$`-rooted write stage following a patched doc applies to the
+            # rolled value, so `$.a.set(1) | $.b.set(2)` accumulates both
+            # writes instead of re-patching the original document.
+            env = env.with_root(acc)
         return self.compile(expr, env.with_current(acc))
+
+    def _is_root_write(self, expr: A.Node) -> bool:
+        if isinstance(expr, A.Patch):
+            return isinstance(expr.target, A.Root)
+        if isinstance(expr, A.Path) and isinstance(expr.base, A.Root) and expr.steps:
+            last = expr.steps[-1]
+            return isinstance(last, A.Method) and last.name in self._TERMINAL_WRITES
+        return False
 
     def c_PipeForward(self, n: A.PipeForward, env: Env) -> TC:
         return self.compile(n.expr, env)
@@ -1648,10 +1800,21 @@ def m_rename(self, recv, args, env):
 
 
 def m_set(self, recv, args, env):
+    if len(args) == 1:
+        # non-rooted chain-write form: `x | set(v)` / `o.id.set(99)` in a
+        # lambda returns just the rhs (INDEPTH.md:201; chain_write.rs
+        # phaseb_lambda_body_writes_dont_leak_outside)
+        return self.compile(args[0].value, env)
     key = _const_str(args, 0)
     v = self.compile(args[1].value, env)
     c, d = OB.set_key(recv.col, recv.dtype, key, v.col, v.dtype or T.NullType())
     return TC(c, d)
+
+
+def m_modify(self, recv, args, env):
+    # non-rooted `.modify(λ)`: apply the lambda to the receiver
+    fn, out_dt = self._lam(args[0].value, env, recv.dtype)
+    return TC(fn(recv.col), out_dt)
 
 
 def m_update(self, recv, args, env):
@@ -1780,7 +1943,7 @@ METHODS = {
     "pick": m_pick, "omit": m_omit,
     "merge": _ob2(OB.merge), "deep_merge": _ob2(OB.deep_merge),
     "defaults": _ob2(OB.defaults), "rename": m_rename,
-    "set": m_set, "update": m_update,
+    "set": m_set, "update": m_update, "modify": m_modify,
     "has": m_has, "missing": m_missing,
     "transform_keys": m_transform_keys, "transform_values": m_transform_values,
     "filter_keys": m_filter_keys, "filter_values": m_filter_values,

@@ -142,15 +142,23 @@ class Jetro:
         return cls(spark, value)
 
     def root(self) -> TC:
-        base = TC(F.col("__doc"), self.schema)
+        base = TC(F.col("__doc"), self.schema, doc=True)
         if self._wrapped_scalar:
-            return TC(base.col.getField("__root__"), self.schema["__root__"].dataType)
+            return TC(base.col.getField("__root__"),
+                      self.schema["__root__"].dataType, doc=True)
         return base
+
+    def _env(self) -> Env:
+        # py_eval: evaluate a Column against the one-row doc frame at
+        # compile time — the scalar context for schema-changing patch
+        # guards (see jetro_spark.jql.patch docstring)
+        return Env(root=self.root(),
+                   py_eval=lambda c: self.df.select(c.alias("v")).first()["v"])
 
     def frame(self, expr: str) -> DataFrame:
         """Compile expr → one-row DataFrame (column ``value``). The bench
         path: lets the noop sink run the query without driver collect."""
-        tc = Compiler().compile(parse(expr), Env(root=self.root()))
+        tc = Compiler().compile(parse(expr), self._env())
         return self.df.select(tc.col.alias("value"))
 
     def collect(self, expr: str):
@@ -175,7 +183,7 @@ class Jetro:
         return self._collect_node(node)
 
     def _collect_node(self, node: A.Node):
-        tc = Compiler().compile(node, Env(root=self.root()))
+        tc = Compiler().compile(node, self._env())
         return to_python(self.df.select(tc.col.alias("value")).first()["value"])
 
 

@@ -627,12 +627,25 @@ class Parser:
                         else:
                             self.expect("punct", "]")
                             steps.append(A.PatchStep("wild"))
-                    else:
+                    elif self.peek(1).kind == "int" and self.at_punct("]", 2):
                         self.next()
-                        neg = self.eat_punct("-")
                         idx = int(self.expect("int").value)
                         self.expect("punct", "]")
-                        steps.append(A.PatchStep("index", index=-idx if neg else idx))
+                        steps.append(A.PatchStep("index", index=idx))
+                    elif (self.at_punct("-", 1) and self.peek(2).kind == "int"
+                          and self.at_punct("]", 3)):
+                        self.next()
+                        self.next()
+                        idx = int(self.expect("int").value)
+                        self.expect("punct", "]")
+                        steps.append(A.PatchStep("index", index=-idx))
+                    else:
+                        # dynamic index expression (PathStep::DynIndex,
+                        # parser.rs:531-535): `patch $ { xs[$.i]: v }`
+                        self.next()
+                        e = self.expr()
+                        self.expect("punct", "]")
+                        steps.append(A.PatchStep("index", dyn=e))
                 else:
                     break
             self.expect("punct", ":")

@@ -53,8 +53,13 @@ def test_deep_merge(spark):
         "a": {"x": {"p": 1, "q": 2}, "y": 3},
         "b": {"x": {"q": 20, "r": 30}, "z": 4},
     })
+    merged = {"x": {"p": 1, "q": 20, "r": 30}, "y": 3, "z": 4}
+    # pipe form returns just the merged value (INDEPTH.md:201)
+    assert j2.collect("$.a | deep_merge($.b)") == merged
+    # rooted chain form is a chain-write: returns the WHOLE doc with the
+    # merge applied in place (regression.rs tier1_chain_deep_merge)
     assert j2.collect("$.a.deep_merge($.b)") == {
-        "x": {"p": 1, "q": 20, "r": 30}, "y": 3, "z": 4}
+        "a": merged, "b": {"x": {"q": 20, "r": 30}, "z": 4}}
 
 
 def test_rename_set_update(j):
