@@ -339,6 +339,14 @@ def index(arr: Column, v: Column) -> Column:
     return (F.array_position(arr, v) - 1).cast("long")
 
 
+def indices_of(arr: Column, v: Column) -> Column:
+    """ALL 0-based indices where the value appears.
+    Reference: ops/collection.rs:481-492 indices_of_apply."""
+    return F.filter(
+        _seq0(F.size(arr)),
+        lambda i: F.get(arr, i).eqNullSafe(v)).cast("array<long>")
+
+
 # -------------------------------------------------------------- aggregates
 
 

@@ -405,3 +405,69 @@ def abs_(c: Column) -> Column:  # string.rs:491
     return F.abs(c)
 
 
+
+
+# ------------------------------------------------------------- stragglers
+
+
+def scan(c: Column, sub: str) -> Column:
+    """Every non-overlapping occurrence of the LITERAL `sub` → array of
+    the matched strings (all equal to `sub`). Reference: string.rs:630
+    scan_apply (count via length delta — exact for literal,
+    non-overlapping matches)."""
+    if not sub:
+        return F.array().cast("array<string>")
+    count = ((F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit(""))))
+             / F.lit(len(sub))).cast("int")
+    return F.array_repeat(F.lit(sub), count)
+
+
+def last_index_of(c: Column, sub: str) -> Column:
+    """0-based CHAR index of the last occurrence, -1 when absent.
+    Reference: mod.rs:2099,2113-2123 str_index_of(last=true).
+    rfind via the reverse trick: instr(reverse(s), reverse(sub))."""
+    rpos = F.instr(F.reverse(c), F.reverse(F.lit(sub)))
+    return F.when(rpos > 0,
+                  (F.length(c) - rpos + 1 - F.lit(len(sub))).cast("long")) \
+        .otherwise(F.lit(-1).cast("long"))
+
+
+def dedent(c: Column) -> Column:
+    """Remove the common leading-whitespace prefix length (min over
+    non-blank lines) from every line. Reference: string.rs:624-645
+    dedent_apply."""
+    ls = lines(c)
+    non_blank = F.filter(ls, lambda l: F.length(F.trim(l)) > 0)
+    min_indent = F.coalesce(
+        F.array_min(F.transform(non_blank,
+                                lambda l: F.length(l) - F.length(F.ltrim(l)))),
+        F.lit(0))
+    return F.array_join(
+        F.transform(
+            ls,
+            lambda l: F.when(F.length(l) >= min_indent,
+                             F.substr(l, min_indent + 1, F.length(l)))
+            .otherwise(l)),
+        "\n")
+
+
+def bytes_of(c: Column) -> Column:
+    """UTF-8 bytes of the string as array<long>. Reference: string.rs:428
+    bytes_of_apply. Built-in only: hex-encode then decode pairs."""
+    h = F.hex(F.encode(c, "UTF-8"))
+    # sequence(1, 0) would be DESCENDING (the F.sequence trap): guard empty
+    return F.when(
+        F.length(h) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (F.length(h) / 2).cast("long")),
+            lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10)
+            .cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def to_bool(c: Column) -> Column:
+    """'true'→true, 'false'→false, anything else→null (distinct from
+    parse_bool). Reference: mod.rs:2076-2080."""
+    return F.when(c == "true", F.lit(True)) \
+        .when(c == "false", F.lit(False)) \
+        .otherwise(F.lit(None).cast("boolean"))

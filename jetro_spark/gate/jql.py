@@ -119,6 +119,16 @@ QUERIES = {
         "     }"
         " in {id: p.id, price: p.price, status: p.status,"
         "     q1: p.items[0].q, q2: p.items[1].q})"),
+    # JSON/CSV conversion (§2.1): to_json exact string compare vs DuckDB's
+    # compact JSON; to_csv/to_tsv values-only rows (helpers.rs:143-169)
+    "jql_conv": _q(
+        "$.customer.map(lambda c: {"
+        "  id: c.c_custkey,"
+        "  js: {k: c.c_name, seg: c.c_mktsegment}.to_json(),"
+        "  nj: c.c_nationkey.to_json(),"
+        "  csv: [{a: c.c_custkey, b: c.c_name}].to_csv(),"
+        "  tsv: [[c.c_custkey, c.c_nationkey]].to_tsv()"
+        "})"),
 }
 
 ORACLES = {
@@ -201,5 +211,13 @@ ORACLES = {
                CASE WHEN o_totalprice > 150000 THEN 11.0 ELSE 1.0 END AS q1,
                12.0 AS q2
         FROM orders
+    """,
+    "jql_conv": """
+        SELECT c_custkey AS id,
+               '{"k":"' || c_name || '","seg":"' || c_mktsegment || '"}' AS js,
+               CAST(c_nationkey AS VARCHAR) AS nj,
+               c_custkey || ',' || c_name AS csv,
+               c_custkey || chr(9) || c_nationkey AS tsv
+        FROM customer
     """,
 }

@@ -1486,6 +1486,49 @@ def m_index_of(self, recv, args, env):
     return TC(AR.index(recv.col, v.col), T.LongType())
 
 
+def m_last_index_of(self, recv, args, env):
+    if _family(recv.dtype) == "string":
+        return TC(S.last_index_of(recv.col, _const_str(args, 0)), T.LongType())
+    # array variant: last 0-based index of value, -1 when absent
+    v = self.compile(args[0].value, env)
+    idx = F.array_max(AR.indices_of(recv.col, v.col))
+    return TC(F.coalesce(idx, F.lit(-1).cast("long")), T.LongType())
+
+
+def m_indices_of(self, recv, args, env):
+    v = self.compile(args[0].value, env)
+    return TC(AR.indices_of(recv.col, v.col), T.ArrayType(T.LongType()))
+
+
+def m_zip_shape(self, recv, args, env):
+    """`zip_shape(name: expr, …)` — named exprs over one receiver →
+    object. Reference: ops/array.rs:824-840."""
+    if not args or any(a.name is None for a in args):
+        raise CompileError("zip_shape expects named arguments")
+    cols, fields = [], []
+    for a in args:
+        tc = self.compile(a.value, env.with_current(recv))
+        cols.append(tc.col.alias(a.name))
+        fields.append(T.StructField(a.name, tc.dtype or T.NullType(), True))
+    return TC(F.struct(*cols), T.StructType(fields))
+
+
+def m_group_shape(self, recv, args, env):
+    """`group_shape(key_λ, shape_λ)`: group by stringified key, apply
+    shape to each group array → `{key: shape(group)}` (objrepr).
+    Reference: ops/array.rs:841-863."""
+    key_fn, _ = self._lam(args[0].value, env, _elem(recv))
+    grouped = AR.group_by(recv.col, key_fn)  # array<struct<key, value:arr>>
+    shape_fn, shape_dt = self._lam(args[1].value, env, recv.dtype)
+    out = F.transform(
+        grouped,
+        lambda e: F.struct(e["key"].alias("key"),
+                           shape_fn(e["value"]).alias("value")))
+    return TC(out, T.ArrayType(T.StructType([
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", shape_dt or T.NullType(), True)])))
+
+
 def m_join(self, recv, args, env):
     return TC(S.join(recv.col, _const_str(args, 0, "")), T.StringType())
 
@@ -1676,6 +1719,99 @@ def m_indent(self, recv, args, env):
 
 def m_to_string(self, recv, args, env):
     return TC(recv.col.cast("string"), T.StringType())
+
+
+def m_to_json(self, recv, args, env):
+    """Value → compact JSON string (ops/misc.rs:50-73). Struct/array/map
+    go through Spark's to_json; scalars use the array-wrap trick
+    (to_json(array(x)) = "[<json>]" → strip brackets) so string escaping
+    is exact."""
+    dt = recv.dtype
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return TC(F.to_json(recv.col), T.StringType())
+    if isinstance(dt, T.NullType):
+        return TC(F.lit("null"), T.StringType())
+    wrapped = F.to_json(F.array(recv.col))
+    inner = wrapped.substr(F.lit(2), F.length(wrapped) - 2)
+    # to_json(array(null)) = "[null]" → "null"; empty only if col null
+    return TC(F.coalesce(inner, F.lit("null")), T.StringType())
+
+
+def m_from_json(self, recv, args, env):
+    """JSON string → value (ops/misc.rs:76-100). The reference infers the
+    value's shape at runtime; with static schemas we infer it from the
+    ACTUAL document string via the engine's py_eval hook (document mode
+    is single-document, same as the reference), then parse the column
+    with the inferred schema. Invalid JSON → CompileError, which
+    `try ... else` catches (regression.rs:1162)."""
+    import json as _json
+
+    if env.py_eval is None:
+        raise CompileError("from_json requires document context (engine "
+                           "mode) for schema inference")
+    sval = env.py_eval(recv.col)
+    if sval is None:
+        return TC(F.lit(None), T.NullType())
+    try:
+        parsed = _json.loads(sval)
+    except (ValueError, TypeError) as e:
+        raise CompileError(f"from_json: invalid JSON: {e}") from None
+    from jetro_spark.jql.engine import infer_schema
+    if isinstance(parsed, (dict, list)):
+        schema = infer_schema(parsed) if isinstance(parsed, dict) \
+            else infer_schema({"v": parsed})["v"].dataType
+        return TC(F.from_json(recv.col, schema), schema)
+    lit_tc = Compiler().c_Literal(A.Literal(parsed), env)
+    return lit_tc
+
+
+def _csv_cell(col: Column, dt, sep: str) -> Column:
+    """One CSV cell (helpers.rs:130-139): strings quoted only when they
+    contain the separator, a quote, or a newline (quotes doubled); other
+    scalars stringified (null → "null"); nested values as JSON."""
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.to_json(col)
+    if isinstance(dt, T.NullType):
+        return F.lit("null")
+    if isinstance(dt, T.StringType):
+        needs_quote = (F.contains(col, F.lit(sep))
+                       | F.contains(col, F.lit('"'))
+                       | F.contains(col, F.lit("\n")))
+        quoted = F.concat(F.lit('"'),
+                          F.replace(col, F.lit('"'), F.lit('""')),
+                          F.lit('"'))
+        return F.when(needs_quote, quoted).otherwise(col)
+    return F.coalesce(col.cast("string"), F.lit("null"))
+
+
+def _m_csv(sep: str):
+    def h(self, recv, args, env):
+        """Array-of-objects/arrays → CSV/TSV text, one line per element
+        (values only, no header — helpers.rs:143-169 csv_emit)."""
+        dt = recv.dtype
+        if isinstance(dt, T.ArrayType):
+            elem = dt.elementType
+            if isinstance(elem, T.StructType):
+                def row(x):
+                    return F.concat_ws(sep, *[
+                        _csv_cell(x.getField(f.name), f.dataType, sep)
+                        for f in elem.fields])
+            elif isinstance(elem, T.ArrayType):
+                def row(x):
+                    return F.array_join(
+                        F.transform(x, lambda c: _csv_cell(
+                            c, elem.elementType, sep)), sep)
+            else:
+                def row(x):
+                    return _csv_cell(x, elem, sep)
+            return TC(F.array_join(F.transform(recv.col, row), "\n"),
+                      T.StringType())
+        if isinstance(dt, T.StructType):
+            return TC(F.concat_ws(sep, *[
+                _csv_cell(recv.col.getField(f.name), f.dataType, sep)
+                for f in dt.fields]), T.StringType())
+        return TC(_csv_cell(recv.col, dt, sep), T.StringType())
+    return h
 
 
 def m_type(self, recv, args, env):
@@ -1927,6 +2063,8 @@ METHODS = {
     "diff": m_diff, "intersect": m_intersect, "union": m_union,
     "includes": m_includes, "contains": m_includes,
     "index": m_index_of, "index_of": m_index_of,
+    "last_index_of": m_last_index_of, "indices_of": m_indices_of,
+    "zip_shape": m_zip_shape, "group_shape": m_group_shape,
     "join": m_join,
     # aggregates (§2.4)
     "len": m_len, "count": m_count,
@@ -1989,11 +2127,17 @@ METHODS = {
     "is_numeric": _s1(S.is_numeric, T.BooleanType()),
     "is_alpha": _s1(S.is_alpha, T.BooleanType()),
     "is_ascii": _s1(S.is_ascii, T.BooleanType()),
+    "scan": _s_arg(S.scan, T.ArrayType(T.StringType())),
+    "dedent": _s1(S.dedent),
+    "bytes": _s1(S.bytes_of, T.ArrayType(T.LongType())),
+    "to_bool": _s1(S.to_bool, T.BooleanType()),
     "parse_int": _s1(S.parse_int, T.LongType()),
     "parse_float": _s1(S.parse_float, T.DoubleType()),
     "parse_bool": _s1(S.parse_bool, T.BooleanType()),
     "to_number": _s1(S.to_number, T.DoubleType()),
     "to_string": m_to_string, "type": m_type, "or": m_or,
+    "to_json": m_to_json, "from_json": m_from_json,
+    "to_csv": _m_csv(","), "to_tsv": _m_csv("\t"),
     "to_base64": _s1(S.to_base64), "from_base64": _s1(S.from_base64),
     "url_encode": _s1(S.url_encode), "url_decode": _s1(S.url_decode),
     "html_escape": _s1(S.html_escape), "html_unescape": _s1(S.html_unescape),

@@ -262,3 +262,121 @@ def test_partition_zip(spark):
     assert one(spark, A.zip_(arr_lit(1, 2, 3), arr_lit(4, 5))) == [[1, 4], [2, 5]]
     z = one(spark, A.zip_longest(arr_lit(1, 2, 3), arr_lit(4, 5)))
     assert z == [[1, 4], [2, 5], [3, None]]
+
+
+# ------------------------------------------------------------ stragglers
+
+
+def _scalar(spark, expr):
+    from jetro_spark.jql.engine import Jetro
+    return Jetro.from_value(spark, {}).collect(expr)
+
+
+def test_scan(spark):
+    assert _scalar(spark, '"abcabcab".scan("ab")') == ["ab", "ab", "ab"]
+    assert _scalar(spark, '"xyz".scan("ab")') == []
+
+
+def test_last_index_of_string(spark):
+    assert _scalar(spark, '"abcabc".last_index_of("bc")') == 4
+    assert _scalar(spark, '"abcabc".last_index_of("zz")') == -1
+
+
+def test_indices_of_and_last_index_array(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"xs": [1, 2, 1, 3, 1]})
+    assert jj.collect("$.xs.indices_of(1)") == [0, 2, 4]
+    assert jj.collect("$.xs.last_index_of(1)") == 4
+    assert jj.collect("$.xs.indices_of(9)") == []
+    assert jj.collect("$.xs.last_index_of(9)") == -1
+
+
+def test_to_bool(spark):
+    assert _scalar(spark, '"true".to_bool()') is True
+    assert _scalar(spark, '"false".to_bool()') is False
+    assert _scalar(spark, '"yes".to_bool()') is None
+
+
+def test_dedent(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"s": "    a\n      b\n    c"})
+    assert jj.collect("$.s.dedent()") == "a\n  b\nc"
+
+
+def test_bytes(spark):
+    assert _scalar(spark, '"AB".bytes()') == [65, 66]
+    assert _scalar(spark, '"".bytes()') == []
+    # multi-byte UTF-8 (é = 0xC3 0xA9)
+    assert _scalar(spark, '"é".bytes()') == [195, 169]
+
+
+def test_zip_shape(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"n": 7})
+    assert jj.collect("$.n.zip_shape(a: @ + 1, b: @ * 2)") == {"a": 8, "b": 14}
+
+
+def test_group_shape(spark):
+    from jetro_spark.jql.engine import Jetro
+    from jetro_spark.jql.engine import objrepr_to_dict
+    jj = Jetro.from_value(spark, {"xs": [
+        {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3}]})
+    out = jj.collect("$.xs.group_shape(lambda x: x.k, lambda g: g.map(v).sum())")
+    assert objrepr_to_dict(out) == {"a": 4.0, "b": 2.0}
+
+
+# --------------------------------------------- JSON/CSV conversion (§2.1)
+
+
+def test_to_json_scalars(spark):
+    from jetro_spark.jql.engine import Jetro
+    assert _scalar(spark, "5.to_json()") == "5"
+    assert _scalar(spark, "true.to_json()") == "true"
+    assert _scalar(spark, "null.to_json()") == "null"
+    # string escaping is exact (quote in the value)
+    jj = Jetro.from_value(spark, {"s": 'a"b'})
+    assert jj.collect("$.s.to_json()") == '"a\\"b"'
+
+
+def test_to_json_object_array(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"o": {"x": 1, "y": "z"}, "a": [1, 2]})
+    assert jj.collect("$.o.to_json()") == '{"x":1,"y":"z"}'
+    assert jj.collect("$.a.to_json()") == "[1,2]"
+
+
+def test_from_json_roundtrip(spark):
+    from jetro_spark.jql.engine import Jetro
+    # regression.rs:954 from_json_to_json
+    jj = Jetro.from_value(spark, {"s": '{"x":1}'})
+    assert jj.collect("$.s.from_json()") == {"x": 1}
+    assert '"x"' in jj.collect("$.s.from_json().to_json()")
+
+
+def test_from_json_scalar_and_array(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"s": "[1,2,3]", "n": "42"})
+    assert jj.collect("$.s.from_json()") == [1, 2, 3]
+    assert jj.collect("$.n.from_json()") == 42
+
+
+def test_from_json_invalid_try_else(spark):
+    from jetro_spark.jql.engine import Jetro
+    # regression.rs:1162: try catches the parse error
+    jj = Jetro.from_value(spark, {"s": "bad"})
+    assert jj.collect("try $.s.from_json() else null") is None
+
+
+def test_to_csv(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"rows": [
+        {"a": 1, "b": "x,y"}, {"a": 2, "b": "plain"}]})
+    assert jj.collect("$.rows.to_csv()") == '1,"x,y"\n2,plain'
+    assert jj.collect("$.rows.to_tsv()") == "1\tx,y\n2\tplain"
+
+
+def test_to_csv_nested_and_scalar_rows(spark):
+    from jetro_spark.jql.engine import Jetro
+    jj = Jetro.from_value(spark, {"m": [[1, 2], [3, 4]], "xs": [1, 2]})
+    assert jj.collect("$.m.to_csv()") == "1,2\n3,4"
+    assert jj.collect("$.xs.to_csv()") == "1\n2"
