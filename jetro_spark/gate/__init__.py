@@ -23,9 +23,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from jetro_spark.gate import analytics, jql, llm, relational, scalars
+    from jetro_spark.gate import analytics, hof, jql, llm, relational, scalars
 
-    return (relational, scalars, analytics, jql, llm)
+    return (relational, scalars, analytics, jql, llm, hof)
 
 
 def all_queries() -> dict[str, QueryFn]:
