@@ -23,9 +23,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from jetro_spark.gate import analytics, hof, jql, llm, relational, scalars
+    from jetro_spark.gate import (
+        analytics,
+        hof,
+        jql,
+        llm,
+        relational,
+        scalars,
+        streaming,
+    )
 
-    return (relational, scalars, analytics, jql, llm, hof)
+    return (relational, scalars, analytics, jql, llm, hof, streaming)
 
 
 def all_queries() -> dict[str, QueryFn]:

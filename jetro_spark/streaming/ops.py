@@ -1,0 +1,173 @@
+"""Event-time windowing + stateful operators (batch ≡ streaming).
+
+The driver's events parquet carries nanosecond timestamps, loaded as
+LongType nano-epochs (session.load_tables sets nanosAsLong); helpers
+here convert to TimestampType at microsecond precision (the data's
+actual precision) so F.window / F.session_window / withWatermark apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanosecond epoch (nanosAsLong)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def event_time(c: Column) -> Column:
+    """Nanosecond-epoch long → TimestampType (microsecond precision —
+    exact for this data; sub-microsecond residue would truncate).
+    Decimal division, NOT double: nano-epochs (~1.7e18) exceed a
+    double's 53-bit mantissa, so `/ 1000.0` rounds the last microsecond."""
+    return F.timestamp_micros(
+        (c.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events table as a STREAMING DataFrame (file source). With
+    Trigger.AvailableNow a query over this processes the existing data
+    in bounded batches and stops — the batch-parity harness.
+
+    Spark's file stream source requires a DIRECTORY; the driver ships
+    events as a single parquet file, so stage a symlink dir (in a real
+    deployment the source would be a landing directory / Kafka topic)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"jetro_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    r = spark.readStream.schema(EVENTS_SCHEMA).option("nanosAsLong", "true")
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(d)
+
+
+def _with_time(df: DataFrame, time_col: str) -> DataFrame:
+    dt = dict(df.dtypes).get(time_col)
+    if dt == "bigint":
+        return df.withColumn("__et", event_time(F.col(time_col)))
+    return df.withColumn("__et", F.col(time_col))
+
+
+def tumbling_windowed(
+    df: DataFrame, width: str, *, time_col: str = "ts",
+    keys: list[str] | None = None, watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time windows: count + decimal-exact value sum per
+    (window, keys). One shuffle, map-side partial aggregation. Late-data
+    policy via `watermark` (streaming only; ignored no-op on batch)."""
+    df = _with_time(df, time_col)
+    if watermark is not None:
+        df = df.withWatermark("__et", watermark)
+    gb = [F.window("__et", width).alias("win")] + [F.col(k) for k in keys or []]
+    return (df.groupBy(*gb)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("total"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                    *(keys or []), "n", "total"))
+
+
+def sliding_windowed(
+    df: DataFrame, width: str, slide: str, *, time_col: str = "ts",
+    keys: list[str] | None = None, watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in width/slide
+    windows. Same single-shuffle shape as tumbling."""
+    df = _with_time(df, time_col)
+    if watermark is not None:
+        df = df.withWatermark("__et", watermark)
+    gb = [F.window("__et", width, slide).alias("win")] \
+        + [F.col(k) for k in keys or []]
+    return (df.groupBy(*gb)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                    *(keys or []), "n"))
+
+
+def session_windowed(
+    df: DataFrame, gap: str, *, time_col: str = "ts",
+    keys: list[str] | None = None, watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events within `gap` of each other merge into one
+    session per key (dynamic-length windows). Shuffles on keys; session
+    state is merged by Spark's session-window aggregation. Session start
+    is emitted at microsecond precision (epoch micros)."""
+    df = _with_time(df, time_col)
+    if watermark is not None:
+        df = df.withWatermark("__et", watermark)
+    gb = [F.session_window("__et", gap).alias("win")] \
+        + [F.col(k) for k in keys or []]
+    return (df.groupBy(*gb)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select((F.unix_micros(F.col("win.start"))).alias("sess_start"),
+                    *(keys or []), "n"))
+
+
+# ------------------------------------------------ custom stateful operator
+
+
+def running_agg_state(df: DataFrame, *, key: str = "user_id",
+                      value: str = "value") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running count/sum/max emitted once per micro-batch (update mode).
+    The brief's `applyInPandasWithState` surface — Arrow-batched, state
+    bounded by key cardinality. Batch DataFrames don't support state;
+    use the streaming form (tests) or the batch fallback below."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(key, T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total, vmax = (state.get if state.exists else (0, 0.0, None))
+        for pdf in pdfs:
+            vals = pdf[value].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            m = float(vals.max()) if len(vals) else None
+            vmax = m if vmax is None else (m if m is not None and m > vmax else vmax)
+        state.update((n, total, vmax))
+        yield pd.DataFrame({key: [key_tuple[0]], "n": [n],
+                            "total": [total], "vmax": [vmax]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def running_agg_batch(df: DataFrame, *, key: str = "user_id",
+                      value: str = "value") -> DataFrame:
+    """Batch-equivalent of running_agg_state's final answer (for parity
+    checks): plain groupBy aggregation."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value).alias("total"),
+        F.max(value).alias("vmax"))

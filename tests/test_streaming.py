@@ -1,0 +1,84 @@
+"""Streaming execution path: the same pipelines the gate checks in batch
+run here through readStream → Trigger.AvailableNow → memory sink, and
+must agree with the batch answer (Structured Streaming batch-parity).
+Also covers watermark config and the applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from jetro_spark.session import load_tables
+from jetro_spark.streaming import (
+    read_event_stream,
+    running_agg_batch,
+    running_agg_state,
+    session_windowed,
+    tumbling_windowed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(sdf, name: str, mode: str = "complete"):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_tables(spark, SF, register=False)["events"]
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_stream_tumbling_parity(spark, events_batch):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, SF)
+    out = tumbling_windowed(stream, "1 hour", keys=["event_type"],
+                            watermark="2 hours")
+    _run_to_memory(out, name)
+    batch = {tuple(r) for r in
+             tumbling_windowed(events_batch, "1 hour",
+                               keys=["event_type"]).collect()}
+    assert _rows(spark, name) == batch
+    assert len(batch) > 0
+
+
+def test_stream_session_parity(spark, events_batch):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, SF)
+    out = session_windowed(stream, "15 minutes", keys=["user_id"],
+                           watermark="1 hour")
+    _run_to_memory(out, name)
+    batch = {tuple(r) for r in
+             session_windowed(events_batch, "15 minutes",
+                              keys=["user_id"]).collect()}
+    assert _rows(spark, name) == batch
+
+
+def test_stream_stateful_running_agg(spark, events_batch):
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, SF)
+    out = running_agg_state(stream)
+    _run_to_memory(out, name, mode="update")
+    # the LAST update per key equals the batch aggregate; with a single
+    # availableNow batch over one file there is exactly one update per key
+    got = {r["user_id"]: (r["n"], round(r["total"], 6), r["vmax"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {r["user_id"]: (r["n"], round(r["total"], 6), r["vmax"])
+            for r in running_agg_batch(events_batch).collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_watermark_is_set(spark):
+    stream = read_event_stream(spark, SF)
+    out = tumbling_windowed(stream, "1 hour", watermark="30 minutes")
+    # watermark node present in the analyzed streaming plan
+    assert "watermark" in out._jdf.queryExecution().analyzed().toString().lower()
