@@ -79,16 +79,16 @@ def main() -> None:
     from jetro_spark.benchdoc import BENCH_QUERIES, synth_doc
     from jetro_spark.jql.engine import Jetro
 
-    jt = Jetro.from_value(spark, synth_doc(20_000, 6))
-    jt.df.persist()
-    jt.df.count()  # materialize the document once, like their warm cache
+    # checkpoint=True materializes the parsed doc once (their warm cache)
+    # AND keeps per-query tasks small — without it every task ships the
+    # ~6.6 MB document inside its ParallelCollectionPartition.
+    jt = Jetro.from_value(spark, synth_doc(20_000, 6), checkpoint=True)
     for name, expr in BENCH_QUERIES.items():
         t0 = time.perf_counter()
         jt.frame(expr).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
-    jt.df.unpersist()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -23,13 +23,18 @@ def jt_truthy(col: Column, dtype: T.DataType | None = None) -> Column:
     """Jetro truthiness: null→false; bool→itself; number→!=0;
     string→non-empty; array/object→non-empty.
 
-    When the static type is known (always, in relational mode) the check
-    compiles to a single codegen-able comparison.
+    The static type is required: a Spark Column always HAS one (every
+    plan column is statically typed), and guessing here is a correctness
+    trap — ``cast("boolean")`` maps a non-empty string like ``"abc"`` to
+    null→false where jetro says non-empty→true (util.rs:63-74). Callers
+    that lost the type must recover it from the DataFrame schema.
     Reference: jetro-core/src/util.rs:63-74.
     """
     if dtype is None:
-        # Unknown type: rely on boolean context with null→false.
-        return F.coalesce(col.cast("boolean"), F.lit(False))
+        raise TypeError(
+            "jt_truthy requires the column's static dtype; casting an "
+            "unknown type to boolean would coerce non-empty strings to "
+            "false (resolve the type via df.schema / the compiler's TC)")
     if isinstance(dtype, T.BooleanType):
         return F.coalesce(col, F.lit(False))
     if isinstance(dtype, T.NullType):

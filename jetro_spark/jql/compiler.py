@@ -177,7 +177,12 @@ def field_access(tc: TC, name: str) -> TC:
     if isinstance(tc.dtype, T.MapType):
         return TC(tc.col.getItem(name), tc.dtype.valueType)
     if tc.dtype is None:
-        return TC(tc.col.getField(name), None)
+        # No fresh TC is ever built with dtype=None (roots come from
+        # parquet schemas); propagating None here would poison every
+        # downstream truthiness/arith decision — fail loudly instead.
+        raise CompileError(
+            f"field access .{name} on a value whose type was lost; "
+            f"this is a compiler bug — types must flow from the schema")
     if isinstance(tc.dtype, T.NullType):
         return TC(F.lit(None), T.NullType())
     raise CompileError(f"field access .{name} on {_family(tc.dtype)} "

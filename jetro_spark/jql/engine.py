@@ -122,24 +122,34 @@ class Jetro:
     """Document-mode handle: ``Jetro.from_bytes(spark, data).collect(expr)``.
     Reference API: jc/lib.rs:354-380 (from_bytes), :477 (collect)."""
 
-    def __init__(self, spark: SparkSession, value):
+    def __init__(self, spark: SparkSession, value, *, checkpoint: bool = False):
         wrapped = value if isinstance(value, dict) else {"__root__": value}
         self.schema: T.StructType = infer_schema(wrapped)
         self._wrapped_scalar = not isinstance(value, dict)
         row = _to_row(wrapped, self.schema)
-        self.df = spark.createDataFrame(
+        df = spark.createDataFrame(
             [(row,)], T.StructType([T.StructField("__doc", self.schema, False)]))
+        if checkpoint:
+            # A ParallelCollectionRDD embeds the document in its Partition
+            # objects, so EVERY downstream task ships the whole doc (MBs)
+            # even on a cache hit. localCheckpoint truncates the lineage:
+            # tasks then reference storage blocks by id. Worth the one-off
+            # materialization for large documents queried repeatedly.
+            df = df.coalesce(1).localCheckpoint(eager=True)
+        self.df = df
         self.spark = spark
 
     @classmethod
-    def from_bytes(cls, spark: SparkSession, data: bytes | str) -> "Jetro":
+    def from_bytes(cls, spark: SparkSession, data: bytes | str,
+                   *, checkpoint: bool = False) -> "Jetro":
         if isinstance(data, bytes):
             data = data.decode("utf-8")
-        return cls(spark, json.loads(data))
+        return cls(spark, json.loads(data), checkpoint=checkpoint)
 
     @classmethod
-    def from_value(cls, spark: SparkSession, value) -> "Jetro":
-        return cls(spark, value)
+    def from_value(cls, spark: SparkSession, value,
+                   *, checkpoint: bool = False) -> "Jetro":
+        return cls(spark, value, checkpoint=checkpoint)
 
     def root(self) -> TC:
         base = TC(F.col("__doc"), self.schema, doc=True)

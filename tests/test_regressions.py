@@ -116,3 +116,17 @@ def test_unique_by_default_order_deterministic(spark, tables):
     a = sorted(r["o_orderkey"] for r in unique_by(o, "o_custkey").collect())
     b = sorted(r["o_orderkey"] for r in unique_by(o, "o_custkey").collect())
     assert a == b
+
+
+def test_truthy_requires_static_type(spark):
+    # cast("boolean") would map "abc" -> null -> false where jetro says
+    # non-empty string -> true (util.rs:63-74); guessing is forbidden.
+    import pytest as _pytest
+    from pyspark.sql import types as T
+    from jetro_spark.functions.core import jt_truthy
+
+    with _pytest.raises(TypeError):
+        jt_truthy(F.lit("abc"))
+    assert one(spark, jt_truthy(F.lit("abc"), T.StringType())) is True
+    assert one(spark, jt_truthy(F.lit("false"), T.StringType())) is True
+    assert one(spark, jt_truthy(F.lit(""), T.StringType())) is False
