@@ -14,10 +14,11 @@ double folds on both sides → identical IEEE results).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jetro_spark.llm import dedup as D
+from jetro_spark.llm import multimodal as MM
 from jetro_spark.llm import similarity as SIM
 from jetro_spark.llm import text as TX
 from jetro_spark.session import load_tables
@@ -74,12 +75,115 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on (doc_id, doc_id+1) pairs — the
+    verify primitive of n-gram dedup, gated directly. The pair join is
+    an equi-join (shuffle- or broadcast-able); at scale pairs come from
+    LSH candidates, not consecutive ids."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", D.word_shingles(F.col("text"), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    D.ngram_jaccard(F.col("a.sh"), F.col("b.sh"))
+                    .alias("jaccard")))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality score, expression-only (usable
+    as a pushed-down scan filter at 100 TB)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select("doc_id",
+                    TX.quality_score(t).alias("q"),
+                    TX.stopword_ratio(t).alias("sw"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit xxhash64 content fingerprint → per-doc duplicate flag.
+    Oracle equivalence: docs share a fingerprint iff they share
+    normalized text (64-bit collisions at this scale: ~1e-15)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("fp")
+    return (d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+            .select("doc_id", (F.count(F.lit(1)).over(w) > 1).alias("is_dup")))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs. All-pairs is INHERENT to
+    the exact variant (broadcast keeps the corpus unshuffled); the scale
+    path is ann_lsh's bucketed candidates + this verify step."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", SIM.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.45)
+            .select("a_id", "b_id"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k — the no-all-pairs scale path.
+    Deterministic seeded planes make even the approximate answer
+    oracle-checkable: the SQL oracle embeds the same plane constants and
+    reproduces bucket assignment + rerank bit-for-bit."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    out = SIM.hyperplane_lsh_topk(e, q, k=5, tables=4, bits=6, dim=64)
+    return out.select("qid", "nid", "rank")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (banded, no all-pairs) + exact
+    Hamming verify. No SQL oracle: signatures are built from Spark's
+    Murmur3 `hash`, which DuckDB cannot reproduce; pair-detection
+    semantics are covered by tests/test_llm.py::test_simhash_pairs."""
+    return D.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _mm_binary(spark: SparkSession, sf_dir: str, mime: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("bin", F.col("text").cast("binary"))
+    return MM.binary_table(d, "bin", mime, "doc_id")
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing under the driver: Arrow-batched
+    mapInPandas fills meta.width/height via the deterministic fake
+    decoder (sha256 arithmetic — reproduced exactly by the oracle)."""
+    dec = MM.decode_images(_mm_binary(spark, sf_dir, "image/png"), fake=True)
+    return dec.select("media_id",
+                      F.col("meta.mime").alias("mime"),
+                      F.col("meta.width").alias("width"),
+                      F.col("meta.height").alias("height"))
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: meta-driven explode, no decode —
+    pure expressions, so content bytes are never read (column pruning
+    drops `content` from the scan)."""
+    bt = _mm_binary(spark, sf_dir, "video/mp4")
+    bt = bt.withColumn(
+        "meta", F.col("meta").withField(
+            "n_frames", (F.col("media_id") % 40 + 1).cast("int")))
+    return MM.sample_frames(bt, every_n=7).select("media_id", "frame_idx")
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_lsh": q_dedup_lsh,
     "ann_topk": q_ann_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "doc_quality": q_doc_quality,
+    "fingerprint": q_fingerprint,
+    "embed_neardup": q_embed_neardup,
+    "ann_lsh": q_ann_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "mm_decode": q_mm_decode,
+    "mm_frames": q_mm_frames,
 }
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -167,3 +271,137 @@ ORACLES = {
         FROM ranked WHERE rank <= 5
     """,
 }
+
+_COS = """
+    list_sum([{a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE
+              for i in generate_series(1, len({a}.embedding))])
+    / (sqrt(list_sum([{a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE
+                      for i in generate_series(1, len({a}.embedding))]))
+       * sqrt(list_sum([{b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE
+                        for i in generate_series(1, len({b}.embedding))])))
+"""
+
+_HEXPAIR = ("(strpos('0123456789abcdef', substr(hx, {p1}, 1)) - 1) * 16"
+            " + strpos('0123456789abcdef', substr(hx, {p2}, 1)) - 1")
+
+
+def _ann_lsh_sql(tables: int = 4, bits: int = 6, dim: int = 64) -> str:
+    """Reproduce hyperplane_lsh_topk in DuckDB: the seeded plane
+    constants are embedded as DOUBLE-list literals (repr() round-trips
+    each double exactly), signs/keys/rerank mirror the Spark plan."""
+    from jetro_spark.llm.similarity import _planes
+
+    rows = []
+    for idx, p in enumerate(_planes(tables * bits, dim)):
+        lits = ", ".join(repr(v) for v in p)
+        rows.append(f"({idx // bits}, {idx % bits}, [{lits}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+        WITH planes(tbl, bit, p) AS (VALUES {values}),
+        sigs AS (
+          SELECT e.vec_id, pl.tbl,
+                 SUM((CASE WHEN list_sum([e.embedding[i]::DOUBLE * pl.p[i]
+                                          for i in generate_series(1, {dim})]) >= 0
+                           THEN 1 ELSE 0 END)
+                     * (1 << ({bits - 1} - pl.bit))) AS key
+          FROM embeddings e, planes pl
+          GROUP BY e.vec_id, pl.tbl),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.key = c.key
+          WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+        scored AS (
+          SELECT cand.qid, cand.nid, {_COS.format(a='qe', b='ce')} AS score
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.qid
+          JOIN embeddings ce ON ce.vec_id = cand.nid),
+        ranked AS (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, nid ASC) AS rank
+          FROM scored)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+ORACLES["ngram_jaccard"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END AS jaccard
+    FROM s a JOIN s b ON a.doc_id + 1 = b.doc_id
+"""
+
+_SW = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+
+ORACLES["doc_quality"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS ntoks,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> len(x) > 0) AS rtoks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN len(text) >= 100 AND len(text) <= 20000 THEN 1.0
+                  WHEN len(text) >= 30 THEN 0.5 ELSE 0.0 END AS len_ok,
+             CASE WHEN len(lower(text)) > 0
+                  THEN 1.0 - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                             / len(lower(text))
+                  ELSE 0.0 END AS alpha,
+             CASE WHEN len(ntoks) > 0
+                  THEN len(list_filter(ntoks, x -> x IN ({_SW})))::DOUBLE / len(ntoks)
+                  ELSE 0.0 END AS sw,
+             CASE WHEN len(rtoks) > 0
+                  THEN list_sum(list_transform(rtoks, x -> len(x)))::DOUBLE / len(rtoks)
+                  ELSE 0.0 END AS mwl
+      FROM t
+    )
+    SELECT doc_id,
+           0.3 * len_ok + 0.3 * alpha + 0.2 * least(sw * 5.0, 1.0)
+           + 0.2 * (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) AS q,
+           sw
+    FROM c
+"""
+
+ORACLES["fingerprint"] = f"""
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY {_NORM}) > 1 AS is_dup
+    FROM documents
+"""
+
+ORACLES["embed_neardup"] = f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a='a', b='b')} >= 0.45
+"""
+
+ORACLES["ann_lsh"] = _ann_lsh_sql()
+
+ORACLES["mm_decode"] = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+    )
+    SELECT media_id, 'image/png' AS mime,
+           CAST(16 + ({_HEXPAIR.format(p1=1, p2=2)}) % 240 AS INTEGER) AS width,
+           CAST(16 + ({_HEXPAIR.format(p1=3, p2=4)}) % 240 AS INTEGER) AS height
+    FROM h
+"""
+
+ORACLES["mm_frames"] = """
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, CAST(doc_id % 40 AS BIGINT), 7))
+                AS INTEGER) AS frame_idx
+    FROM documents
+"""
+# simhash_pairs intentionally absent from ORACLES (rows-only check).
