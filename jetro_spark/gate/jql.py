@@ -44,6 +44,14 @@ QUERIES = {
     # comprehension → filter+project without materialization
     "jql_comprehension": _q(
         "[o.o_orderkey for o in $.orders if o.o_totalprice > 150000]"),
+    # multi-generator comprehension → REAL join (INDEPTH.md:260-279):
+    # the `if` equality becomes an extractable equi-join key (verified
+    # BroadcastHashJoin + parquet PushedFilters in the plan, no
+    # BroadcastNestedLoopJoin) — §2.5 comprehension cross-join
+    "jql_comp_join": _q(
+        "[{ok: o.o_orderkey, cname: c.c_name, tot: o.o_totalprice}"
+        " for o in $.orders for c in $.customer"
+        " if o.o_custkey == c.c_custkey and o.o_totalprice > 400000]"),
     # equi_join (inner, right-wins) + shaping
     "jql_equi_join": _q(
         '$.orders.equi_join($.customer, "o_custkey", "c_custkey")'
@@ -156,6 +164,11 @@ ORACLES = {
     """,
     "jql_comprehension": """
         SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    """,
+    "jql_comp_join": """
+        SELECT o.o_orderkey AS ok, c.c_name AS cname, o.o_totalprice AS tot
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 400000
     """,
     "jql_equi_join": """
         SELECT o_orderkey AS okey, c_name AS cname, c_mktsegment AS seg

@@ -224,9 +224,13 @@ class Comp(Node):  # list/dict/set/gen comprehensions, ast.rs:69-114
     kind: str  # list | dict | set | gen
     key: Node | None  # dict only
     value: Node
-    vars: list[str]
-    source: Node
-    cond: Node | None
+    vars: list[str]  # first generator's vars (compat accessor)
+    source: Node  # first generator's source (compat accessor)
+    cond: Node | None  # trailing `if`, evaluated with ALL vars bound
+    # every generator, in order: [(vars, source), ...]. Multiple entries =
+    # cartesian product (cross-join via nested comprehensions,
+    # reference INDEPTH.md:260-279). None ⇒ single generator (legacy).
+    gens: list[tuple[list[str], Node]] | None = None
 
 
 @dataclass

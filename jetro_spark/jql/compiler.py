@@ -269,6 +269,45 @@ class Compiler:
         tc = self.compile(n.expr, env)
         return TC(~jt_truthy(tc.col, tc.dtype), T.BooleanType())
 
+    def compile_cond(self, node: A.Node, env: Env) -> Column:
+        """Compile a predicate for a DataFrame Filter/Join condition.
+
+        Spark's Filter and Join already treat a null condition as false,
+        so boolean leaves stay BARE and and/or stay a plain &/| tree:
+        the value-context jt_truthy wrapping (coalesce(=, false)) is
+        semantically redundant here and actively harmful — it blocks
+        Catalyst's ExtractEquiJoinKeys, downgrading hash joins to
+        BroadcastNestedLoopJoin. `not` keeps the coercion (jetro
+        !null = true, but SQL NOT null = null → row dropped).
+
+        Null-drop equivalence by case: `null and X` → null/false → drop
+        either way; `null or true` → true both (3VL); `null or false` →
+        null → drop, jetro false → drop."""
+        if isinstance(node, A.Binary) and node.op in ("and", "or"):
+            l = self.compile_cond(node.left, env)
+            r = self.compile_cond(node.right, env)
+            return l & r if node.op == "and" else l | r
+        if isinstance(node, A.Binary) and node.op in ("<", "<=", ">", ">=", "=="):
+            # bare comparison: a null outcome drops the row, exactly the
+            # value-context coalesce(cmp, false) → filter behaviour, but
+            # pushdown-able and join-key-extractable. `!=` CANNOT be bare
+            # (jetro null != x → true; SQL null != x → null → drop).
+            lt = self.compile(node.left, env)
+            rt = self.compile(node.right, env)
+            if node.op == "==":
+                lf, rf = _family(lt.dtype), _family(rt.dtype)
+                if lf == "null" or rf == "null" \
+                        or ("unknown" not in (lf, rf) and lf != rf):
+                    return self._eq(lt, rt, False).col  # already null-free
+                return lt.col == rt.col
+            cmp = {"<": lt.col < rt.col, "<=": lt.col <= rt.col,
+                   ">": lt.col > rt.col, ">=": lt.col >= rt.col}[node.op]
+            return cmp
+        tc = self.compile(node, env)
+        if isinstance(tc.dtype, T.BooleanType):
+            return tc.col
+        return jt_truthy(tc.col, tc.dtype)
+
     # ----------------------------------------------------------- binary
 
     def c_Binary(self, n: A.Binary, env: Env) -> TC:
@@ -729,6 +768,8 @@ class Compiler:
     # ---------------------------------------------------- comprehensions
 
     def c_Comp(self, n: A.Comp, env: Env) -> TC:
+        if n.gens and len(n.gens) > 1:
+            return self._comp_multi(n, env)
         src = self.compile(n.source, env)
         if is_objrepr(src.dtype) or isinstance(src.dtype, T.StructType):
             src = self._entries(src)  # `for k, v in obj`
@@ -771,6 +812,71 @@ class Compiler:
                           T.StructField("key", T.StringType(), True),
                           T.StructField("value", out_dt or T.NullType(), True)])))
         raise CompileError(f"unsupported comprehension kind {n.kind}")
+
+    def _comp_multi(self, n: A.Comp, env: Env) -> TC:
+        """Multi-generator comprehension = cartesian product of the
+        generators (cross-join via nested comprehensions, reference
+        INDEPTH.md:260-279). Lowered as nested F.transform with one
+        F.flatten per non-leaf level; the trailing `if` and the value
+        are evaluated at the innermost level with every var bound —
+        later sources may reference earlier vars (`for li in o.items`)."""
+        gens = n.gens
+
+        def bind(vars_: list[str], x: Column, elem: T.DataType, e: Env) -> Env:
+            e = e.with_current(TC(x, elem))
+            if len(vars_) == 1:
+                return e.bind(vars_[0], TC(x, elem))
+            e = e.bind(vars_[0], TC(x["key"], T.StringType()))
+            return e.bind(vars_[1], field_access(TC(x, elem), "value"))
+
+        def build(level: int, e: Env) -> TC:
+            vars_, src_node = gens[level]
+            src = self.compile(src_node, e)
+            if is_objrepr(src.dtype) or isinstance(src.dtype, T.StructType):
+                src = self._entries(src)
+            if not isinstance(src.dtype, T.ArrayType):
+                raise CompileError("comprehension source must be an array/object")
+            elem = src.dtype.elementType
+            if level == len(gens) - 1:
+                arr = src.col
+                if n.cond is not None:
+                    def pred(x: Column) -> Column:
+                        tc = self.compile(n.cond, bind(vars_, x, elem, e))
+                        return jt_truthy(tc.col, tc.dtype)
+                    arr = F.filter(arr, pred)
+                if n.kind == "dict":
+                    out_dt = self.compile(
+                        n.value, bind(vars_, _probe(elem), elem, e)).dtype
+                    def kv_fn(x: Column) -> Column:
+                        be = bind(vars_, x, elem, e)
+                        k = self.compile(n.key, be).col.cast("string")
+                        return F.struct(
+                            k.alias("key"),
+                            self.compile(n.value, be).col.alias("value"))
+                    return TC(F.transform(arr, kv_fn), T.ArrayType(T.StructType([
+                        T.StructField("key", T.StringType(), True),
+                        T.StructField("value", out_dt or T.NullType(), True)])))
+                out_dt = self.compile(
+                    n.value, bind(vars_, _probe(elem), elem, e)).dtype
+                return TC(
+                    F.transform(arr, lambda x: self.compile(
+                        n.value, bind(vars_, x, elem, e)).col),
+                    T.ArrayType(out_dt or T.NullType()))
+            inner_dt = build(
+                level + 1, bind(vars_, _probe(elem), elem, e)).dtype
+            def inner_fn(x: Column) -> Column:
+                # null inner arrays (e.g. missing o.items) contribute no
+                # rows; without the coalesce one null would null the
+                # whole flatten
+                return F.coalesce(
+                    build(level + 1, bind(vars_, x, elem, e)).col,
+                    F.array().cast(inner_dt))
+            return TC(F.flatten(F.transform(src.col, inner_fn)), inner_dt)
+
+        out = build(0, env)
+        if n.kind == "set":
+            return TC(F.array_distinct(out.col), out.dtype)
+        return out
 
     def _entries(self, tc: TC) -> TC:
         """Object → ordered entries array<struct<key,value>>."""

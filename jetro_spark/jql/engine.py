@@ -243,21 +243,66 @@ class JetroTables:
 
     # --------------------------------------------------- comprehensions
 
-    def _comp(self, n: A.Comp) -> DataFrame | None:
-        """[v for x in $.t if p] → t.filter(p).select(v) — one scan, no
-        collect (comprehension AST ast.rs:69-114)."""
-        src = n.source
-        if not (isinstance(src, A.Path) and isinstance(src.base, A.Root)
+    def _table_of(self, src: A.Node) -> str | None:
+        if (isinstance(src, A.Path) and isinstance(src.base, A.Root)
                 and src.steps and isinstance(src.steps[0], A.Field)
                 and src.steps[0].name in self.tables and len(src.steps) == 1):
+            return src.steps[0].name
+        return None
+
+    def _comp(self, n: A.Comp) -> DataFrame | None:
+        """[v for x in $.t if p] → t.filter(p).select(v) — one scan, no
+        collect (comprehension AST ast.rs:69-114).
+
+        Multi-generator (INDEPTH.md:260-279) lowers to real joins: each
+        var becomes a struct column; a table source appends a crossJoin
+        (Catalyst rewrites the `if` equality predicate into an inner
+        equi-join — broadcast or shuffled hash, its choice); a source
+        rooted at an earlier var (`for li in o.items`) becomes an
+        explode. No driver-side product is ever built."""
+        gens = n.gens or [(n.vars, n.source)]
+        if len(gens) > 1:
+            return self._comp_multi(n, gens)
+        src = n.source
+        if self._table_of(src) is None:
             return None
         df = self.tables[src.steps[0].name]
         var = n.vars[0]
         env = self._row_env(df).bind(var, self._row_tc(df))
         if n.cond is not None:
-            p = self.c.compile(n.cond, env)
-            df = df.filter(jt_truthy(p.col, p.dtype))
+            df = df.filter(self.c.compile_cond(n.cond, env))
             env = self._row_env(df).bind(var, self._row_tc(df))
+        out = self._select_body(df, n.value, env)
+        if n.kind == "set":
+            out = out.distinct()
+        return out
+
+    def _comp_multi(self, n: A.Comp,
+                    gens: list[tuple[list[str], A.Node]]) -> DataFrame | None:
+        t0 = self._table_of(gens[0][1])
+        if t0 is None or any(len(vs) != 1 for vs, _ in gens):
+            return None
+        first = self.tables[t0]
+        df = first.select(F.struct(*first.columns).alias(gens[0][0][0]))
+        for vars_, src in gens[1:]:
+            v = vars_[0]
+            tname = self._table_of(src)
+            if tname is not None:
+                t = self.tables[tname]
+                df = df.crossJoin(t.select(F.struct(*t.columns).alias(v)))
+                continue
+            # source rooted at an earlier var → array column → explode
+            # (empty/null arrays contribute no rows: cartesian semantics)
+            tc = self.c.compile(src, self._row_env(df))
+            if not isinstance(tc.dtype, T.ArrayType):
+                raise CompileError(
+                    "comprehension source must be a table or an array "
+                    "reachable from an earlier generator variable")
+            df = df.withColumn(v, F.explode(tc.col))
+        env = self._row_env(df)
+        if n.cond is not None:
+            df = df.filter(self.c.compile_cond(n.cond, env))
+            env = self._row_env(df)
         out = self._select_body(df, n.value, env)
         if n.kind == "set":
             out = out.distinct()
@@ -299,12 +344,10 @@ class JetroTables:
     def _stage(self, df: DataFrame, step: A.Node) -> DataFrame | None:
         env = self._row_env(df)
         if isinstance(step, A.InlineFilter):
-            p = self.c.compile(step.pred, env)
-            return df.filter(jt_truthy(p.col, p.dtype))
+            return df.filter(self.c.compile_cond(step.pred, env))
         if isinstance(step, A.MapShape):
             if step.pred is not None:
-                p = self.c.compile(step.pred, env)
-                df = df.filter(jt_truthy(p.col, p.dtype))
+                df = df.filter(self.c.compile_cond(step.pred, env))
                 env = self._row_env(df)
             return self._select_body(df, step.shape, env)
         if isinstance(step, A.Index):
@@ -330,8 +373,9 @@ class JetroTables:
         c = self.c
 
         def pred(node):
-            p = c.compile(node, env)
-            return jt_truthy(p.col, p.dtype)
+            # condition context: bare comparisons push down to parquet
+            # and keep join keys extractable (see Compiler.compile_cond)
+            return c.compile_cond(node, env)
 
         def key_col(node):
             n2, desc = node, False

@@ -535,18 +535,23 @@ class Parser:
         return comp
 
     def comp_tail(self, kind: str, key: A.Node | None, value: A.Node) -> A.Comp:
-        self.expect("kw", "for")
-        vars_ = [self.expect("ident").value]
-        if self.eat_punct(","):
-            vars_.append(self.expect("ident").value)
-        self.expect("kw", "in")
-        # pipe_expr, not expr: the comprehension's `if` guard must not be
-        # swallowed as a ternary on the source (parenthesize for ternaries)
-        source = self.pipe_expr()
+        gens: list[tuple[list[str], A.Node]] = []
+        while True:
+            self.expect("kw", "for")
+            vars_ = [self.expect("ident").value]
+            if self.eat_punct(","):
+                vars_.append(self.expect("ident").value)
+            self.expect("kw", "in")
+            # pipe_expr, not expr: the comprehension's `if` guard must not
+            # be swallowed as a ternary on the source (parenthesize for
+            # ternaries)
+            gens.append((vars_, self.pipe_expr()))
+            if not self.at_kw("for"):
+                break
         cond = None
         if self.eat_kw("if"):
             cond = self.expr()
-        return A.Comp(kind, key, value, vars_, source, cond)
+        return A.Comp(kind, key, value, gens[0][0], gens[0][1], cond, gens)
 
     def obj_construct(self) -> A.ObjLit:
         self.expect("punct", "{")

@@ -253,3 +253,61 @@ def test_rel_doc_fallback_warns(rel, tables):
     assert any("single-task" in str(w.message) for w in rec)
     want = [r["n_name"] for r in tables["nation"].collect()]
     assert [r["n_name"] for r in rows] == list(reversed(want))
+
+
+# ------------------------------- multi-generator comprehensions (§2.5)
+
+
+def test_comp_multi_gen_doc(spark):
+    j = Jetro.from_value(spark, {"orders": [
+        {"id": 1, "status": "paid",
+         "items": [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 1}]},
+        {"id": 2, "status": "open", "items": [{"sku": "c", "qty": 5}]},
+        {"id": 3, "status": "paid", "items": []},
+    ], "tags": ["x", "y"]})
+    got = j.collect('[{oid: o.id, sku: it.sku} for o in $.orders '
+                    'for it in o.items if o.status == "paid"]')
+    assert got == [{"oid": 1, "sku": "a"}, {"oid": 1, "sku": "b"}]
+    # independent generators = cartesian product
+    got = j.collect("[o.id for o in $.orders for t in $.tags]")
+    assert got == [1, 1, 2, 2, 3, 3]
+    # set comp dedups across the product
+    got = j.collect("{t for o in $.orders for t in o.items.map(sku)}")
+    assert sorted(got) == ["a", "b", "c"]
+
+
+def test_comp_multi_gen_relational_join_plan(rel, tables):
+    df = rel.query(
+        "[{ok: o.o_orderkey, cname: c.c_name}"
+        " for o in $.orders for c in $.customer"
+        " if o.o_custkey == c.c_custkey and o.o_totalprice > 400000]")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the `if` equality must become a hash-join key, not an NLJ filter
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    want = (tables["orders"].filter("o_totalprice > 400000")
+            .join(tables["customer"],
+                  tables["orders"].o_custkey == tables["customer"].c_custkey)
+            .count())
+    assert df.count() == want
+
+
+def test_comp_multi_gen_relational_explode(rel, tables):
+    # second generator rooted at an earlier var → explode, not a join
+    df = rel.query(
+        "[{id: d.doc_id, w: word}"
+        " for d in $.documents for word in d.text.words()]")
+    total = df.count()
+    import pyspark.sql.functions as F
+    want = (tables["documents"]
+            .select(F.explode(F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda w: F.length(w) > 0)))
+            .count())
+    assert total == want
+
+
+def test_filter_pushdown_reaches_parquet(rel):
+    df = rel.query("$.orders.filter(o_totalprice > 300000).map(o_orderkey)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_totalprice,300000" in plan  # PushedFilters
