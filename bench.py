@@ -83,12 +83,18 @@ def main() -> None:
     # AND keeps per-query tasks small — without it every task ships the
     # ~6.6 MB document inside its ParallelCollectionPartition.
     jt = Jetro.from_value(spark, synth_doc(20_000, 6), checkpoint=True)
+    # 1 warmup + best-of-3, mirroring the baseline's cache-hot protocol
+    # (bench_lock.rs:11-18: 3 warmups + 20 iterations, best/median) —
+    # the warmup pays plan compile + codegen, like their plan cache.
     for name, expr in BENCH_QUERIES.items():
-        t0 = time.perf_counter()
         jt.frame(expr).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jt.frame(expr).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
