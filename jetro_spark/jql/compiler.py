@@ -172,7 +172,11 @@ def field_access(tc: TC, name: str) -> TC:
         return TC(F.lit(None), T.NullType())
     if is_objrepr(tc.dtype):
         val_dt = tc.dtype.elementType["value"].dataType
-        hit = F.try_element_at(F.filter(tc.col, lambda s: s["key"] == F.lit(name)), F.lit(1))
+        # LAST match wins: jetro objects are IndexMaps where a later
+        # insert replaces the value (value.rs:47) — entries built by
+        # from_pairs / dynamic object literals may carry duplicates
+        hit = F.try_element_at(
+            F.filter(tc.col, lambda s: s["key"] == F.lit(name)), F.lit(-1))
         return TC(hit["value"], val_dt)
     if isinstance(tc.dtype, T.MapType):
         return TC(tc.col.getItem(name), tc.dtype.valueType)
@@ -579,16 +583,22 @@ class Compiler:
             pred = self._pred(step.pred, env, elem)
             return TC(F.filter(tc.col, pred), tc.dtype)
         if isinstance(step, A.Quantifier):
+            # vm/exec.rs:776-790: `?` on Arr → first-or-null; `!` on Arr
+            # → unwrap iff exactly one, error otherwise; non-arrays (and
+            # objects — Val::Obj, not Arr) pass through. Null-safety of
+            # `?` is otherwise free: nulls propagate.
+            if is_objrepr(tc.dtype) or not isinstance(tc.dtype, T.ArrayType):
+                return tc
+            elem_dt = tc.dtype.elementType
             if step.mark == "?":
-                return tc  # null-safety is free: nulls propagate
-            # `!` assert non-empty / exactly-one (SYNTAX.md §3)
-            if isinstance(tc.dtype, T.ArrayType):
-                err = F.lit("jql: `!` expects non-empty result")
-                return TC(
-                    F.when(F.size(tc.col) > 0, tc.col)
-                    .otherwise(F.raise_error(err).cast(tc.dtype.simpleString())),
-                    tc.dtype)
-            return tc
+                return TC(F.try_element_at(tc.col, F.lit(1)), elem_dt)
+            msg = F.concat(
+                F.lit("quantifier !: expected exactly one element, got "),
+                F.size(tc.col).cast("string"))
+            return TC(
+                F.when(F.size(tc.col) == 1, F.element_at(tc.col, F.lit(1)))
+                .otherwise(F.raise_error(msg)),
+                elem_dt)
         if isinstance(step, A.MapShape):
             elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
             arr = tc.col
@@ -657,27 +667,33 @@ class Compiler:
     # ------------------------------------------------------ constructors
 
     def c_ObjLit(self, n: A.ObjLit, env: Env) -> TC:
-        """Object literal → struct (insertion-ordered, value.rs:47).
-        `k?: v` / `when` guards compile to null values (struct schemas are
-        fixed; jetro's per-row field omission needs a dynamic object —
-        divergence documented, null ≡ missing on read anyway)."""
+        """Object literal (7 field forms, SYNTAX.md §13).
+
+        Static objects → struct (insertion-ordered, value.rs:47): typed,
+        codegen-friendly, the scale path. Objects with per-row-varying
+        KEY SETS — `[dyn]: v` dynamic keys, `k?:`/`k?` omit-null, `when`
+        guards — cannot be a fixed-schema struct; they compile to the
+        ordered objrepr (array<struct<key,value>>) where omitted fields
+        are genuinely absent (reference drops the key, ast.rs:336-357)."""
+        dynamic = any(
+            f.kind in ("dyn", "opt", "opt_v")
+            or (f.kind == "kv" and f.guard is not None)
+            for f in n.fields)
+        if dynamic:
+            return self._objlit_dynamic(n, env)
         fused = self._objlit_fuse_writes(n, env)
         cols: list[Column] = []
         fields: list[T.StructField] = []
         for f in n.fields:
-            if f.kind in ("kv", "opt_v"):
+            if f.kind == "kv":
                 tc = fused.get(id(f)) or self.compile(f.value, env)
-                col = tc.col
-                if f.guard is not None:
-                    g = self.compile(f.guard, env)
-                    col = F.when(jt_truthy(g.col, g.dtype), col)
-                cols.append(col.alias(f.key))
+                cols.append(tc.col.alias(f.key))
                 fields.append(T.StructField(f.key, tc.dtype or T.NullType(), True))
-            elif f.kind in ("short", "opt"):
+            elif f.kind == "short":
                 tc = self.c_Ident(A.Ident(f.key), env)
                 cols.append(tc.col.alias(f.key))
                 fields.append(T.StructField(f.key, tc.dtype or T.NullType(), True))
-            elif f.kind == "spread":
+            elif f.kind in ("spread", "spread_deep"):
                 tc = self.compile(f.value, env)
                 if not isinstance(tc.dtype, T.StructType):
                     raise CompileError("...spread of non-object")
@@ -686,18 +702,108 @@ class Compiler:
                     fields.append(T.StructField(sf.name, sf.dataType, True))
             else:
                 raise CompileError(f"unsupported object field kind {f.kind}")
-        # later duplicate keys win (IndexMap::insert semantics)
+        # later duplicate keys win (IndexMap::insert semantics); for
+        # ...**deep spreads a struct-vs-struct collision merges recursively
+        # instead of replacing wholesale
+        deep_keys = {
+            sf.name
+            for f in n.fields if f.kind == "spread_deep"
+            for sf in self.compile(f.value, env).dtype.fields}
         dedup: dict[str, int] = {}
         out_c, out_f = [], []
         for c, sf in zip(cols, fields):
             if sf.name in dedup:
-                out_c[dedup[sf.name]] = c
-                out_f[dedup[sf.name]] = sf
+                i = dedup[sf.name]
+                old_f = out_f[i]
+                if (sf.name in deep_keys
+                        and isinstance(old_f.dataType, T.StructType)
+                        and isinstance(sf.dataType, T.StructType)):
+                    mc, mdt = OB.deep_merge(out_c[i], old_f.dataType,
+                                           c, sf.dataType)
+                    out_c[i] = mc.alias(sf.name)
+                    out_f[i] = T.StructField(sf.name, mdt, True)
+                else:
+                    out_c[i] = c
+                    out_f[i] = sf
             else:
                 dedup[sf.name] = len(out_c)
                 out_c.append(c)
                 out_f.append(sf)
         return TC(F.struct(*out_c), T.StructType(out_f))
+
+    def _objlit_dynamic(self, n: A.ObjLit, env: Env) -> TC:
+        """Dynamic-key-set object → ordered entries. Each field yields a
+        nullable struct<key,value> slot; null slots (failed `when`, null
+        `k?:`) are filtered out, so the key is truly absent. Static-key
+        duplicates resolve last-wins at build; runtime duplicates (dyn
+        keys) resolve last-wins on read (objrepr field access)."""
+        slots: list[tuple[object, Column, T.DataType]] = []  # (key, slot, vdt)
+        for f in n.fields:
+            if f.kind in ("kv", "opt_v"):
+                tc = self.compile(f.value, env)
+                key = F.lit(f.key)
+                slot = F.struct(key.alias("key"), tc.col.alias("value"))
+                if f.kind == "opt_v":
+                    slot = F.when(tc.col.isNotNull(), slot)
+                if f.guard is not None:
+                    g = self.compile(f.guard, env)
+                    slot = F.when(jt_truthy(g.col, g.dtype), slot)
+                slots.append((f.key, slot, tc.dtype or T.NullType()))
+            elif f.kind in ("short", "opt"):
+                tc = self.c_Ident(A.Ident(f.key), env)
+                slot = F.struct(F.lit(f.key).alias("key"), tc.col.alias("value"))
+                if f.kind == "opt":
+                    slot = F.when(tc.col.isNotNull(), slot)
+                slots.append((f.key, slot, tc.dtype or T.NullType()))
+            elif f.kind == "dyn":
+                ktc = self.compile(f.key, env)
+                vtc = self.compile(f.value, env)
+                slot = F.struct(ktc.col.cast("string").alias("key"),
+                                vtc.col.alias("value"))
+                slots.append((None, slot, vtc.dtype or T.NullType()))
+            elif f.kind in ("spread", "spread_deep"):
+                tc = self.compile(f.value, env)
+                if is_objrepr(tc.dtype):
+                    vdt = tc.dtype.elementType["value"].dataType
+                    slots.append((Ellipsis, tc.col, vdt))
+                    continue
+                if not isinstance(tc.dtype, T.StructType):
+                    raise CompileError("...spread of non-object")
+                for sf in tc.dtype.fields:
+                    slot = F.struct(F.lit(sf.name).alias("key"),
+                                    tc.col.getField(sf.name).alias("value"))
+                    slots.append((sf.name, slot, sf.dataType))
+            else:
+                raise CompileError(f"unsupported object field kind {f.kind}")
+        # static-key last-wins: drop earlier slots shadowed by a later
+        # static key (dyn/spread-objrepr keys resolve on read)
+        seen: set[str] = set()
+        keep: list[tuple[object, Column, T.DataType]] = []
+        for key, slot, vdt in reversed(slots):
+            if isinstance(key, str):
+                if key in seen:
+                    continue
+                seen.add(key)
+            keep.append((key, slot, vdt))
+        keep.reverse()
+        vdt = unify([v for _, _, v in keep]) or T.StringType()
+        out_dt = T.ArrayType(T.StructType([
+            T.StructField("key", T.StringType(), True),
+            T.StructField("value", vdt, True)]), False)
+        parts: list[Column] = []
+        for key, slot, _ in keep:
+            if key is Ellipsis:  # objrepr spread: already an entries array
+                parts.append(F.transform(slot, lambda s: F.struct(
+                    s["key"].alias("key"),
+                    s["value"].cast(vdt).alias("value"))))
+            else:
+                parts.append(F.array(F.struct(
+                    slot["key"].alias("key"),
+                    slot["value"].cast(vdt).alias("value"))))
+        arr = F.concat(*parts) if parts else F.array()
+        # drop omitted slots (their struct is null)
+        arr = F.filter(arr, lambda s: s.isNotNull() & s["key"].isNotNull())
+        return TC(arr, out_dt)
 
     def _objlit_fuse_writes(self, n: A.ObjLit, env: Env) -> dict:
         """Phase-B object fusion (chain_write.rs phaseb_object_field_*):

@@ -311,3 +311,43 @@ def test_filter_pushdown_reaches_parquet(rel):
     df = rel.query("$.orders.filter(o_totalprice > 300000).map(o_orderkey)")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(o_totalprice,300000" in plan  # PushedFilters
+
+
+# --------------------- quantifiers & dynamic object literals (§2.2/§2.12)
+
+
+def test_quantifiers(spark):
+    j = Jetro.from_value(spark, {
+        "xs": [3, 1, 2],
+        "books": [{"t": "a", "p": 5.0}, {"t": "b", "p": 15.0}]})
+    # `?` on array → first-or-null (vm/exec.rs:776-780)
+    assert j.collect("$.xs?") == 3
+    assert j.collect("$.books.filter(p > 99)?") is None
+    # `!` → unwrap exactly-one, error on 0 or >1 (vm/exec.rs:781-790)
+    assert j.collect('$.books{t == "b"}!.p') == 15.0
+    with pytest.raises(Exception, match="exactly one"):
+        j.collect("$.books{p > 0}!")
+
+
+def test_objlit_dynamic_key_set(spark):
+    j = Jetro.from_value(spark, {"u": {"name": "Ada", "age": 37}, "maybe": None})
+    # conditional fields genuinely DROP the key (SYNTAX.md §13)
+    assert objrepr_to_dict(j.collect("{a?: $.maybe, b: 1}")) == {"b": 1}
+    assert objrepr_to_dict(
+        j.collect("{a: 1 when $.u.age > 99, b: 2}")) == {"b": 2}
+    assert objrepr_to_dict(
+        j.collect("{a: 1 when $.u.age > 9, b: 2}")) == {"a": 1, "b": 2}
+    # dynamic keys, insertion order preserved
+    assert j.collect("{[$.u.name]: 1, x: 2}.keys()") == ["Ada", "x"]
+    # static dup last-wins even through the dynamic path
+    assert objrepr_to_dict(
+        j.collect("{a?: $.u.age, a: 9, b: 1}")) == {"a": 9, "b": 1}
+
+
+def test_objlit_deep_spread(spark):
+    j = Jetro.from_value(spark, {"d": {"x": {"y": 1, "z": 9}}})
+    got = j.collect("{x: {y: 0, w: 2}, ...**$.d}")
+    assert got == {"x": {"y": 1, "w": 2, "z": 9}}
+    # shallow spread replaces wholesale
+    got = j.collect("{x: {y: 0, w: 2}, ...$.d}")
+    assert got == {"x": {"y": 1, "z": 9}}
