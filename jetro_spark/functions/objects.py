@@ -78,9 +78,17 @@ def entries(col: Column, dt: T.DataType):
 
 
 def from_pairs(col: Column, dt: T.DataType):
-    """[[k,v]...] or [{key,value}...] → object (objrepr, last-wins handled
-    on read). Reference: ops/collection.rs:668."""
+    """[[k,v]...] or [{key,value}...] or positional-pair structs
+    ([{__p0,__p1}...], the entries()/to_pairs() output) → object
+    (objrepr, last-wins handled on read). Reference: ops/collection.rs:668."""
     if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        names = [f.name for f in dt.elementType.fields]
+        if names == ["__p0", "__p1"]:
+            vdt = dt.elementType["__p1"].dataType
+            arr = F.transform(col, lambda p: F.struct(
+                p["__p0"].cast("string").alias("key"),
+                p["__p1"].alias("value")))
+            return arr, _objrepr(vdt)
         return col, dt  # already entries-shaped
     if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.ArrayType):
         vdt = dt.elementType.elementType

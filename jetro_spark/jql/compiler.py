@@ -539,10 +539,20 @@ class Compiler:
             if len(args) != 1:
                 return None
             value = A.Path(A.Current(), [A.Method(name, [args[0]])])
-        if not psteps or psteps[0].kind != "field":
-            return None
-        clause = A.PatchClause(psteps[0].name, psteps[1:], value, None)
         from jetro_spark.jql.patch import _apply_clause
+        if not psteps:
+            return None
+        if psteps[0].kind != "field":
+            # root-level descendant/wildcard write ($..id.delete()):
+            # wrap the doc in a synthetic field so the clause machinery
+            # (which is rooted at a field name) applies unchanged
+            wcol = F.struct(base_tc.col.alias("__root"))
+            wdt = T.StructType([T.StructField("__root", base_tc.dtype, True)])
+            clause = A.PatchClause("__root", psteps, value, None)
+            col, dt = _apply_clause(self, wcol, wdt, clause, env,
+                                    TC(wcol, wdt, doc=True))
+            return TC(col.getField("__root"), dt["__root"].dataType, doc=True)
+        clause = A.PatchClause(psteps[0].name, psteps[1:], value, None)
         col, dt = _apply_clause(self, base_tc.col, base_tc.dtype, clause,
                                 env, base_tc)
         return TC(col, dt, doc=True)
@@ -563,8 +573,36 @@ class Compiler:
                 return TC(hit["value"], val_dt)
             if isinstance(tc.dtype, T.MapType):
                 return TC(tc.col.getItem(key.col), tc.dtype.valueType)
+            if isinstance(tc.dtype, T.StructType):
+                # runtime key over a static struct → CASE over its
+                # fields, values unified (regression.rs dyn_field_*)
+                vdt = unify([f.dataType for f in tc.dtype.fields]) \
+                    or T.StringType()
+                out: Column = F.lit(None).cast(vdt)
+                for f_ in reversed(tc.dtype.fields):
+                    out = F.when(key.col.cast("string") == F.lit(f_.name),
+                                 tc.col.getField(f_.name).cast(vdt)) \
+                        .otherwise(out)
+                return TC(out, vdt)
+            if isinstance(tc.dtype, T.ArrayType) \
+                    and _family(key.dtype) == "number":
+                # dynamic index form `$.items.{i}` (grammar.pest:85)
+                return TC(jt_element_at_dyn(tc.col, key.col),
+                          tc.dtype.elementType)
             raise CompileError("dynamic field on non-object")
         if isinstance(step, A.Index):
+            if isinstance(tc.dtype, T.StructType) and tc.dtype.fields \
+                    and all(f.name == f"__p{i}"
+                            for i, f in enumerate(tc.dtype.fields)):
+                # positional tuple (entries()/mixed-type zip pairs):
+                # e[0] / e[-1] → field by position
+                iv = _const(step.expr)
+                if isinstance(iv, int):
+                    fs = tc.dtype.fields
+                    f_ = fs[iv] if -len(fs) <= iv < len(fs) else None
+                    if f_ is None:
+                        return TC(F.lit(None), T.NullType())
+                    return TC(tc.col.getField(f_.name), f_.dataType)
             idx = self.compile(step.expr, env)
             if is_objrepr(tc.dtype) and _family(idx.dtype) == "string":
                 # object[key] lookup (SYNTAX.md §9 index_by example)
@@ -1083,6 +1121,24 @@ class Compiler:
         if name in ("type_of", "type"):
             tc = self.compile(args[0].value, env)
             return self.call(tc, "type", [], env)
+        if name == "range":
+            # range(stop) / range(start, stop) / range(start, stop, step);
+            # wrong-direction or zero step → [] (regression.rs range_*)
+            tcs = [self.compile(a.value, env) for a in args]
+            if len(tcs) == 1:
+                start, stop, step = F.lit(0), tcs[0].col, F.lit(1)
+            elif len(tcs) == 2:
+                start, stop, step = tcs[0].col, tcs[1].col, F.lit(1)
+            else:
+                start, stop, step = tcs[0].col, tcs[1].col, tcs[2].col
+            start, stop, step = (c.cast("long") for c in (start, stop, step))
+            n_ = F.when(step != 0,
+                        F.greatest(F.lit(0), F.ceil((stop - start) / step)))\
+                 .otherwise(F.lit(0)).cast("long")
+            idx = F.filter(F.sequence(F.lit(1), F.greatest(n_, F.lit(1))),
+                           lambda i: i <= n_)
+            return TC(F.transform(idx, lambda i: start + (i - 1) * step),
+                      T.ArrayType(T.LongType()))
         if name in METHODS and args:
             recv = self.compile(args[0].value, env)
             return self.call(recv, name, args[1:], env)
@@ -1474,9 +1530,27 @@ def _arr_out(recv: TC) -> T.DataType:
 
 
 def _sort_args(self: Compiler, recv: TC, args: list[A.Arg], env: Env):
-    """sort() natural; sort(key) asc; sort(-key) desc; multi-key."""
+    """sort() natural; sort(key) asc; sort(-key) desc; multi-key;
+    sort((a, b) => a < b) comparator form — Spark's array_sort has no
+    general comparator for mixed use with our null ordering, so the two
+    canonical shapes lower to direction flags (regression.rs
+    arrow_lambda_multi_param); anything fancier is rejected loudly."""
     if not args:
         return None, False
+    if (len(args) == 1 and isinstance(args[0].value, A.Lambda)
+            and len(args[0].value.params) == 2):
+        lam = args[0].value
+        body = lam.body
+        if isinstance(body, A.Binary) and body.op in ("<", "<=", ">", ">=") \
+                and isinstance(body.left, A.Ident) \
+                and isinstance(body.right, A.Ident) \
+                and {body.left.name, body.right.name} == set(lam.params):
+            asc_ops = ("<", "<=") if body.left.name == lam.params[0] \
+                else (">", ">=")
+            return [(lambda x: x, body.op not in asc_ops)], True
+        raise CompileError(
+            "comparator sort supports only `(a, b) => a < b` shapes; "
+            "use sort(key) / sort(-key) for key-based ordering")
     keyspecs = []
     for a in args:
         node, desc = a.value, False
@@ -1647,7 +1721,18 @@ def m_partition(self, recv, args, env):
 
 def m_zip(self, recv, args, env):
     other = self.compile(args[0].value, env)
-    pair = unify([_elem(recv), _elem(other)])
+    ea, eb = _elem(recv), _elem(other)
+    pair = unify([ea, eb])
+    if pair is None:
+        # mixed-type pairs ([1, "x"]) can't be a homogeneous Spark
+        # array; emit struct<__p0, __p1> — to_python renders it as a
+        # 2-list (zip_arrays regression)
+        n_ = F.least(F.size(recv.col), F.size(other.col))
+        col = F.zip_with(F.slice(recv.col, 1, n_), F.slice(other.col, 1, n_),
+                         lambda x, y: F.struct(x.alias("__p0"), y.alias("__p1")))
+        return TC(col, T.ArrayType(T.StructType([
+            T.StructField("__p0", ea or T.NullType(), True),
+            T.StructField("__p1", eb or T.NullType(), True)])))
     return TC(AR.zip_(recv.col, other.col), T.ArrayType(T.ArrayType(pair or T.NullType())))
 
 
@@ -2100,9 +2185,20 @@ def m_values(self, recv, args, env):
 
 
 def m_entries(self, recv, args, env):
+    """entries()/to_pairs(): object → array of [key, value] PAIRS —
+    indexable as e[0]/e[1] (examples.rs obj_entries: `e[0] ==
+    "dark_mode"`). Mixed key/value types can't be a homogeneous Spark
+    array, so pairs are struct<__p0,__p1> (rendered as 2-lists)."""
     if is_objrepr(recv.dtype):
-        return recv
-    return _ob1(OB.entries)(self, recv, args, env)
+        ent, vdt = recv.col, recv.dtype.elementType["value"].dataType
+    else:
+        c, d = OB.entries(recv.col, recv.dtype)
+        ent, vdt = c, d.elementType["value"].dataType
+    col = F.transform(ent, lambda e: F.struct(
+        e["key"].alias("__p0"), e["value"].alias("__p1")))
+    return TC(col, T.ArrayType(T.StructType([
+        T.StructField("__p0", T.StringType(), True),
+        T.StructField("__p1", vdt, True)])))
 
 
 def _key_names(args: list[A.Arg]) -> list[tuple[str, str]]:
@@ -2171,7 +2267,12 @@ def m_modify(self, recv, args, env):
 
 
 def m_update(self, recv, args, env):
-    """update(k, λ): set k to λ(old value) (mod.rs:235)."""
+    """update(k, λ): set k to λ(old value); single-lambda form
+    `x.update(λ)` applies λ to the receiver itself
+    (mod.rs:235; defs.rs:2215-2223, examples.rs method_update)."""
+    if len(args) == 1:
+        fn, odt = self._lam(args[0].value, env, recv.dtype)
+        return TC(fn(recv.col), odt or recv.dtype)
     key = _const_str(args, 0)
     old = field_access(recv, key)
     fn, odt = self._lam(args[1].value, env, old.dtype)
@@ -2264,6 +2365,7 @@ METHODS = {
     "map": m_map, "flat_map": m_flat_map,
     "take": m_take, "skip": m_skip, "drop": m_skip,
     "take_while": m_take_while, "drop_while": m_drop_while,
+    "takewhile": m_take_while, "dropwhile": m_drop_while,
     "first": m_first, "last": m_last, "nth": m_nth,
     "find_first": m_find_first, "find_one": m_find_first,
     "find_index": m_find_index, "indices_where": m_indices_where,

@@ -86,18 +86,34 @@ def _to_row(v, dt: T.DataType):
 
 
 def to_python(v):
-    """Row/array output → plain JSON-able Python (ordered dicts)."""
+    """Row/array output → plain JSON-able Python (ordered dicts).
+
+    The ordered-object representation (list of {key, value} entries —
+    group_by, dynamic object literals, dict comprehensions) converts to
+    a plain insertion-ordered dict with last-wins on duplicate keys,
+    matching jetro's Val::Obj presentation (IndexMap, value.rs:47)."""
     if isinstance(v, Row):
-        return {k: to_python(x) for k, x in zip(v.__fields__, v)}
-    if isinstance(v, list):
-        return [to_python(x) for x in v]
-    if isinstance(v, dict):
-        return {k: to_python(x) for k, x in v.items()}
+        v = {k: to_python(x) for k, x in zip(v.__fields__, v)}
+        if v and all(k == f"__p{i}" for i, k in enumerate(v)):
+            return list(v.values())  # mixed-type tuple (zip pairs)
+    elif isinstance(v, list):
+        v = [to_python(x) for x in v]
+        if v and all(isinstance(e, dict) and set(e) == {"key", "value"}
+                     for e in v):
+            out = {}
+            for e in v:
+                out[e["key"]] = e["value"]  # last-wins, first-seen order
+            return out
+    elif isinstance(v, dict):
+        v = {k: to_python(x) for k, x in v.items()}
     return v
 
 
 def objrepr_to_dict(v):
-    """[{key, value}] ordered-object output → dict (test convenience)."""
+    """[{key, value}] ordered-object output → dict (test convenience;
+    identity on already-converted dicts)."""
+    if isinstance(v, dict):
+        return v
     return {e["key"]: e["value"] for e in v}
 
 

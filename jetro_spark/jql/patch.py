@@ -234,7 +234,9 @@ def _write_descendant(comp, col, dt, name, rest, value, env):
                 cols.append(nc.alias(f.name))
                 fields.append(T.StructField(f.name, nd, True))
             if not cols:
-                return c, d
+                # every field deleted → EMPTY object {}, not the
+                # original (tier1_chain_descendant_delete)
+                return F.expr("named_struct()"), T.StructType([])
             return F.struct(*cols), T.StructType(fields)
         if isinstance(d, T.ArrayType):
             # element dtype is uniform → walk a probe for the new dtype,

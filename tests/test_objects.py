@@ -27,8 +27,12 @@ def test_keys_values_entries(j):
     assert j.collect("$.user.keys()") == ["id", "name", "email", "address"]
     # values unify to a common Spark type (heterogeneous arrays → string)
     assert j.collect("$.user.omit('address').values()") == ["1", "Ann", None]
+    # entries are POSITIONAL pairs, indexable e[0]/e[1]
+    # (examples.rs obj_entries: e[0] == "dark_mode")
     ent = j.collect("$.user.pick(id, name).entries()")
-    assert ent == [{"key": "id", "value": "1"}, {"key": "name", "value": "Ann"}]
+    assert ent == [["id", "1"], ["name", "Ann"]]
+    assert j.collect("$.user.pick(id, name).entries()[0][0]") == "id"
+    assert j.collect("$.user.pick(id, name).entries().map(@[0])") == ["id", "name"]
     rt = objrepr_to_dict(j.collect("$.user.pick(id, name).to_pairs().from_pairs()"))
     assert rt == {"id": "1", "name": "Ann"}
 
