@@ -176,6 +176,31 @@ CASES = [
     ('{"a": -3.5, "b": 7}', '$.b.abs()', '7', ''),
     ('{}', 'range(1, 10).sum()', '45', ''),
 
+    # chain_write.rs / deep_search.rs / complex_payload.rs extracts
+    ('{"name": "Alice", "age": 30}', 'patch $ { name: "Bob" }', '{"name": "Bob", "age": 30}', ''),
+    ('{"user": {"name": "Alice", "age": 30}}', 'patch $ { user.name: "Bob" }', '{"user": {"name": "Bob", "age": 30}}', ''),
+    ('{"name": "Alice", "tmp": "remove-me", "age": 30}', 'patch $ { tmp: DELETE }', '{"name": "Alice", "age": 30}', ''),
+    ('{"name": "Alice"}', 'patch $ { age: 42 }', '{"name": "Alice", "age": 42}', ''),
+    ('{"users": [{"name": "Alice", "seen": false}, {"name": "Bob", "seen": false}]}', 'patch $ { users[*].seen: true }', '{"users": [{"name": "Alice", "seen": true}, {"name": "Bob", "seen": true}]}', ''),
+    ('{"users": [{"name": "Alice", "active": true, "role": "user"}, {"name": "Bob", "active": false, "role": "user"}, {"name": "Cara", "active": true, "role": "user"}]}', 'patch $ { users[* if active].role: "admin" }', '{"users": [{"name": "Alice", "active": true, "role": "admin"}, {"name": "Bob", "active": false, "role": "user"}, {"name": "Cara", "active": true, "role": "admin"}]}', ''),
+    ('{"users": [{"name": "Alice", "email": "ALICE@X"}, {"name": "Bob", "email": "BOB@X"}]}', 'patch $ { users[*].email: @.lower() }', '{"users": [{"name": "Alice", "email": "alice@x"}, {"name": "Bob", "email": "bob@x"}]}', ''),
+    ('{"count": 5, "enabled": true}', 'patch $ { count: @ + 1 when $.enabled }', '{"count": 6, "enabled": true}', ''),
+    ('{"count": 5, "enabled": false}', 'patch $ { count: @ + 1 when $.enabled }', '{"count": 5, "enabled": false}', ''),
+    ('{"a": 1, "b": 2, "c": 3}', 'patch $ { a: 10, b: DELETE, c: 30 }', '{"a": 10, "c": 30}', ''),
+    ('{"items": [10, 20, 30]}', 'patch $ { items[1]: 99 }', '{"items": [10, 99, 30]}', ''),
+    ('{"users": [{"name": "Alice", "active": true}, {"name": "Bob", "active": false}, {"name": "Cara", "active": true}]}', 'patch $ { users[* if not active]: DELETE }', '{"users": [{"name": "Alice", "active": true}, {"name": "Cara", "active": true}]}', ''),
+    ('{"name": "Alice", "age": 30}', 'patch $ { name: "Bob" } | @.name', '"Bob"', ''),
+    ('{"name": "Alice"}', '{result: patch $ { name: "Bob" }}', '{"result": {"name": "Bob"}}', ''),
+    ('{"name": "Alice", "age": 30}', 'let x = patch $ { name: "Bob" } in x.name', '"Bob"', ''),
+    ('{"name": "Alice", "age": 30}', 'patch (patch $ { name: "Bob" }) { age: 99 }', '{"name": "Bob", "age": 99}', ''),
+    ('{"users": [{"n": 1}, {"n": 2}, {"n": 3}]}', '$.users.map(patch @ { n: @ * 10 })', '[{"n": 10}, {"n": 20}, {"n": 30}]', ''),
+    ('{"a": 0, "b": 0, "c": 0, "d": 0}', 'patch $ { a: 1, b: 2, c: 3 }', '{"a": 1, "b": 2, "c": 3, "d": 0}', ''),
+    ('{"a": 1}', 'patch $ { a: {x: 1}, a.x: 2 }', '{"a": {"x": 2}}', ''),
+    ('{"items": [0, 0, 0]}', 'patch $ { items[0]: 10, items[1]: 20 }', '{"items": [10, 20, 0]}', ''),
+    ('{"a": 0, "b": 0}', 'patch $ { a: DELETE, b: 1 }', '{"b": 1}', ''),
+    ('{"a": 5, "b": 10}', 'patch $ { a: @ + 1, b: @ * 2 }', '{"a": 6, "b": 20}', ''),
+    ('{"users": [{"n": 1}, {"n": 2}], "tag": "x"}', 'patch $ { users[*].n: @ + 100, tag: "y" }', '{"users": [{"n": 101}, {"n": 102}], "tag": "y"}', ''),
+
 ]
 
 
