@@ -52,6 +52,11 @@ QUERIES = {
         "[{ok: o.o_orderkey, cname: c.c_name, tot: o.o_totalprice}"
         " for o in $.orders for c in $.customer"
         " if o.o_custkey == c.c_custkey and o.o_totalprice > 400000]"),
+    # relational let: table-rooted binding = named sub-plan; scalar
+    # binding folds into row scopes
+    "jql_let": _q(
+        "let thr = 100000 * 2, big = $.orders.filter(o_totalprice > thr)"
+        " in big.map({okey: o_orderkey, tot: o_totalprice})"),
     # equi_join (inner, right-wins) + shaping
     "jql_equi_join": _q(
         '$.orders.equi_join($.customer, "o_custkey", "c_custkey")'
@@ -169,6 +174,10 @@ ORACLES = {
         SELECT o.o_orderkey AS ok, c.c_name AS cname, o.o_totalprice AS tot
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_totalprice > 400000
+    """,
+    "jql_let": """
+        SELECT o_orderkey AS okey, o_totalprice AS tot
+        FROM orders WHERE o_totalprice > 200000
     """,
     "jql_equi_join": """
         SELECT o_orderkey AS okey, c_name AS cname, c_mktsegment AS seg

@@ -238,14 +238,19 @@ class JetroTables:
     compile to native DataFrame ops (each stage documented inline with
     its reference semantics)."""
 
-    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame]):
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame],
+                 scalars: dict | None = None):
         self.spark = spark
         self.tables = tables
         self.c = Compiler()
+        self._scalars: dict = scalars or {}  # let-bound scalar TCs
 
-    # row-scope env: bare idents resolve to F.col via TC(row=True)
+    # row-scope env: bare idents resolve to F.col via TC(row=True);
+    # let-bound scalars shadow nothing (row fields win — locals are
+    # consulted by the compiler before row scope, so seed them last)
     def _row_env(self, df: DataFrame) -> Env:
-        return Env(root=None, current=TC(None, df.schema, row=True))
+        return Env(root=None, current=TC(None, df.schema, row=True),
+                   locals=dict(self._scalars))
 
     def _row_tc(self, df: DataFrame) -> TC:
         return TC(None, df.schema, row=True)
@@ -263,12 +268,38 @@ class JetroTables:
             if node.steps and isinstance(node.steps[0], A.Field) \
                     and node.steps[0].name in self.tables:
                 return self._pipeline(self.tables[node.steps[0].name], node.steps[1:])
+        # let-bound sub-plan referenced bare: `top.count()` / `top`
+        if isinstance(node, A.Path) and isinstance(node.base, A.Ident) \
+                and node.base.name in self.tables:
+            return self._pipeline(self.tables[node.base.name], node.steps)
+        if isinstance(node, A.Ident) and node.name in self.tables:
+            return self.tables[node.name]
         if isinstance(node, A.Let):
-            raise CompileError("relational let-bindings not supported yet")
+            return self._let(node)
         raise CompileError("relational mode requires a table-rooted pipeline "
                            f"($.<table>...); tables: {sorted(self.tables)}")
 
     # --------------------------------------------------- comprehensions
+
+    def _let(self, n: A.Let) -> DataFrame:
+        """Relational let: a table-rooted binding becomes a NAMED
+        SUB-PLAN — the body sees it as another table (so
+        `let top = $.orders.filter(p > x) in top.count()` is one plan,
+        no materialization; Catalyst de-duplicates or reuses the
+        subtree). A non-table binding must be row-free scalar — bound
+        as a compile-time TC visible in every row scope."""
+        try:
+            bound = self.compile_node(n.value)
+        except CompileError:
+            bound = None
+        if bound is not None:
+            child = JetroTables(self.spark, {**self.tables, n.name: bound},
+                                scalars=self._scalars)
+            return child.compile_node(n.body)
+        scalar = self.c.compile(n.value, Env(locals=dict(self._scalars)))
+        child = JetroTables(self.spark, self.tables,
+                            scalars={**self._scalars, n.name: scalar})
+        return child.compile_node(n.body)
 
     def _table_of(self, src: A.Node) -> str | None:
         if (isinstance(src, A.Path) and isinstance(src.base, A.Root)

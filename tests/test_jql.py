@@ -351,3 +351,21 @@ def test_objlit_deep_spread(spark):
     # shallow spread replaces wholesale
     got = j.collect("{x: {y: 0, w: 2}, ...$.d}")
     assert got == {"x": {"y": 1, "z": 9}}
+
+
+def test_rel_let_bindings(rel, tables):
+    # table-rooted binding = named sub-plan (no materialization)
+    got = rel.query(
+        "let top = $.orders.filter(o_totalprice > 300000) in top.count()"
+    ).first()["value"]
+    want = tables["orders"].filter("o_totalprice > 300000").count()
+    assert got == want
+    # scalar binding folds into every row scope
+    got = rel.query(
+        "let thr = 100000 * 3 in "
+        "$.orders.filter(o_totalprice > thr).count()").first()["value"]
+    assert got == want
+    # bound sub-plan continues as a pipeline
+    df = rel.query("let top = $.orders.sort(-o_totalprice).take(5) in "
+                   "top.map({id: o_orderkey})")
+    assert df.count() == 5 and df.columns == ["id"]
