@@ -46,6 +46,8 @@ def jt_truthy(col: Column, dtype: T.DataType | None = None) -> Column:
         return F.coalesce(F.length(col) > 0, F.lit(False))
     if isinstance(dtype, (T.ArrayType, T.MapType)):
         return F.coalesce(F.size(col) > 0, F.lit(False))
+    if isinstance(dtype, T.VariantType):
+        return F.coalesce(vtruthy(col), F.lit(False))
     if isinstance(dtype, T.StructType):
         return col.isNotNull()
     return col.isNotNull()
@@ -159,3 +161,57 @@ def jt_type_of(col: Column) -> Column:
         .when(t.startswith("struct") | t.startswith("map"), F.lit("object"))
         .otherwise(t)
     )
+# ---------------------------------------------------------------- variant
+# Mixed-type positions (a field holding ints AND strings, heterogeneous
+# arrays, bare `$..` node sets) carry Spark's VariantType — the dynamic
+# escape hatch from static schemas, mirroring the reference's dynamically
+# typed Val (value.rs:22-53).
+
+
+def to_variant(col: Column, dt: T.DataType | None) -> Column:
+    """Any typed column → variant (containers via JSON round-trip,
+    scalars via a one-field wrapper so to_json applies)."""
+    if isinstance(dt, T.VariantType):
+        return col
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.parse_json(F.to_json(col))
+    return vget(F.parse_json(F.to_json(F.struct(col.alias("w")))), "$.w")
+
+
+def vget(col: Column, path: str) -> Column:
+    """variant_get keeping variant type (missing path → null)."""
+    return F.try_variant_get(col, path, "variant")
+
+
+def vcast(col: Column, dt: T.DataType) -> Column:
+    """variant → typed value, null on kind mismatch (try semantics —
+    jetro cross-family comparison is false, never an error)."""
+    return col.try_cast(dt)
+
+
+def vkind(col: Column) -> Column:
+    """variant → jetro kind string (util.rs:424-438 families)."""
+    s = F.schema_of_variant(col)
+    return (F.when(col.isNull() | F.is_variant_null(col), F.lit("null"))
+            .when(s == "BOOLEAN", F.lit("bool"))
+            .when(s.startswith("ARRAY"), F.lit("array"))
+            .when(s.startswith("OBJECT") | s.startswith("STRUCT"),
+                  F.lit("object"))
+            .when(s == "STRING", F.lit("string"))
+            .otherwise(F.lit("number")))
+
+
+def vtruthy(col: Column) -> Column:
+    """Jetro truthiness over a variant (util.rs:63-74), kind-dispatched
+    at runtime."""
+    k = vkind(col)
+    return (F.when(k == "null", F.lit(False))
+            .when(k == "bool", col.try_cast(T.BooleanType()))
+            .when(k == "number", col.try_cast(T.DoubleType()) != 0)
+            .when(k == "string",
+                  F.length(col.try_cast(T.StringType())) > 0)
+            .when(k == "array",
+                  F.size(col.try_cast(T.ArrayType(T.VariantType()))) > 0)
+            .otherwise(F.schema_of_variant(col) != F.lit("OBJECT<>")))
+
+

@@ -34,6 +34,10 @@ from jetro_spark.functions import objects as OB
 from jetro_spark.functions import strings as S
 from jetro_spark.functions.core import (
     jt_cast,
+    to_variant,
+    vcast,
+    vget,
+    vkind,
     jt_div,
     jt_element_at_dyn,
     jt_fuzzy_match,
@@ -63,6 +67,8 @@ def _family(dt: T.DataType | None) -> str:
         return "string"
     if isinstance(dt, T.BooleanType):
         return "bool"
+    if isinstance(dt, T.VariantType):
+        return "variant"
     if isinstance(dt, T.ArrayType):
         return "array"
     if isinstance(dt, (T.StructType, T.MapType)):
@@ -180,6 +186,8 @@ def field_access(tc: TC, name: str) -> TC:
         return TC(hit["value"], val_dt)
     if isinstance(tc.dtype, T.MapType):
         return TC(tc.col.getItem(name), tc.dtype.valueType)
+    if isinstance(tc.dtype, T.VariantType):
+        return TC(vget(tc.col, f"$.{name}"), T.VariantType())
     if tc.dtype is None:
         # No fresh TC is ever built with dtype=None (roots come from
         # parquet schemas); propagating None here would poison every
@@ -298,6 +306,7 @@ class Compiler:
             # (jetro null != x → true; SQL null != x → null → drop).
             lt = self.compile(node.left, env)
             rt = self.compile(node.right, env)
+            lt, rt = self._coerce_variant(lt, rt)
             if node.op == "==":
                 lf, rf = _family(lt.dtype), _family(rt.dtype)
                 if lf == "null" or rf == "null" \
@@ -321,6 +330,7 @@ class Compiler:
             lb, rb = jt_truthy(lt.col, lt.dtype), jt_truthy(rt.col, rt.dtype)
             return TC(lb & rb if op == "and" else lb | rb, T.BooleanType())
         lt, rt = self.compile(n.left, env), self.compile(n.right, env)
+        lt, rt = self._coerce_variant(lt, rt)
         if op == "+":
             return self._add(lt, rt)
         if op == "-":
@@ -351,9 +361,26 @@ class Compiler:
             return TC(F.concat(lt.col, rt.col), unify([lt.dtype, rt.dtype]))
         return TC(lt.col + rt.col, unify([lt.dtype, rt.dtype]))
 
+    @staticmethod
+    def _coerce_variant(lt: TC, rt: TC) -> tuple[TC, TC]:
+        """One side variant + other side concretely typed → try_cast the
+        variant to the concrete type (kind mismatch → null → false under
+        predicate coercion, which IS jetro's cross-family answer)."""
+        lf, rf = _family(lt.dtype), _family(rt.dtype)
+        if lf == "variant" and rf not in ("variant", "null", "unknown"):
+            return TC(vcast(lt.col, rt.dtype), rt.dtype), rt
+        if rf == "variant" and lf not in ("variant", "null", "unknown"):
+            return lt, TC(vcast(rt.col, lt.dtype), lt.dtype)
+        return lt, rt
+
     def _eq(self, lt: TC, rt: TC, negated: bool) -> TC:
         """Cross-numeric equality works, cross-family → false, never null
         (util.rs:79-95,140-168)."""
+        lt, rt = self._coerce_variant(lt, rt)
+        if _family(lt.dtype) == "variant" and _family(rt.dtype) == "variant":
+            base = F.coalesce(F.to_json(lt.col) == F.to_json(rt.col),
+                              F.lit(False))
+            return TC(~base if negated else base, T.BooleanType())
         lf, rf = _family(lt.dtype), _family(rt.dtype)
         if lf == "null" or rf == "null":
             # x == null ⇔ x is null (Val::Null equality)
@@ -380,7 +407,9 @@ class Compiler:
         nullability stays dynamic (a null string column is kind null)."""
         tc = self.compile(n.expr, env)
         fam = _family(tc.dtype)
-        if n.kind == "null":
+        if fam == "variant":
+            base = vkind(tc.col) == F.lit(n.kind)
+        elif n.kind == "null":
             base = tc.col.isNull() if fam != "null" else F.lit(True)
         elif fam == "unknown":
             base = jt_type_of(tc.col) == F.lit(n.kind)
@@ -610,6 +639,11 @@ class Compiler:
                 hit = F.try_element_at(
                     F.filter(tc.col, lambda s: s["key"] == idx.col), F.lit(1))
                 return TC(hit["value"], val_dt)
+            if isinstance(tc.dtype, T.VariantType):
+                # variant holding an array: index via cast to
+                # array<variant> (negative indices supported)
+                arr = vcast(tc.col, T.ArrayType(T.VariantType()))
+                return TC(jt_element_at_dyn(arr, idx.col), T.VariantType())
             elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
             return TC(jt_element_at_dyn(tc.col, idx.col), elem)
         if isinstance(step, A.Slice):
@@ -1152,8 +1186,7 @@ class Compiler:
 
     def descend(self, tc: TC, name: str | None, env: Env) -> TC:
         if name is None:
-            raise CompileError("bare `$..` (every node) is not supported; "
-                               "name the field: $..field")
+            return self._descend_all(tc)
         if tc.dtype is None:
             raise CompileError("deep search requires a statically-known schema")
         leaf_dts: list[T.DataType] = []
@@ -1165,6 +1198,30 @@ class Compiler:
             out = T.StringType()
         arr = self._descend_col(tc.col, tc.dtype, name, out)
         return TC(arr, T.ArrayType(out))
+
+    def _descend_all(self, tc: TC) -> TC:
+        """Bare `$..` — EVERY node of the subtree (containers and
+        leaves), document pre-order, as array<variant>: a heterogeneous
+        node set has no static schema, so each node round-trips through
+        variant (the dynamic escape hatch). Downstream steps (inline
+        filters, field access, quantifiers) run kind-dispatched over
+        variant. Reference: SYNTAX.md:99-104, exec/structural.rs."""
+        if tc.dtype is None:
+            raise CompileError("deep search requires a statically-known schema")
+
+        def nodes(col: Column, dt: T.DataType) -> Column:
+            parts = [F.array(to_variant(col, dt))]
+            if isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    parts.append(nodes(col.getField(f.name), f.dataType))
+            elif isinstance(dt, T.ArrayType):
+                per_elem = F.flatten(F.transform(
+                    col, lambda x: nodes(x, dt.elementType)))
+                parts.append(F.coalesce(
+                    per_elem, F.array().cast("array<variant>")))
+            return F.concat(*parts)
+
+        return TC(nodes(tc.col, tc.dtype), T.ArrayType(T.VariantType()))
 
     def _collect_leaf_types(self, dt: T.DataType, name: str, out: list) -> None:
         if isinstance(dt, T.StructType):

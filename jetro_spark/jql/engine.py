@@ -67,14 +67,35 @@ def infer_schema(v) -> T.DataType:
         elem_schemas = [infer_schema(x) for x in v]
         structs = [s for s in elem_schemas if isinstance(s, T.StructType)]
         if structs and len(structs) == len(elem_schemas):
-            return T.ArrayType(union_struct(structs))
-        return T.ArrayType(unify(elem_schemas) or T.NullType())
+            return T.ArrayType(_union_struct_dyn(structs))
+        u = unify(elem_schemas)
+        if u is None:
+            # heterogeneous elements ([1, "x", true]) — variant keeps
+            # each element's dynamic kind (mirrors the reference's Val)
+            return T.ArrayType(T.VariantType())
+        return T.ArrayType(u or T.NullType())
     raise TypeError(f"cannot infer schema for {type(v).__name__}")
+
+
+def _union_struct_dyn(sts: list[T.StructType]) -> T.StructType:
+    """union_struct, but a field whose types CONFLICT across elements
+    (v: 1 vs v: "hello") becomes variant instead of first-wins."""
+    merged = union_struct(sts)
+    out = []
+    for f in merged.fields:
+        dts = [st[f.name].dataType for st in sts if f.name in st.fieldNames()]
+        u = unify(dts)
+        out.append(T.StructField(
+            f.name, f.dataType if u is not None else T.VariantType(), True))
+    return T.StructType(out)
 
 
 def _to_row(v, dt: T.DataType):
     if v is None:
         return None
+    if isinstance(dt, T.VariantType):
+        from pyspark.sql.types import VariantVal
+        return VariantVal.parseJson(json.dumps(v))
     if isinstance(dt, T.StructType):
         src = v if isinstance(v, dict) else {}
         return tuple(_to_row(src.get(f.name), f.dataType) for f in dt.fields)
@@ -92,6 +113,9 @@ def to_python(v):
     group_by, dynamic object literals, dict comprehensions) converts to
     a plain insertion-ordered dict with last-wins on duplicate keys,
     matching jetro's Val::Obj presentation (IndexMap, value.rs:47)."""
+    from pyspark.sql.types import VariantVal
+    if isinstance(v, VariantVal):
+        return v.toPython()
     if isinstance(v, Row):
         v = {k: to_python(x) for k, x in zip(v.__fields__, v)}
         if v and all(k == f"__p{i}" for i, k in enumerate(v)):

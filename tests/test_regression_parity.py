@@ -4,13 +4,9 @@
 jetro-core/src/tests/regression.rs (the books() fixture in
 tests/common.rs plus per-test json! docs) — WHAT each expression
 computes, replayed through OUR document mode. Docs and expectations are
-JSON strings (parsed at run time). Two known divergences are xfail:
-
-- mixed-type columns: a field holding ints AND strings unifies to one
-  static Spark type, so `v kind number` can't see the original kind
-  (the reference's Val is dynamically typed; ours would need VariantType)
-- bare `$..` (match EVERY node): heterogeneous node set has no static
-  schema; we require a named field ($..x)
+JSON strings (parsed at run time). Mixed-type positions and bare `$..`
+node sets ride Spark's VariantType (the dynamic escape hatch from
+static schemas), so the full corpus holds.
 """
 
 from __future__ import annotations
@@ -44,7 +40,7 @@ CASES = [
     ('{"user": {"name": "Alice", "email": "a@b.com"}}', '$.user.has("phone")', 'false', ''),
     ('{"user": {"name": "Alice"}}', '$.user.missing("phone")', 'true', ''),
     ('{"vals": [1, null, 2, null, 3]}', '$.vals.compact()', '[1, 2, 3]', ''),
-    ('{"items": [{"v": 1}, {"v": "x"}, {"v": null}]}', '$.items.filter(v kind number)', '[{"v": 1}]', 'mixed-type column needs variant'),
+    ('{"items": [{"v": 1}, {"v": "x"}, {"v": null}]}', '$.items.filter(v kind number)', '[{"v": 1}]', ''),
     ('{"items": [{"v": 1}, {"v": null}]}', '$.items.filter(v kind not null)', '[{"v": 1}]', ''),
     ("BOOKS", '[b.title for b in $.store.books]', '["Dune", "Foundation", "Neuromancer", "1984"]', ''),
     ("BOOKS", '[b.title for b in $.store.books if b.price > 10]', '["Dune", "Neuromancer"]', ''),
@@ -110,7 +106,7 @@ CASES = [
     ('{"n": 42, "s": "hello", "a": [1], "o": {}, "b": true, "z": null}', '$.o.type()', '"object"', ''),
     ('{"n": 42, "s": "hello", "a": [1], "o": {}, "b": true, "z": null}', '$.b.type()', '"bool"', ''),
     ('{"n": 42, "s": "hello", "a": [1], "o": {}, "b": true, "z": null}', '$.z.type()', '"null"', ''),
-    ("BOOKS", '$.store..{title == "1984"}!.title', '"1984"', 'bare $.. unsupported by design'),
+    ("BOOKS", '$.store..{title == "1984"}!.title', '"1984"', ''),
     ('{"xs": [3, 1, 4, 1, 5, 9, 2, 6]}', '$.xs.sort().len()', '8', ''),
     ('{"xs": [3, 1, 4, 1, 5, 9, 2, 6]}', '$.xs.reverse().count()', '8', ''),
     ('{"xs": [3, 1, 4, 1, 5, 9, 2, 6]}', '$.xs.map(@ * 2).len()', '8', ''),
