@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from jetro_spark.jql.engine import JetroTables
+from pyspark.sql import functions as F
+
+from jetro_spark.jql.engine import JetroDocs, JetroTables
 from jetro_spark.session import load_tables
 
 
@@ -22,6 +24,21 @@ def _q(expr: str):
         return JetroTables(spark, tables).query(expr)
     fn.__doc__ = f"jql: {expr}"
     return fn
+
+
+def q_jql_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-document engine (JetroEngine analog): one JSON document per
+    orders row, ONE compiled plan over the whole DataFrame — document
+    semantics at table scale, no per-doc recompilation."""
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    js = o.select(F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"))).alias("js"))
+    jd = JetroDocs.from_json_strings(spark, js, "js")
+    return jd.frame(
+        "{id: $.id, flag: $.status.lower(), dbl: $.total * 2.0}"
+    ).select("value.*")
 
 
 QUERIES = {
@@ -52,6 +69,8 @@ QUERIES = {
         "[{ok: o.o_orderkey, cname: c.c_name, tot: o.o_totalprice}"
         " for o in $.orders for c in $.customer"
         " if o.o_custkey == c.c_custkey and o.o_totalprice > 400000]"),
+    # multi-document engine: per-row documents, one compiled plan
+    "jql_docs": q_jql_docs,
     # relational let: table-rooted binding = named sub-plan; scalar
     # binding folds into row scopes
     "jql_let": _q(
@@ -178,6 +197,11 @@ ORACLES = {
     "jql_let": """
         SELECT o_orderkey AS okey, o_totalprice AS tot
         FROM orders WHERE o_totalprice > 200000
+    """,
+    "jql_docs": """
+        SELECT o_orderkey AS id, lower(o_orderstatus) AS flag,
+               o_totalprice * 2.0 AS dbl
+        FROM orders
     """,
     "jql_equi_join": """
         SELECT o_orderkey AS okey, c_name AS cname, c_mktsegment AS seg

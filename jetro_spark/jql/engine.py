@@ -255,6 +255,65 @@ _REL_TERMINALS = {"count", "sum", "avg", "min", "max", "any", "exists", "all",
                   "len", "approx_count_distinct"}
 
 
+class JetroDocs:
+    """Multi-document engine — the reference's ``JetroEngine`` (explicit
+    plan cache + shared VM for long-lived multi-document use,
+    jetro-core/README.md:448-453) generalized to Spark scale: ONE
+    compiled plan applied to a whole DataFrame of documents, one
+    document per row. Where the reference replays a cached program per
+    document on one thread, here the same Column plan executes over
+    every row in parallel — document-mode semantics at table scale
+    (millions of JSON documents, partitioned, pushdown-pruned).
+
+    ``from_json_strings`` ingests a string column of JSON documents:
+    insertion-ordered schema inferred from a driver-side sample (vs
+    spark.read.json's alphabetical sort — field order is observable in
+    jetro results), then a single JVM-side ``from_json`` parse."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame,
+                 doc_col: str = "doc"):
+        self.spark = spark
+        self.df = df
+        self.doc_col = doc_col
+        self.schema = df.schema[doc_col].dataType
+        self._plan_cache: dict[str, Column] = {}
+
+    @classmethod
+    def from_json_strings(cls, spark: SparkSession, df: DataFrame,
+                          json_col: str, *, sample: int = 200,
+                          doc_col: str = "doc") -> "JetroDocs":
+        rows = [r[0] for r in df.select(json_col).limit(sample).collect()
+                if r[0] is not None]
+        if not rows:
+            raise ValueError("no sample documents to infer a schema from")
+        schemas = [infer_schema(json.loads(s)) for s in rows]
+        structs = [s for s in schemas if isinstance(s, T.StructType)]
+        if len(structs) != len(schemas):
+            raise ValueError("every document must be a JSON object")
+        st = _union_struct_dyn(structs)
+        parsed = df.withColumn(doc_col, F.from_json(F.col(json_col), st))
+        return cls(spark, parsed, doc_col)
+
+    def _compile(self, expr: str) -> Column:
+        col = self._plan_cache.get(expr)
+        if col is None:
+            root = TC(F.col(self.doc_col), self.schema, doc=True)
+            env = Env(root=root)  # no py_eval: per-row docs can't take
+            # schema-changing patch guards (each row would need its own
+            # schema) — those raise at compile time
+            col = Compiler().compile(parse(expr), env).col
+            self._plan_cache[expr] = col
+        return col
+
+    def frame(self, expr: str) -> DataFrame:
+        """One row per document, single column ``value``."""
+        return self.df.select(self._compile(expr).alias("value"))
+
+    def with_result(self, expr: str, name: str = "value") -> DataFrame:
+        """Original rows + the per-document result as a new column."""
+        return self.df.withColumn(name, self._compile(expr))
+
+
 class JetroTables:
     """Relational-mode engine over named tables (the 100 TB path).
 

@@ -369,3 +369,26 @@ def test_rel_let_bindings(rel, tables):
     df = rel.query("let top = $.orders.sort(-o_totalprice).take(5) in "
                    "top.map({id: o_orderkey})")
     assert df.count() == 5 and df.columns == ["id"]
+
+
+# ------------------------------- multi-document engine (JetroEngine analog)
+
+
+def test_jetro_docs_per_row(spark):
+    from jetro_spark.jql.engine import JetroDocs
+    import json as _json
+
+    docs = [
+        {"id": 1, "user": {"name": "Ann"}, "items": [{"q": 2}, {"q": 3}]},
+        {"id": 2, "user": {"name": "Bo"}, "items": [{"q": 5}]},
+        {"id": 3, "user": {"name": "Cy"}, "items": []},
+    ]
+    df = spark.createDataFrame([(_json.dumps(d),) for d in docs], ["js"])
+    jd = JetroDocs.from_json_strings(spark, df, "js")
+    out = {r["value"] for r in jd.frame("$.items.map(q).sum()").collect()}
+    assert out == {5.0, 5.0, 0.0} or out == {5, 0}  # sum([])=0 rule
+    rows = jd.with_result("$.user.name.upper()", "uname") \
+        .select("uname").collect()
+    assert sorted(r["uname"] for r in rows) == ["ANN", "BO", "CY"]
+    # ONE compiled plan, N documents — plan cache hit on repeat
+    assert jd._compile("$.id") is jd._compile("$.id")
