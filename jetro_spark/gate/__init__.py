@@ -25,6 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from jetro_spark.gate import (
         analytics,
+        benchlock,
         hof,
         jql,
         llm,
@@ -33,7 +34,8 @@ def _modules():
         streaming,
     )
 
-    return (relational, scalars, analytics, jql, llm, hof, streaming)
+    return (relational, scalars, analytics, jql, llm, hof, streaming,
+            benchlock)
 
 
 def all_queries() -> dict[str, QueryFn]:
