@@ -49,7 +49,13 @@ def equi_join(
 def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
     """Relational ``group_by``: one row per key with the collected group.
     Key is STRINGIFIED to match jetro's object-key semantics
-    (reference: jc/util.rs:216-226, ops/array.rs:947-965)."""
+    (reference: jc/util.rs:216-226, ops/array.rs:947-965).
+
+    SCALE NOTE: collect_list materializes every row-struct of a group on
+    ONE executor — jetro-faithful, but a hot key at 100 TB OOMs that
+    task. When the downstream only aggregates, push the aggregate into
+    the groupBy instead (see gate's q_group_collect projection); keep
+    full-group collection for genuinely small groups."""
     k = F.col(key) if isinstance(key, str) else key
     return (
         df.groupBy(k.cast("string").alias(key_alias))
