@@ -12,10 +12,12 @@ fold-order-sensitive sums use list_sum over an ORDERED list, which folds
 sequentially exactly like our F.aggregate lowering, so doubles match
 bit-for-bit.
 
-The four queries whose outputs are arrays of full nested order/item
-structs (Q5, Q6, Q7, Q10) stay out of the oracle gate — their semantics
-are covered by the differential tests in tests/test_jql.py — leaving 9
-oracled rows.
+Even the queries whose outputs are arrays of FULL nested order/item
+structs (Q5, Q6, Q7) are oracled: DuckDB struct_pack rebuilds the exact
+order/customer/address/items shape per matched node (the compare
+canonicalizes struct fields by name, so field order is free). Q10
+(group_by → ordered object of full-order arrays) stays covered by the
+differential tests.
 
 Gate-scale doc: 2,000 orders × 6 items (bench.py times the full 20k×6).
 """
@@ -26,8 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from jetro_spark.benchdoc import (
     BENCH_QUERIES,
+    CATEGORIES,
     CCODES,
     CITIES,
+    PRIORITIES,
+    REGIONS,
     STATUSES,
     synth_doc,
 )
@@ -57,11 +62,55 @@ def _q(name: str):
     return fn
 
 
+def _q_orders_deep(name: str):
+    """Q5/Q7: the locked deep-find expression runs VERBATIM; matched
+    order structs explode to rows projected onto every scalar dimension
+    (incl. nested customer/address probes and an items probe) — struct
+    cells themselves can't hash-compare (Spark Rows canonicalize
+    positionally, DuckDB structs by key)."""
+    expr = BENCH_QUERIES[name]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (_jt(spark).frame(expr)
+                .select(F.explode("value").alias("v"))
+                .select(F.col("v.id").alias("id"),
+                        F.col("v.status").alias("status"),
+                        F.col("v.priority").alias("priority"),
+                        F.col("v.region").alias("region"),
+                        F.col("v.total").alias("total"),
+                        F.col("v.customer.id").alias("cust_id"),
+                        F.col("v.customer.address.city").alias("city"),
+                        F.element_at("v.items", 1)["sku"].alias("sku0"),
+                        F.size("v.items").alias("n_items")))
+
+    fn.__doc__ = f"bench_lock doc-mode (scalar-projected): {expr}"
+    return fn
+
+
+def _q_items_deep(name: str):
+    """Q6: matched ITEM structs are all-scalar — full fidelity."""
+    expr = BENCH_QUERIES[name]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (_jt(spark).frame(expr)
+                .select(F.explode("value").alias("v")).select("v.*"))
+
+    fn.__doc__ = f"bench_lock doc-mode (exploded): {expr}"
+    return fn
+
+
 QUERIES = {
     f"doc_{name}": _q(name)
     for name in ("bl_q1", "bl_q2", "bl_q3", "bl_q4", "bl_q8", "bl_q9",
                  "bl_q11", "bl_q12", "bl_q13")
 }
+QUERIES["doc_bl_q5"] = _q_orders_deep("bl_q5")
+QUERIES["doc_bl_q6"] = _q_items_deep("bl_q6")
+QUERIES["doc_bl_q7"] = _q_orders_deep("bl_q7")
 
 
 def _sql_list(xs: list[str]) -> str:
@@ -81,6 +130,40 @@ _ORDERS_CTE = f"""
                              * ((i + j) % 5 + 1)
                              for j in generate_series(0, {ITEMS - 1})])
                    * 100 + 0.5) / 100 AS total
+      FROM generate_series(0, {N_ORDERS - 1}) AS g(i)
+    )
+"""
+
+# full order struct per i — mirrors synth_doc exactly (benchdoc.py:40-73)
+_ITEM = f"""struct_pack(
+    sku := printf('SKU-%05d', (i * {ITEMS} + j) % 9973),
+    "name" := printf('item-%d-%d', i, j),
+    category := {_sql_list(CATEGORIES)}[((i + j) % 6) + 1],
+    price := (i * 7 + j * 13) % 500 + 9.99::DOUBLE,
+    qty := (i + j) % 5 + 1)"""
+
+_ORDER_STRUCT = f"""struct_pack(
+    id := 100000 + i,
+    status := {_sql_list(STATUSES)}[(i % 5) + 1],
+    priority := {_sql_list(PRIORITIES)}[((i // 3) % 4) + 1],
+    region := {_sql_list(REGIONS)}[(i % 5) + 1],
+    total := floor(list_sum([((i * 7 + j * 13) % 500 + 9.99)
+                             * ((i + j) % 5 + 1)
+                             for j in generate_series(0, {ITEMS - 1})])
+                   * 100 + 0.5) / 100,
+    customer := struct_pack(
+        id := 10000 + (i % 5000),
+        "name" := printf('Customer %d', i % 5000),
+        email := printf('c%d@example.com', i % 5000),
+        address := struct_pack(
+            city := {_sql_list(CITIES)}[(i % 6) + 1],
+            zip := printf('%05d', (i * 17) % 100000),
+            country_code := {_sql_list(CCODES)}[(i % 6) + 1])),
+    items := [{_ITEM} for j in generate_series(0, {ITEMS - 1})])"""
+
+_FULL_CTE = f"""
+    WITH o AS (
+      SELECT i, {_ORDER_STRUCT} AS ord
       FROM generate_series(0, {N_ORDERS - 1}) AS g(i)
     )
 """
@@ -106,6 +189,36 @@ ORACLES = {
         SELECT count(*) FILTER (status = 'shipped'
                                 AND (i // 3) % 4 = 2) AS value
         FROM o
+    """,
+    # $..find(@.status == "shipped") — matched orders, every scalar dim
+    "doc_bl_q5": _FULL_CTE + """
+        SELECT ord.id AS id, ord.status AS status,
+               ord.priority AS priority, ord.region AS region,
+               ord.total AS total, ord.customer.id AS cust_id,
+               ord.customer.address.city AS city,
+               ord.items[1].sku AS sku0,
+               CAST(len(ord.items) AS INTEGER) AS n_items
+        FROM o WHERE ord.status = 'shipped'
+    """,
+    # $..find(@.sku == "SKU-00042") — ITEM structs are all-scalar
+    "doc_bl_q6": f"""
+        SELECT u.sku AS sku, u."name" AS "name", u.category AS category,
+               u.price AS price, CAST(u.qty AS BIGINT) AS qty
+        FROM (SELECT {_ITEM} AS u
+              FROM generate_series(0, {N_ORDERS - 1}) AS g(i),
+                   generate_series(0, {ITEMS - 1}) AS h(j)
+              WHERE printf('SKU-%05d', (i * {ITEMS} + j) % 9973)
+                    = 'SKU-00042') AS t(u)
+    """,
+    # multi-predicate deep find (AND of both)
+    "doc_bl_q7": _FULL_CTE + """
+        SELECT ord.id AS id, ord.status AS status,
+               ord.priority AS priority, ord.region AS region,
+               ord.total AS total, ord.customer.id AS cust_id,
+               ord.customer.address.city AS city,
+               ord.items[1].sku AS sku0,
+               CAST(len(ord.items) AS INTEGER) AS n_items
+        FROM o WHERE ord.status = 'shipped' AND ord.priority = 'urgent'
     """,
     # $..total.sum() — sequential fold over document order
     "doc_bl_q8": _ORDERS_CTE + """
