@@ -477,9 +477,10 @@ def rolling(arr: Column, n: int, agg: str) -> Column:
         cw = F.array_compact(w)
         k = F.size(cw)
         if agg == "sum":
-            return F.when(
-                k > 0, F.aggregate(cw, F.lit(0.0), lambda a, x: a + x.cast("double"))
-            ).otherwise(F.lit(None))
+            # full window always emits a sum; an all-null window sums the
+            # empty set to 0.0 (rolling_sum_apply never gates on count —
+            # ops/collection.rs:124-147)
+            return F.aggregate(cw, F.lit(0.0), lambda a, x: a + x.cast("double"))
         if agg == "avg":
             return F.when(
                 k > 0,
@@ -517,24 +518,39 @@ def diff_window(arr: Column) -> Column:
 
 
 def pct_change(arr: Column) -> Column:
-    """Reference: ops/collection.rs:264-277."""
+    """Reference: ops/collection.rs:264-277. Unlike the `/` operator
+    (which errors on zero, vm/exec.rs:866-873), pct_change guards
+    `p != 0.0` → null — hence try_divide, not bare ANSI division."""
     return F.transform(
         _seq1(F.size(arr)),
         lambda i: F.when(
             i > 1,
-            (F.element_at(arr, i) - F.element_at(arr, i - 1)).cast("double")
-            / F.element_at(arr, i - 1).cast("double"),
+            F.try_divide(
+                (F.element_at(arr, i) - F.element_at(arr, i - 1)).cast("double"),
+                F.element_at(arr, i - 1).cast("double"),
+            ),
         ).otherwise(F.lit(None)),
     )
 
 
 def zscore(arr: Column) -> Column:
-    """(x - mean) / sample-stddev over the array.
-    Reference: ops/collection.rs:322-343."""
-    n = F.size(arr)
-    mean = sum_(arr) / n
-    var = F.aggregate(
-        arr, F.lit(0.0), lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean)
-    ) / (n - 1)
+    """(x - mean) / population-stddev over the non-null elements; sd == 0
+    gives 0.0 for numeric positions; null elements stay null; an array
+    with no numerics is all null. Reference: ops/collection.rs:321-343
+    (zscore_apply: var divides by n, not n-1)."""
+    nums = F.array_compact(arr)
+    n = F.size(nums)  # try_divide: n == 0 (no numerics) must not ANSI-throw
+    mean = F.try_divide(
+        F.aggregate(nums, F.lit(0.0), lambda a, x: a + x.cast("double")), n)
+    var = F.try_divide(
+        F.aggregate(
+            nums, F.lit(0.0),
+            lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean),
+        ), n)
     sd = F.sqrt(var)
-    return F.transform(arr, lambda x: (x.cast("double") - mean) / sd)
+    return F.transform(
+        arr,
+        lambda x: F.when(x.isNull() | (n == 0), F.lit(None).cast("double"))
+        .when(sd > 0, (x.cast("double") - mean) / sd)
+        .otherwise(F.lit(0.0)),
+    )

@@ -161,6 +161,19 @@ QUERIES = {
         "  csv: [{a: c.c_custkey, b: c.c_name}].to_csv(),"
         "  tsv: [[c.c_custkey, c.c_nationkey]].to_tsv()"
         "})"),
+    # positional analytics in the LANGUAGE (§2.6): the pipeline's sort
+    # order becomes a relational Window (ops/collection.rs:124-343; the
+    # doc-mode forms of the same names run via functions/arrays.py).
+    # rolling_avg: first n-1 positions null; rounded — Spark and DuckDB
+    # disagree in the last float ulp of a sliding mean
+    "jql_window": _q(
+        "$.events.sort(event_id).map(value).rolling_avg(7).map(value.round(4))"),
+    # chained window stages, exact doubles (subtract + running max)
+    "jql_window_chain": _q(
+        "$.events.sort(event_id).map(value).diff_window().cummax()"),
+    # zscore lowers to a two-pass agg + broadcast join, not a window
+    "jql_zscore": _q(
+        "$.events.sort(event_id).map(value).zscore().map(value.round(4))"),
 }
 
 ORACLES = {
@@ -265,5 +278,24 @@ ORACLES = {
                c_custkey || ',' || c_name AS csv,
                c_custkey || chr(9) || c_nationkey AS tsv
         FROM customer
+    """,
+    "jql_window": """
+        SELECT round(CASE WHEN rn >= 7 THEN ravg END, 4) AS value FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn,
+                   avg(value) OVER (ORDER BY event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ravg
+            FROM events)
+    """,
+    "jql_window_chain": """
+        SELECT max(d) OVER (ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS value FROM (
+            SELECT event_id,
+                   value - lag(value) OVER (ORDER BY event_id) AS d
+            FROM events)
+    """,
+    "jql_zscore": """
+        SELECT round((value - avg(value) OVER ()) /
+                     stddev_pop(value) OVER (), 4) AS value
+        FROM events
     """,
 }

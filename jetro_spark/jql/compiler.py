@@ -2416,6 +2416,51 @@ def m_del_paths(self, recv, args, env):
     return TC(c, d)
 
 
+# ------------------------------------------- positional analytics (§2.6)
+
+
+_DARR = T.ArrayType(T.DoubleType())
+
+
+def _num_arr(recv: TC) -> Column:
+    """Coerce array elements to f64 exactly like the reference's
+    ``numeric_options`` (ops/collection.rs:89-105): numeric elements cast
+    to double, non-numeric elements become null, non-array receivers are
+    a compile error."""
+    if not isinstance(recv.dtype, T.ArrayType):
+        raise CompileError(
+            f"window builtin requires an array receiver, got {_family(recv.dtype)}")
+    et = recv.dtype.elementType
+    if isinstance(et, (T.NumericType, T.NullType)):
+        return F.transform(recv.col, lambda x: x.cast("double"))
+    if isinstance(et, T.VariantType):
+        return F.transform(recv.col, lambda x: F.try_variant_get(x, "$", "double"))
+    return F.transform(recv.col, lambda x: F.lit(None).cast("double"))
+
+
+def _m_rolling(agg: str):
+    def m(self, recv, args, env):
+        n = _const_int(args, 0)
+        if n <= 0:  # EvalError("rolling_*: window must be > 0"), mod.rs:1715
+            raise CompileError(f"rolling_{agg}: window must be > 0")
+        return TC(AR.rolling(_num_arr(recv), n, agg), _DARR)
+    return m
+
+
+def m_lag(self, recv, args, env):
+    return TC(AR.lag(_num_arr(recv), _const_int(args, 0, 1)), _DARR)
+
+
+def m_lead(self, recv, args, env):
+    return TC(AR.lead(_num_arr(recv), _const_int(args, 0, 1)), _DARR)
+
+
+def _m_win0(fn):
+    def m(self, recv, args, env):
+        return TC(fn(_num_arr(recv)), _DARR)
+    return m
+
+
 METHODS = {
     # arrays / pipelines (§2.3)
     "filter": m_filter, "find": m_filter, "find_all": m_filter,
@@ -2450,6 +2495,16 @@ METHODS = {
     "group_by": m_group_by, "count_by": m_count_by, "index_by": m_index_by,
     "approx_count_distinct": m_approx_count_distinct,
     "equi_join": m_equi_join,
+    # positional analytics (§2.6) — ops/collection.rs:124-343; reference
+    # names are cummax/cummin (defs.rs:2299,2314); cum_max/cum_min kept
+    # as aliases for the operator-level spelling
+    "lag": m_lag, "lead": m_lead,
+    "rolling_sum": _m_rolling("sum"), "rolling_avg": _m_rolling("avg"),
+    "rolling_min": _m_rolling("min"), "rolling_max": _m_rolling("max"),
+    "cummax": _m_win0(AR.cum_max), "cum_max": _m_win0(AR.cum_max),
+    "cummin": _m_win0(AR.cum_min), "cum_min": _m_win0(AR.cum_min),
+    "diff_window": _m_win0(AR.diff_window), "pct_change": _m_win0(AR.pct_change),
+    "zscore": _m_win0(AR.zscore),
     # object transforms (§2.7)
     "keys": m_keys, "values": m_values,
     "entries": m_entries, "to_pairs": m_entries,

@@ -254,6 +254,11 @@ class Jetro:
 _REL_TERMINALS = {"count", "sum", "avg", "min", "max", "any", "exists", "all",
                   "len", "approx_count_distinct"}
 
+# positional analytics (§2.6) with a relational Window lowering
+_WINDOW_STAGES = {"lag", "lead", "rolling_sum", "rolling_avg", "rolling_min",
+                  "rolling_max", "cummax", "cummin", "cum_max", "cum_min",
+                  "diff_window", "pct_change", "zscore"}
+
 
 class JetroDocs:
     """Multi-document engine — the reference's ``JetroEngine`` (explicit
@@ -327,6 +332,10 @@ class JetroTables:
         self.tables = tables
         self.c = Compiler()
         self._scalars: dict = scalars or {}  # let-bound scalar TCs
+        # pipeline sequence order: list of (Column, desc) sort keys set by
+        # a .sort(...) stage and threaded through order-preserving stages
+        # so positional analytics (lag/rolling/... §2.6) can window on it
+        self._order: list | None = None
 
     # row-scope env: bare idents resolve to F.col via TC(row=True);
     # let-bound scalars shadow nothing (row fields win — locals are
@@ -472,44 +481,77 @@ class JetroTables:
     # -------------------------------------------------------- pipeline
 
     def _pipeline(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
-        i = 0
-        while i < len(steps):
-            step = steps[i]
-            out = self._stage(df, step)
-            if out is None:
-                return self._doc_fallback(df, steps[i:])
-            df = out
-            i += 1
-        return df
+        saved, self._order = self._order, None
+        try:
+            i = 0
+            while i < len(steps):
+                step = steps[i]
+                out = self._stage(df, step)
+                if out is None:
+                    return self._doc_fallback(df, steps[i:])
+                df = out
+                i += 1
+        finally:
+            self._order = saved
+        hidden = [c for c in df.columns if c.startswith("__ord")]
+        return df.drop(*hidden) if hidden else df
 
     def _stage(self, df: DataFrame, step: A.Node) -> DataFrame | None:
         env = self._row_env(df)
+        order, self._order = self._order, None  # stages opt back in
         if isinstance(step, A.InlineFilter):
+            self._order = order
             return df.filter(self.c.compile_cond(step.pred, env))
         if isinstance(step, A.MapShape):
             if step.pred is not None:
                 df = df.filter(self.c.compile_cond(step.pred, env))
                 env = self._row_env(df)
-            return self._select_body(df, step.shape, env)
+            return self._select_carry(df, step.shape, env, order)
         if isinstance(step, A.Index):
             v = step.expr
             if isinstance(v, A.Literal) and isinstance(v.value, int) and v.value >= 0:
+                self._order = order
                 return df.offset(v.value).limit(1)
             return None
         if isinstance(step, A.Slice):
+            self._order = order
             a = step.start or 0
             if a >= 0 and step.stop is not None and step.stop >= a:
                 return df.offset(a).limit(step.stop - a)
             if a >= 0 and step.stop is None:
                 return df.offset(a)
+            self._order = None
             return None
         if isinstance(step, A.Quantifier):
+            self._order = order
             return df  # `?` null-safe is free; `!` asserted at action time
         if not isinstance(step, A.Method):
             return None
-        return self._method_stage(df, step, env)
+        return self._method_stage(df, step, env, order)
 
-    def _method_stage(self, df: DataFrame, step: A.Method, env: Env) -> DataFrame | None:
+    def _select_carry(self, df: DataFrame, body: A.Node, env: Env,
+                      order: list | None) -> DataFrame:
+        """_select_body, but when a sort order is live the sort keys ride
+        along as hidden ``__ord{i}`` columns (stripped at pipeline end) so
+        a later window builtin can still order by them after the
+        projection dropped the original key columns."""
+        if not order:
+            return self._select_body(df, body, env)
+        for i, (col, _desc) in enumerate(order):
+            df = df.withColumn(f"__ord{i}", col)
+            env = self._row_env(df)
+        extras = [F.col(f"__ord{i}") for i in range(len(order))]
+        tc = self.c.compile(body, env)
+        if isinstance(tc.dtype, T.StructType):
+            out = df.select(tc.col.alias("__s"), *extras).select("__s.*", *[
+                f"__ord{i}" for i in range(len(order))])
+        else:
+            out = df.select(tc.col.alias(self._scalar_name(body)), *extras)
+        self._order = [(F.col(f"__ord{i}"), d) for i, (_, d) in enumerate(order)]
+        return out
+
+    def _method_stage(self, df: DataFrame, step: A.Method, env: Env,
+                      order: list | None = None) -> DataFrame | None:
         name, args = step.name, step.args
         c = self.c
 
@@ -526,27 +568,33 @@ class JetroTables:
             return col, desc
 
         if name in ("filter", "find", "find_all"):
+            self._order = order
             return df.filter(pred(args[0].value))
         if name == "map":
             body = args[0].value
             if isinstance(body, A.Lambda):
                 env2 = env.bind(body.params[0], self._row_tc(df))
-                return self._select_body(df, body.body, env2)
-            return self._select_body(df, body, env)
+                return self._select_carry(df, body.body, env2, order)
+            return self._select_carry(df, body, env, order)
         if name in ("sort", "sort_by"):
             if not args:
-                return df.orderBy(*[F.col(x) for x in df.columns])
-            order = []
-            for a in args:
-                col, desc = key_col(a.value)
-                order.append(col.desc() if desc else col.asc())
-            return df.orderBy(*order)
+                keys = [(F.col(x), False) for x in df.columns
+                        if not x.startswith("__ord")]
+            else:
+                keys = [key_col(a.value) for a in args]
+            self._order = keys
+            return df.orderBy(*[c.desc() if d else c.asc() for c, d in keys])
         if name == "take":
+            self._order = order
             return df.limit(_lit_int(args[0].value))
         if name in ("skip", "drop"):
+            self._order = order
             return df.offset(_lit_int(args[0].value))
         if name == "first":
+            self._order = order
             return df.limit(1) if not args else df.limit(_lit_int(args[0].value))
+        if name in _WINDOW_STAGES:
+            return self._window_stage(df, name, args, order)
         if name in ("unique", "distinct"):
             return df.distinct()
         if name == "unique_by":
@@ -610,6 +658,79 @@ class JetroTables:
             return df.unionByName(other, allowMissingColumns=True)
         return None
 
+    def _window_stage(self, df: DataFrame, name: str, args,
+                      order: list | None) -> DataFrame:
+        """Positional analytics over the pipeline's sequence order (§2.6).
+
+        Document mode treats the pipeline as one ordered array; a Spark
+        DataFrame has no intrinsic row order, so the order comes from the
+        preceding ``.sort(...)`` stage (required). Lowering: a global
+        un-partitioned Window over the sort keys — faithful to the
+        single-sequence semantics and, like the reference's one-thread
+        scan (ops/collection.rs:124-343), inherently sequential; for
+        partition-parallel analytics at scale use the keyed forms in
+        operators/analytics.py (with_lag etc. take partition columns).
+        ``zscore`` instead lowers to a two-pass agg + broadcast join —
+        no single-partition window at all."""
+        from pyspark.sql.window import Window
+
+        if order is None:
+            raise CompileError(
+                f"{name}: a relational pipeline has no intrinsic row "
+                "order; add a .sort(...) before positional analytics")
+        data = [c for c in df.columns if not c.startswith("__ord")]
+        if len(data) != 1:
+            raise CompileError(
+                f"{name}: expected a single projected column "
+                f"(use .map(field) first), got {data}")
+        cname = data[0]
+        dt = df.schema[cname].dataType
+        # numeric_options coercion (ops/collection.rs:89-105)
+        if isinstance(dt, (T.NumericType, T.NullType)):
+            x = F.col(cname).cast("double")
+        elif isinstance(dt, T.VariantType):
+            x = F.try_variant_get(F.col(cname), "$", "double")
+        else:
+            x = F.lit(None).cast("double")
+        self._order = order
+        hid = [F.col(c) for c in df.columns if c.startswith("__ord")]
+        if name == "zscore":
+            stats = df.agg(F.avg(x).alias("__mean"),
+                           F.stddev_pop(x).alias("__sd"))
+            z = (F.when(x.isNull(), F.lit(None).cast("double"))
+                 .when(F.col("__sd") > 0, (x - F.col("__mean")) / F.col("__sd"))
+                 .when(F.col("__mean").isNull(), F.lit(None).cast("double"))
+                 .otherwise(F.lit(0.0)))
+            return df.crossJoin(F.broadcast(stats)).select(z.alias(cname), *hid)
+        w = Window.orderBy(*[c.desc() if d else c.asc() for c, d in order])
+        if name == "lag":
+            col = F.lag(x, _opt_int(args, 1)).over(w)
+        elif name == "lead":
+            col = F.lead(x, _opt_int(args, 1)).over(w)
+        elif name == "diff_window":
+            col = x - F.lag(x, 1).over(w)
+        elif name == "pct_change":
+            prev = F.lag(x, 1).over(w)
+            # pct_change guards `p != 0.0` → null (ops/collection.rs:264)
+            # while the `/` operator errors — so try_divide here
+            col = F.try_divide(x - prev, prev)
+        elif name in ("cummax", "cum_max"):
+            col = F.max(x).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif name in ("cummin", "cum_min"):
+            col = F.min(x).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        else:
+            n = _opt_int(args, None)
+            if n is None or n <= 0:
+                raise CompileError(f"{name}: window must be > 0")
+            agg = {"rolling_sum": F.sum, "rolling_avg": F.avg,
+                   "rolling_min": F.min, "rolling_max": F.max}[name]
+            body = agg(x).over(w.rowsBetween(1 - n, 0))
+            if name == "rolling_sum":
+                # full all-null window sums the empty set to 0.0
+                body = F.coalesce(body, F.lit(0.0))
+            col = F.when(F.row_number().over(w) >= n, body)
+        return df.select(col.alias(cname), *hid)
+
     def _resolve_table(self, node: A.Node) -> DataFrame | None:
         if isinstance(node, A.Path) and isinstance(node.base, A.Root) \
                 and len(node.steps) >= 1 and isinstance(node.steps[0], A.Field) \
@@ -640,6 +761,10 @@ class JetroTables:
             if isinstance(tc.dtype.elementType, T.StructType):
                 out = out.select("value.*")
         return out
+
+
+def _opt_int(args, default=None):
+    return _lit_int(args[0].value) if args else default
 
 
 def _lit_int(node: A.Node) -> int:

@@ -175,21 +175,33 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def simhash(c: Column, bits: int = 32) -> Column:
     """SimHash signature: per-bit majority vote over token hashes —
-    row-local, expression-only. Near-identical texts differ in few bits."""
+    row-local, expression-only. Near-identical texts differ in few bits.
+
+    Single pass: one ``aggregate`` folds the token hashes into a
+    ``bits``-wide ones-count array (the expression tree is independent
+    of ``bits``), then one ``transform`` turns majority bits into the
+    packed signature. Bit *i* of a (possibly negative, two's-complement)
+    hash is ``pmod(floor(h / 2^i), 2)`` — arithmetic shiftright is floor
+    division, so this matches ``shiftright(h, i) & 1`` for int i."""
     toks = ws_tokens(normalize_text(c))
     hashes = F.transform(toks, lambda t: F.hash(t))
-
-    def bit_set(i: int) -> Column:
-        ones = F.size(F.filter(
-            hashes,
-            lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == F.lit(1)))
-        return F.when(ones * 2 > F.size(hashes),
-                      F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out + bit_set(i)
-    return out
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    counts = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x + F.pmod(
+                F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double")))
+                .cast("long"),
+                F.lit(2))))
+    n = F.size(hashes)
+    weighted = F.transform(
+        counts,
+        lambda cnt, i: F.when(
+            cnt * 2 > n,
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+        .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -102,20 +102,30 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: bucket join on any shared (table, key), exact
     cosine rerank of candidates. Audit the plan: corpus shuffles once by
-    (table, key); candidates only — never all pairs."""
-    def with_buckets(df: DataFrame, idn: str, vecn: str) -> DataFrame:
+    (table, key); candidates only — never all pairs.
+
+    The bucket frames and the candidate `.distinct()` carry IDS ONLY —
+    a pair found in several tables dedups on (qid, nid) before the
+    embedding vectors are joined back for the rerank (same id-first
+    shape as the MinHash pipeline, dedup.py). Shuffling 1k-dim vectors
+    through the dedup exchange would be the heaviest possible distinct
+    at 100 TB."""
+    def bucket_ids(df: DataFrame, idn: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(idn), F.col(vec_col).alias(vecn),
+            F.col(id_col).alias(idn),
             F.posexplode(lsh_bucket_keys(F.col(vec_col), tables=tables,
                                          bits=bits, dim=dim)).alias("tbl", "key"))
 
-    qb = with_buckets(queries, "qid", "qvec")
-    cb = with_buckets(corpus, "nid", "nvec")
-    cand = (qb.join(cb, ["tbl", "key"])
-            .filter(F.col("qid") != F.col("nid"))
-            .select("qid", "qvec", "nid", "nvec")
-            .distinct())
-    scored = cand.withColumn("score", cosine(F.col("qvec"), F.col("nvec")))
+    pair_ids = (bucket_ids(queries, "qid").join(bucket_ids(corpus, "nid"),
+                                                ["tbl", "key"])
+                .filter(F.col("qid") != F.col("nid"))
+                .select("qid", "nid")
+                .distinct())
+    qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
+                                    F.col(vec_col).alias("qvec")))
+    cv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (pair_ids.join(qv, "qid").join(cv, "nid")
+              .withColumn("score", cosine(F.col("qvec"), F.col("nvec"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -237,8 +237,13 @@ def test_analytics_doc_mode(spark):
     assert one(spark, A.diff_window(a)) == [None, 2.0, -1.0, 3.0]
     pc = one(spark, A.pct_change(a))
     assert pc[0] is None and abs(pc[1] - 2.0) < 1e-12
+    # population stddev (zscore_apply divides var by n): sd(1,2,3)=sqrt(2/3)
     zs = one(spark, A.zscore(arr_lit(1.0, 2.0, 3.0)))
-    assert abs(zs[0] + 1.0) < 1e-12 and abs(zs[1]) < 1e-12 and abs(zs[2] - 1.0) < 1e-12
+    sd = (2.0 / 3.0) ** 0.5
+    assert abs(zs[0] + 1.0 / sd) < 1e-12 and abs(zs[1]) < 1e-12 \
+        and abs(zs[2] - 1.0 / sd) < 1e-12
+    # sd == 0 → 0.0 for numeric positions (not null, not NaN)
+    assert one(spark, A.zscore(arr_lit(5.0, 5.0))) == [0.0, 0.0]
 
 
 def test_min_max_by(spark):

