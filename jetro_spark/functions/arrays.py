@@ -15,6 +15,8 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from jetro_spark.functions.core import elem_at
+
 Lambda = Callable[[Column], Column]
 
 
@@ -99,12 +101,12 @@ def drop_while(arr: Column, pred: Lambda) -> Column:
 def find_first(arr: Column, pred: Lambda) -> Column:
     """First match else null. Reference: mod.rs:154 (lowering filter→First,
     registry.rs:488-492)."""
-    return F.try_element_at(filter_(arr, pred), F.lit(1))
+    return elem_at(filter_(arr, pred), 1)
 
 
 def find_index(arr: Column, pred: Lambda) -> Column:
     """0-based index of first match, -1 if none. Reference: ops/array.rs:293."""
-    hit = F.try_element_at(
+    hit = elem_at(
         F.filter(
             F.zip_with(
                 arr,
@@ -198,14 +200,14 @@ def first(arr: Column, n: int | None = None) -> Column:
     """first() → element; first(n) → prefix array. Negative n from end.
     Reference: ops/collection.rs:344-377."""
     if n is None:
-        return F.try_element_at(arr, F.lit(1))
+        return elem_at(arr, 1)
     return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, 1, F.greatest(F.size(arr) + n, F.lit(0)))
 
 
 def last(arr: Column, n: int | None = None) -> Column:
     """Reference: ops/collection.rs:344-377."""
     if n is None:
-        return F.try_element_at(arr, F.lit(-1))
+        return elem_at(arr, -1)
     if n >= 0:
         return F.slice(arr, F.greatest(F.size(arr) - n + 1, F.lit(1)), n)
     return F.slice(arr, F.lit(1 - n), F.greatest(F.size(arr) + n, F.lit(0)))
@@ -395,13 +397,13 @@ def all_(arr: Column, pred: Lambda) -> Column:
 def min_by(arr: Column, key: Lambda) -> Column:
     """Element with minimal key. Reference: ops/array.rs:341-375."""
     sorted_ = sort(arr, key=key)
-    return F.try_element_at(sorted_, F.lit(1))
+    return elem_at(sorted_, 1)
 
 
 def max_by(arr: Column, key: Lambda) -> Column:
     """Reference: ops/array.rs:341-375."""
     sorted_ = sort(arr, key=key, desc=True)
-    return F.try_element_at(sorted_, F.lit(1))
+    return elem_at(sorted_, 1)
 
 
 def group_by(arr: Column, key: Lambda) -> Column:

@@ -87,19 +87,34 @@ def jt_add(a: Column, b: Column, dtype: T.DataType | None = None) -> Column:
     return a + b
 
 
+def elem_at(arr: Column, idx: Column | int) -> Column:
+    """``try_element_at`` semantics (1-based, negative-from-end, invalid
+    index → null) WITHOUT ``TryEval``: a when-guarded ``element_at``.
+
+    ``F.try_element_at`` wraps ``ElementAt`` in ``TryEval``, whose
+    generated Java fails janino compilation in this Spark build
+    ("Expression isNull_X is not an rvalue") — every expression tree
+    containing it silently drops the enclosing whole-stage-codegen unit
+    to interpreted eval, a 10-100× per-row slowdown at scale. The
+    CASE-WHEN guard evaluates ``element_at`` only in bounds, so ANSI
+    never throws and codegen stays intact."""
+    i = idx if isinstance(idx, Column) else F.lit(idx)
+    i = i.cast("int")
+    n = F.size(arr)
+    return F.when((i != 0) & (F.abs(i) <= n), F.element_at(arr, i))
+
+
 def jt_element_at(arr: Column, idx: int) -> Column:
     """0-based indexing with Python-style negatives over Spark's 1-based
     ``element_at`` (negative-from-end is -1-based in both, so only the
-    non-negative case shifts). OOB → null (Spark ``try_element_at``).
+    non-negative case shifts). OOB → null.
     Reference: jetro-core/src/data/value.rs:297-344."""
-    spark_idx = idx + 1 if idx >= 0 else idx
-    return F.try_element_at(arr, F.lit(spark_idx))
+    return elem_at(arr, idx + 1 if idx >= 0 else idx)
 
 
 def jt_element_at_dyn(arr: Column, idx: Column) -> Column:
     """Dynamic-index variant of :func:`jt_element_at`."""
-    spark_idx = F.when(idx >= 0, idx + 1).otherwise(idx)
-    return F.try_element_at(arr, spark_idx.cast("int"))
+    return elem_at(arr, F.when(idx >= 0, idx + 1).otherwise(idx))
 
 
 def jt_slice(arr: Column, start: int | None, stop: int | None) -> Column:

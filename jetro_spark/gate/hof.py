@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jetro_spark.functions import arrays as AR
+from jetro_spark.functions.core import elem_at
 from jetro_spark.session import load_tables
 
 
@@ -41,13 +42,13 @@ def q_hof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(AR.chunk(a, 3)).cast("long").alias("nchunk"),
         F.size(AR.window(a, 3)).cast("long").alias("nwin"),
         F.size(AR.pairwise(a)).cast("long").alias("npair"),
-        F.try_element_at(AR.accumulate(a, lambda acc, x: acc + x), F.lit(-1))
+        elem_at(AR.accumulate(a, lambda acc, x: acc + x), -1)
         .alias("acc_last"),
         F.size(AR.partition(a, lambda x: x > 25)["pass"]).cast("long")
         .alias("npass"),
         F.size(AR.zip_(a, AR.reverse(a))).cast("long").alias("nzip"),
-        F.try_element_at(AR.lag(a, 1), F.lit(2)).alias("lag2"),
-        F.try_element_at(AR.rolling(a, 2, "sum"), F.lit(-1)).alias("roll_last"),
+        elem_at(AR.lag(a, 1), 2).alias("lag2"),
+        elem_at(AR.rolling(a, 2, "sum"), -1).alias("roll_last"),
     )
 
 

@@ -174,6 +174,20 @@ QUERIES = {
     # zscore lowers to a two-pass agg + broadcast join, not a window
     "jql_zscore": _q(
         "$.events.sort(event_id).map(value).zscore().map(value.round(4))"),
+    # pipeline-position stages with native lowerings (logical stages
+    # Last/Nth/Reverse/TakeWhile/DropWhile/FlatMap, jc/ir/logical.rs:
+    # 16-57) — none of these may hit the single-task doc fallback
+    "jql_last": _q(
+        "$.orders.sort(o_orderkey).map({okey: o_orderkey, tot: o_totalprice})"
+        ".last()"),
+    "jql_nth_rev": _q(
+        "$.orders.sort(o_orderkey).reverse().map({okey: o_orderkey}).nth(1)"),
+    "jql_take_while": _q(
+        "$.events.sort(event_id).take_while(value < 450)"
+        ".map({eid: event_id, v: value})"),
+    "jql_drop_while": _q(
+        "$.events.sort(event_id).drop_while(value < 450).count()"),
+    "jql_flat_map": _q("$.orders.flat_map([o_orderkey, o_custkey])"),
 }
 
 ORACLES = {
@@ -297,5 +311,30 @@ ORACLES = {
         SELECT round((value - avg(value) OVER ()) /
                      stddev_pop(value) OVER (), 4) AS value
         FROM events
+    """,
+    "jql_last": """
+        SELECT o_orderkey AS okey, o_totalprice AS tot
+        FROM orders ORDER BY o_orderkey DESC LIMIT 1
+    """,
+    "jql_nth_rev": """
+        SELECT o_orderkey AS okey
+        FROM orders ORDER BY o_orderkey DESC OFFSET 1 LIMIT 1
+    """,
+    "jql_take_while": """
+        SELECT event_id AS eid, value AS v FROM (
+            SELECT event_id, value,
+                   sum(CASE WHEN value < 450 THEN 0 ELSE 1 END)
+                       OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS cf
+            FROM events) WHERE cf = 0
+    """,
+    "jql_drop_while": """
+        SELECT count(*) AS value FROM (
+            SELECT sum(CASE WHEN value < 450 THEN 0 ELSE 1 END)
+                       OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS cf
+            FROM events) WHERE cf >= 1
+    """,
+    "jql_flat_map": """
+        SELECT o_orderkey AS value FROM orders
+        UNION ALL SELECT o_custkey FROM orders
     """,
 }

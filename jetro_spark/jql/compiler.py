@@ -33,6 +33,7 @@ from jetro_spark.functions import arrays as AR
 from jetro_spark.functions import objects as OB
 from jetro_spark.functions import strings as S
 from jetro_spark.functions.core import (
+    elem_at,
     jt_cast,
     to_variant,
     vcast,
@@ -181,7 +182,7 @@ def field_access(tc: TC, name: str) -> TC:
         # LAST match wins: jetro objects are IndexMaps where a later
         # insert replaces the value (value.rs:47) — entries built by
         # from_pairs / dynamic object literals may carry duplicates
-        hit = F.try_element_at(
+        hit = elem_at(
             F.filter(tc.col, lambda s: s["key"] == F.lit(name)), F.lit(-1))
         return TC(hit["value"], val_dt)
     if isinstance(tc.dtype, T.MapType):
@@ -597,7 +598,7 @@ class Compiler:
             key = self.compile(step.expr, env)
             if is_objrepr(tc.dtype):
                 val_dt = tc.dtype.elementType["value"].dataType
-                hit = F.try_element_at(
+                hit = elem_at(
                     F.filter(tc.col, lambda s: s["key"] == key.col), F.lit(1))
                 return TC(hit["value"], val_dt)
             if isinstance(tc.dtype, T.MapType):
@@ -636,7 +637,7 @@ class Compiler:
             if is_objrepr(tc.dtype) and _family(idx.dtype) == "string":
                 # object[key] lookup (SYNTAX.md §9 index_by example)
                 val_dt = tc.dtype.elementType["value"].dataType
-                hit = F.try_element_at(
+                hit = elem_at(
                     F.filter(tc.col, lambda s: s["key"] == idx.col), F.lit(1))
                 return TC(hit["value"], val_dt)
             if isinstance(tc.dtype, T.VariantType):
@@ -663,7 +664,7 @@ class Compiler:
                 return tc
             elem_dt = tc.dtype.elementType
             if step.mark == "?":
-                return TC(F.try_element_at(tc.col, F.lit(1)), elem_dt)
+                return TC(elem_at(tc.col, 1), elem_dt)
             msg = F.concat(
                 F.lit("quantifier !: expected exactly one element, got "),
                 F.size(tc.col).cast("string"))
@@ -1103,7 +1104,7 @@ class Compiler:
         # arr destructure
         elem = acc.dtype.elementType if isinstance(acc.dtype, T.ArrayType) else None
         for i, name in enumerate(b.names):
-            env = env.bind(name, TC(F.try_element_at(acc.col, F.lit(i + 1)), elem))
+            env = env.bind(name, TC(elem_at(acc.col, i + 1), elem))
         return env
 
     def _pipe_apply(self, acc: TC, expr: A.Node, env: Env) -> TC:

@@ -595,6 +595,69 @@ class JetroTables:
             return df.limit(1) if not args else df.limit(_lit_int(args[0].value))
         if name in _WINDOW_STAGES:
             return self._window_stage(df, name, args, order)
+        if name == "last":
+            # reverse-sort + limit (logical stage Last, jc/ir/logical.rs:
+            # 16-57): needs the pipeline's order; unordered → doc fallback
+            if order is None or (args and _lit_int(args[0].value) < 0):
+                return None
+            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
+            self._order = order
+            return inv.limit(1 if not args else _lit_int(args[0].value))
+        if name == "nth":
+            i = _lit_int(args[0].value)
+            if i >= 0:
+                self._order = order
+                return df.offset(i).limit(1)
+            if order is None:
+                return None
+            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
+            self._order = order
+            return inv.offset(-i - 1).limit(1)
+        if name == "reverse":
+            if order is None:
+                return None
+            flipped = [(c2, not d) for c2, d in order]
+            self._order = flipped
+            return df.orderBy(*[c2.desc() if d else c2.asc()
+                                for c2, d in flipped])
+        if name in ("take_while", "drop_while", "takewhile", "dropwhile"):
+            # longest truthy prefix over the pipeline order: cumulative
+            # failure count (window min over !pred per the logical stages
+            # TakeWhile/DropWhile, jc/ir/logical.rs:16-57). The
+            # un-partitioned running sum is single-sequence by semantics.
+            if order is None:
+                return None
+            from pyspark.sql.window import Window
+            w = (Window.orderBy(*[c2.desc() if d else c2.asc()
+                                  for c2, d in order])
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            node = args[0].value
+            if isinstance(node, A.Lambda):
+                env2 = env.bind(node.params[0], self._row_tc(df))
+                ok = c.compile_cond(node.body, env2)
+            else:
+                ok = pred(node)
+            fail = F.when(F.coalesce(ok, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            cum = F.sum(fail).over(w)
+            keep = cum == 0 if name.replace("_", "").startswith("take") else cum >= 1
+            self._order = order
+            return (df.withColumn("__tw", keep)
+                    .filter(F.col("__tw")).drop("__tw"))
+        if name == "flat_map":
+            body = args[0].value
+            if isinstance(body, A.Lambda):
+                env2 = env.bind(body.params[0], self._row_tc(df))
+                tc = c.compile(body.body, env2)
+                body = body.body
+            else:
+                tc = c.compile(body, env)
+            if not isinstance(tc.dtype, T.ArrayType):
+                raise CompileError("flat_map body must produce an array")
+            el = tc.dtype.elementType
+            out = df.select(F.explode(tc.col).alias("__e"))
+            if isinstance(el, T.StructType):
+                return out.select("__e.*")
+            return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
             return df.distinct()
         if name == "unique_by":
@@ -768,6 +831,8 @@ def _opt_int(args, default=None):
 
 
 def _lit_int(node: A.Node) -> int:
+    if isinstance(node, A.Neg):
+        return -_lit_int(node.expr)
     if isinstance(node, A.Literal) and isinstance(node.value, int):
         return node.value
     raise CompileError("expected integer literal")

@@ -1,0 +1,71 @@
+"""Relational lowerings for pipeline-position stages (logical stages
+Last/Nth/Reverse/TakeWhile/DropWhile/FlatMap, jc/ir/logical.rs:16-57).
+
+Every case runs with warnings-as-errors: hitting the single-task
+``_doc_fallback`` raises, so these prove the lowering is native.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from jetro_spark.jql.engine import Jetro, JetroTables
+
+
+@pytest.fixture(scope="module")
+def seq_tables(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2])],
+        "k int, v double")
+    return {"s": df}
+
+
+def rel(spark, seq_tables, expr):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = JetroTables(spark, seq_tables).query(expr)
+        return [tuple(r) for r in out.collect()], out.columns
+
+
+@pytest.mark.parametrize("expr,want,cols", [
+    ("$.s.sort(k).map({k: k, v: v}).last()", [(6, 2.0)], ["k", "v"]),
+    ("$.s.sort(k).last(2)", [(6, 2.0), (5, 9.0)], ["k", "v"]),
+    ("$.s.sort(k).map(v).nth(2)", [(4.0,)], ["v"]),
+    ("$.s.sort(k).map(v).nth(-2)", [(9.0,)], ["v"]),
+    ("$.s.sort(k).reverse().map(v).first()", [(2.0,)], ["v"]),
+    ("$.s.sort(k).reverse().map(v).nth(1)", [(9.0,)], ["v"]),
+    ("$.s.sort(k).take_while(v < 5).map(v)",
+     [(3.0,), (1.0,), (4.0,), (1.0,)], ["v"]),
+    ("$.s.sort(k).drop_while(v < 5).map(v)", [(5.0,), (9.0,), (2.0,)], ["v"]),
+    ("$.s.sort(k).take_while(x => x.v < 5).count()", [(4,)], ["value"]),
+    ("$.s.flat_map([k, k + 100]).count()", [(14,)], ["value"]),
+    # a window stage after reverse() follows the flipped order
+    ("$.s.sort(k).map(v).reverse().cummax()",
+     [(2.0,), (9.0,), (9.0,), (9.0,), (9.0,), (9.0,), (9.0,)], ["v"]),
+])
+def test_native_lowering(spark, seq_tables, expr, want, cols):
+    vals, got_cols = rel(spark, seq_tables, expr)
+    assert vals == want
+    assert got_cols == cols
+
+
+def test_unordered_last_still_falls_back(spark, seq_tables):
+    """Without a .sort the table has no order — last() keeps the honest
+    (warned) doc-fallback path rather than inventing a row order."""
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = JetroTables(spark, seq_tables).query("$.s.last()")
+        assert len(out.collect()) == 1
+
+
+def test_doc_mode_equivalence(spark, seq_tables):
+    doc = {"s": [{"k": i, "v": v}
+                 for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])]}
+    j = Jetro.from_value(spark, doc)
+    assert j.collect("$.s.sort(k).take_while(x => x.v < 5).map(v)") == \
+        [3.0, 1.0, 4.0, 1.0]
+    assert j.collect("$.s.sort(k).drop_while(x => x.v < 5).map(v)") == \
+        [5.0, 9.0, 2.0]
+    assert j.collect("$.s.map(v).flat_map([@, @ + 100.0]).len()") == 14
+    assert j.collect("$.s.sort(k).map(v).nth(-2)") == 9.0
