@@ -41,7 +41,76 @@ def q_jql_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("value.*")
 
 
+def q_jql_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-mode pivot/implode/explode builtins (ops/array.rs:550-618,
+    ops/collection.rs:497-553) over per-order documents: pivot is
+    last-wins first-seen-order, implode groups by the other fields,
+    explode emits one object per element of the named array field."""
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    js = o.select(F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.array(
+            F.struct(F.lit("x").alias("k"),
+                     F.col("o_totalprice").alias("v")),
+            F.struct(F.lit("y").alias("k"),
+                     F.col("o_orderkey").cast("double").alias("v")),
+            F.struct(F.lit("x").alias("k"),
+                     F.col("o_custkey").cast("double").alias("v")),
+        ).alias("items"),
+        F.array(F.struct(
+            F.lit(1).alias("g"),
+            F.array_repeat(F.col("o_custkey"),
+                           (F.col("o_orderkey") % 3).cast("int")).alias("xs"),
+        )).alias("wrap"))).alias("js"))
+    jd = JetroDocs.from_json_strings(spark, js, "js")
+    return jd.frame(
+        '{id: $.id,'
+        ' px: $.items.pivot("k", "v").x,'
+        ' py: $.items.pivot("k", "v").y,'
+        ' nimp: $.items.implode(v).len(),'
+        ' nex: $.wrap.explode(xs).len()}'
+    ).select("value.*")
+
+
+def q_jql_variant_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless deep search: per-order JSON parsed to a VARIANT root
+    (no static schema at all) and deep-searched with `$..` — the
+    bounded-depth runtime walk (compiler._variant_nodes) replacing the
+    plan-time schema walk. Reference handles arbitrary byte streams
+    (jc/lib.rs:354 from_bytes → exec/structural.rs)."""
+    import pyspark.sql.types as T
+
+    from jetro_spark.jql.compiler import TC, Compiler, Env
+    from jetro_spark.jql.parser import parse as jparse
+
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    d = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.parse_json(F.to_json(F.struct(
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.struct(F.col("o_custkey").cast("double").alias("total"))
+                .alias("nest")).alias("a"),
+            F.col("o_orderstatus").alias("tag")))).alias("doc"))
+    root = TC(F.col("doc"), T.VariantType(), doc=True)
+    c = Compiler()
+
+    def col_of(expr: str):
+        return c.compile(jparse(expr), Env(root=root)).col
+
+    return d.select(
+        F.col("id"),
+        col_of("$..total.sum()").alias("tsum"),
+        col_of("$..total.len()").alias("ndeep"),
+        col_of("$..tag.first()").cast("string").alias("tag"),
+        col_of("$..").alias("__nodes")).select(
+        "id", "tsum", "ndeep", "tag",
+        F.size(F.col("__nodes")).cast("long").alias("nnodes"))
+
+
 QUERIES = {
+    "jql_doc_pivot": q_jql_doc_pivot,
+    "jql_variant_deep": q_jql_variant_deep,
     # filter → where, map(ObjLit) → select (pushdown-eligible)
     "jql_filter_map": _q(
         "$.lineitem.filter(l_quantity > 45)"
@@ -191,6 +260,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "jql_variant_deep": """
+        SELECT o_orderkey AS id,
+               o_totalprice + CAST(o_custkey AS DOUBLE) AS tsum,
+               CAST(2 AS BIGINT) AS ndeep,
+               o_orderstatus AS tag,
+               CAST(6 AS BIGINT) AS nnodes
+        FROM orders
+    """,
+    "jql_doc_pivot": """
+        SELECT o_orderkey AS id,
+               CAST(o_custkey AS DOUBLE) AS px,
+               CAST(o_orderkey AS DOUBLE) AS py,
+               CAST(2 AS BIGINT) AS nimp,
+               o_orderkey % 3 AS nex
+        FROM orders
+    """,
     "jql_filter_map": """
         SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty
         FROM lineitem WHERE l_quantity > 45

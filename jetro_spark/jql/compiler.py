@@ -126,6 +126,46 @@ def _probe(dt: T.DataType | None) -> Column:
     return F.lit(None).cast(dt) if dt is not None else F.lit(None)
 
 
+# ----------------------------------------------------- variant deep walk
+
+_VARIANT_DEPTH = 16  # bounded: expression size is linear in the bound
+_VMAP = "map<string,variant>"
+_VARR = "array<variant>"
+
+
+def _variant_children(v: Column) -> Column:
+    """Child nodes of a runtime variant: object values, array elements,
+    or [] for scalars (try_cast dispatches on the runtime kind)."""
+    return F.coalesce(
+        F.map_values(v.try_cast(_VMAP)),
+        v.try_cast(_VARR),
+        F.array().cast(_VARR))
+
+
+def _variant_nodes(v: Column, depth: int) -> Column:
+    """Every node of a variant subtree, document pre-order, down to the
+    depth bound — the schemaless counterpart of the plan-time schema
+    walk (reference walks arbitrary Val trees, exec/structural.rs)."""
+    if depth <= 0:
+        return F.array(v)
+    return F.concat(
+        F.array(v),
+        F.flatten(F.transform(_variant_children(v),
+                              lambda c: _variant_nodes(c, depth - 1))))
+
+
+def _variant_descend_col(col: Column, name: str,
+                         depth: int = _VARIANT_DEPTH) -> Column:
+    """``$..name`` over a variant: every object node carrying the key,
+    pre-order, as array<variant>. Key presence is tested structurally
+    (map_contains_key) so an explicit ``name: null`` is still a hit."""
+    maps = F.transform(_variant_nodes(col, depth),
+                       lambda n: n.try_cast(_VMAP))
+    return F.transform(
+        F.filter(maps, lambda m: F.map_contains_key(m, F.lit(name))),
+        lambda m: F.element_at(m, F.lit(name)))
+
+
 @dataclass(frozen=True)
 class TC:
     """Typed column. ``row=True`` marks relational row scope where field
@@ -1188,6 +1228,10 @@ class Compiler:
     def descend(self, tc: TC, name: str | None, env: Env) -> TC:
         if name is None:
             return self._descend_all(tc)
+        if isinstance(tc.dtype, T.VariantType):
+            # schemaless document: bounded-depth runtime walk
+            return TC(_variant_descend_col(tc.col, name),
+                      T.ArrayType(T.VariantType()))
         if tc.dtype is None:
             raise CompileError("deep search requires a statically-known schema")
         leaf_dts: list[T.DataType] = []
@@ -1196,7 +1240,9 @@ class Compiler:
             return TC(F.array(), T.ArrayType(T.NullType()))
         out = unify(leaf_dts)
         if out is None:
-            out = T.StringType()
+            # conflicting leaf types ({x: 1} vs {x: "s"}) keep their
+            # dynamic kind through variant instead of a lossy string cast
+            out = T.VariantType()
         arr = self._descend_col(tc.col, tc.dtype, name, out)
         return TC(arr, T.ArrayType(out))
 
@@ -1209,6 +1255,9 @@ class Compiler:
         variant. Reference: SYNTAX.md:99-104, exec/structural.rs."""
         if tc.dtype is None:
             raise CompileError("deep search requires a statically-known schema")
+        if isinstance(tc.dtype, T.VariantType):
+            return TC(_variant_nodes(tc.col, _VARIANT_DEPTH),
+                      T.ArrayType(T.VariantType()))
 
         def nodes(col: Column, dt: T.DataType) -> Column:
             parts = [F.array(to_variant(col, dt))]
@@ -1220,6 +1269,11 @@ class Compiler:
                     col, lambda x: nodes(x, dt.elementType)))
                 parts.append(F.coalesce(
                     per_elem, F.array().cast("array<variant>")))
+            elif isinstance(dt, T.VariantType):
+                # the node itself is parts[0]; recurse into its children
+                parts.append(F.flatten(F.transform(
+                    _variant_children(col),
+                    lambda c: _variant_nodes(c, _VARIANT_DEPTH - 1))))
             return F.concat(*parts)
 
         return TC(nodes(tc.col, tc.dtype), T.ArrayType(T.VariantType()))
@@ -1232,17 +1286,28 @@ class Compiler:
                 self._collect_leaf_types(f.dataType, name, out)
         elif isinstance(dt, T.ArrayType):
             self._collect_leaf_types(dt.elementType, name, out)
+        elif isinstance(dt, T.VariantType):
+            # a variant subtree may contain `name` anywhere at runtime
+            out.append(T.VariantType())
 
     def _descend_col(self, col: Column, dt: T.DataType, name: str,
                      out: T.DataType) -> Column:
         """DFS pre-order array of every `name` field value below col."""
         empty = F.array().cast(T.ArrayType(out).simpleString())
+        if isinstance(dt, T.VariantType):
+            hits = _variant_descend_col(col, name)
+            if not isinstance(out, T.VariantType):
+                hits = F.transform(hits, lambda h: h.try_cast(out))
+            return hits
         if isinstance(dt, T.StructType):
             pieces: list[Column] = []
             for f in dt.fields:
                 v = col.getField(f.name)
                 if f.name == name:
-                    pieces.append(F.array(v.cast(out.simpleString())))
+                    if isinstance(out, T.VariantType):
+                        pieces.append(F.array(to_variant(v, f.dataType)))
+                    else:
+                        pieces.append(F.array(v.cast(out.simpleString())))
                 sub = self._descend_col(v, f.dataType, name, out)
                 if sub is not None:
                     pieces.append(sub)
@@ -1978,6 +2043,116 @@ def m_index_by(self, recv, args, env):
     return TC(AR.index_by(recv.col, fn), _objrepr_dt(_elem(recv) or T.NullType()))
 
 
+def _field_name_arg(args, i=0) -> str:
+    a = args[i].value
+    if isinstance(a, A.Ident):
+        return a.name
+    if isinstance(a, A.Literal) and isinstance(a.value, str):
+        return a.value
+    raise CompileError("expected a field name (bare or string)")
+
+
+def m_explode_doc(self, recv, args, env):
+    """Doc-mode explode(field): one copy of each object per element of
+    its (array-typed) field; a null field keeps the item; a uniformly
+    non-array field is the identity. Reference: ops/collection.rs:497-520
+    (the relational table form lowers in engine._method_stage)."""
+    field = _field_name_arg(args)
+    el = _elem(recv)
+    if not isinstance(el, T.StructType) or field not in el.fieldNames() \
+            or not isinstance(el[field].dataType, T.ArrayType):
+        return TC(recv.col, recv.dtype)
+    inner = el[field].dataType.elementType
+    new_el = T.StructType([
+        T.StructField(f.name, inner if f.name == field else f.dataType, True)
+        for f in el.fields])
+    col = F.flatten(F.transform(recv.col, lambda item: F.when(
+        item.getField(field).isNull(),
+        F.array(item.withField(field, F.lit(None).cast(inner))),
+    ).otherwise(
+        F.transform(item.getField(field),
+                    lambda e: item.withField(field, e)))))
+    return TC(col, T.ArrayType(new_el))
+
+
+def m_implode_doc(self, recv, args, env):
+    """Inverse of explode: group objects by every other field (first-seen
+    order, struct equality), collecting `field` values into an array
+    appended as the LAST field (IndexMap shift_remove + insert).
+    Reference: ops/collection.rs:522-553."""
+    field = _field_name_arg(args)
+    el = _elem(recv)
+    if not isinstance(el, T.StructType) or field not in el.fieldNames():
+        raise CompileError(f"implode: field {field!r} not in element schema")
+    vdt = el[field].dataType
+    rest = [f for f in el.fields if f.name != field]
+    new_el = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in rest]
+        + [T.StructField(field, T.ArrayType(vdt), True)])
+    arr = recv.col
+    if not rest:
+        col = F.array(F.struct(
+            F.transform(arr, lambda it: it.getField(field)).alias(field)))
+        return TC(col, T.ArrayType(new_el))
+    rests = F.array_distinct(F.transform(arr, lambda it: it.dropFields(field)))
+    col = F.transform(
+        rests,
+        lambda r: r.withField(field, F.transform(
+            F.filter(arr, lambda it: it.dropFields(field).eqNullSafe(r)),
+            lambda it: it.getField(field))))
+    return TC(col, T.ArrayType(new_el))
+
+
+def m_pivot_doc(self, recv, args, env):
+    """pivot(key, val) → ordered object {key_str: val} (last value wins,
+    first-seen key order); pivot(row, col, val) → nested ordered object.
+    STRING literal args are field lookups; any other expression is
+    evaluated per item (mod.rs:2590-2597, ops/array.rs:550-596)."""
+    el = _elem(recv)
+
+    def arg_fn(i):
+        a = args[i].value
+        if isinstance(a, A.Literal) and isinstance(a.value, str):
+            name = a.value
+            if isinstance(el, T.StructType) and name in el.fieldNames():
+                return (lambda x: x.getField(name)), el[name].dataType
+            return (lambda x: F.lit(None)), T.NullType()
+        return self._lam(a, env, el)
+
+    arr = recv.col
+    if len(args) >= 3:
+        rf, _ = arg_fn(0)
+        cf, _ = arg_fn(1)
+        vf, vdt = arg_fn(2)
+
+        def inner_obj(rk):
+            sub = F.filter(arr, lambda x: rf(x).cast("string").eqNullSafe(rk))
+            ckeys = F.array_distinct(
+                F.transform(sub, lambda x: cf(x).cast("string")))
+            return F.transform(ckeys, lambda ck: F.struct(
+                ck.alias("key"),
+                vf(F.element_at(
+                    F.filter(sub,
+                             lambda x: cf(x).cast("string").eqNullSafe(ck)),
+                    -1)).alias("value")))
+
+        rkeys = F.array_distinct(F.transform(arr, lambda x: rf(x).cast("string")))
+        col = F.transform(rkeys, lambda rk: F.struct(
+            rk.alias("key"), inner_obj(rk).alias("value")))
+        return TC(col, _objrepr_dt(_objrepr_dt(vdt)))
+    if len(args) < 2:
+        raise CompileError("pivot: requires key arg and value arg")
+    kf, _ = arg_fn(0)
+    vf, vdt = arg_fn(1)
+    keys = F.array_distinct(F.transform(arr, lambda x: kf(x).cast("string")))
+    col = F.transform(keys, lambda k: F.struct(
+        k.alias("key"),
+        vf(F.element_at(
+            F.filter(arr, lambda x: kf(x).cast("string").eqNullSafe(k)),
+            -1)).alias("value")))
+    return TC(col, _objrepr_dt(vdt))
+
+
 def m_approx_count_distinct(self, recv, args, env):
     # document-mode: exact distinct count of stringified values (HLL is an
     # aggregate, unavailable per-array; reference uses 4096-register HLL —
@@ -2494,6 +2669,7 @@ METHODS = {
     "any": m_any, "exists": m_any, "all": m_all,
     "min_by": m_min_by, "max_by": m_max_by,
     "group_by": m_group_by, "count_by": m_count_by, "index_by": m_index_by,
+    "explode": m_explode_doc, "implode": m_implode_doc, "pivot": m_pivot_doc,
     "approx_count_distinct": m_approx_count_distinct,
     "equi_join": m_equi_join,
     # positional analytics (§2.6) — ops/collection.rs:124-343; reference

@@ -702,14 +702,14 @@ class JetroTables:
                 return None
             return R.equi_join(df, other, _lit_str(args[1].value), _lit_str(args[2].value))
         if name == "explode":
-            return R.explode_field(df, _lit_str(args[0].value))
+            return R.explode_field(df, _name_str(args[0].value))
         if name == "implode":
-            return R.implode(df, _lit_str(args[0].value))
+            return R.implode(df, _name_str(args[0].value))
         if name == "pivot":
             if len(args) == 2:
-                return R.pivot2(df, _lit_str(args[0].value), _lit_str(args[1].value))
-            return R.pivot3(df, _lit_str(args[0].value), _lit_str(args[1].value),
-                            _lit_str(args[2].value))
+                return R.pivot2(df, _name_str(args[0].value), _name_str(args[1].value))
+            return R.pivot3(df, _name_str(args[0].value), _name_str(args[1].value),
+                            _name_str(args[2].value))
         if name in ("diff", "intersect", "union"):
             other = self._resolve_table(args[0].value)
             if other is None:
@@ -836,6 +836,14 @@ def _lit_int(node: A.Node) -> int:
     if isinstance(node, A.Literal) and isinstance(node.value, int):
         return node.value
     raise CompileError("expected integer literal")
+
+
+def _name_str(node: A.Node) -> str:
+    """Field-name argument: bare identifier or string literal (the doc
+    builtins accept both — mod.rs:2590)."""
+    if isinstance(node, A.Ident):
+        return node.name
+    return _lit_str(node)
 
 
 def _lit_str(node: A.Node) -> str:
