@@ -113,6 +113,27 @@ QUERIES["doc_bl_q6"] = _q_items_deep("bl_q6")
 QUERIES["doc_bl_q7"] = _q_orders_deep("bl_q7")
 
 
+def q_doc_bl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 `$.orders.group_by(status)` — ordered object of FULL order
+    arrays. Full structs can't hash-compare (see module docstring), so
+    each group projects to scalars: key, size, the ordered id list, and
+    the sequential fold of totals (bit-exact vs list_sum over an
+    ORDERED list)."""
+    from pyspark.sql import functions as F
+
+    return (_jt(spark).frame(BENCH_QUERIES["bl_q10"])
+            .select(F.explode("value").alias("e"))
+            .select(
+                F.col("e.key").alias("status"),
+                F.size("e.value").cast("long").alias("n"),
+                F.transform(F.col("e.value"), lambda v: v["id"]).alias("ids"),
+                F.aggregate(F.col("e.value"), F.lit(0.0),
+                            lambda a, v: a + v["total"]).alias("tsum")))
+
+
+QUERIES["doc_bl_q10"] = q_doc_bl_q10
+
+
 def _sql_list(xs: list[str]) -> str:
     return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
@@ -230,6 +251,15 @@ ORACLES = {
                     ORDER BY i, j) AS value
         FROM generate_series(0, {N_ORDERS - 1}) AS g(i),
              generate_series(0, {ITEMS - 1}) AS h(j)
+    """,
+    # group_by(status): groups keyed by stringified status in first-seen
+    # order; members keep document order (ORDER BY i)
+    "doc_bl_q10": _ORDERS_CTE + """
+        SELECT status,
+               count(*) AS n,
+               list(id ORDER BY i) AS ids,
+               list_sum(list(total ORDER BY i)) AS tsum
+        FROM o GROUP BY status
     """,
     "doc_bl_q11": _ORDERS_CTE + """
         SELECT list_sum(list(total ORDER BY i)) AS value FROM o

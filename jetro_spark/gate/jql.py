@@ -108,9 +108,40 @@ def q_jql_variant_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("__nodes")).cast("long").alias("nnodes"))
 
 
+def q_jql_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JetroDocs: JSON-lines files → readStream → the SAME
+    compiled per-document plan as jql_docs → AvailableNow → memory sink.
+    The schema is inferred once from a batch sample (a stream cannot be
+    sampled) and passed explicitly; transformations are batch/stream-
+    agnostic so this is the document engine as a streaming operator."""
+    import hashlib
+    import uuid
+
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    js = o.select(F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"))).alias("value"))
+    src = ("/tmp/jetro_docs_stream_"
+           + hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    js.write.mode("overwrite").text(src)
+    schema = JetroDocs.from_json_strings(spark, js, "value").schema
+    stream = spark.readStream.format("text").load(src)
+    jd = JetroDocs.from_json_strings(spark, stream, "value", schema=schema)
+    out = jd.frame(
+        "{id: $.id, flag: $.status.lower(), dbl: $.total * 2.0}"
+    ).select("value.*")
+    name = f"jql_docs_stream_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "jql_doc_pivot": q_jql_doc_pivot,
     "jql_variant_deep": q_jql_variant_deep,
+    "jql_docs_stream": q_jql_docs_stream,
     # filter → where, map(ObjLit) → select (pushdown-eligible)
     "jql_filter_map": _q(
         "$.lineitem.filter(l_quantity > 45)"
@@ -257,9 +288,18 @@ QUERIES = {
     "jql_drop_while": _q(
         "$.events.sort(event_id).drop_while(value < 450).count()"),
     "jql_flat_map": _q("$.orders.flat_map([o_orderkey, o_custkey])"),
+    # relational §2.1 sink: one quoted CSV line per row (helpers.rs:130-169)
+    "jql_to_csv": _q(
+        "$.customer.map({k: c_custkey, n: c_name, seg: c_mktsegment})"
+        ".to_csv()"),
 }
 
 ORACLES = {
+    "jql_docs_stream": """
+        SELECT o_orderkey AS id, lower(o_orderstatus) AS flag,
+               o_totalprice * 2.0 AS dbl
+        FROM orders
+    """,
     "jql_variant_deep": """
         SELECT o_orderkey AS id,
                o_totalprice + CAST(o_custkey AS DOUBLE) AS tsum,
@@ -421,5 +461,9 @@ ORACLES = {
     "jql_flat_map": """
         SELECT o_orderkey AS value FROM orders
         UNION ALL SELECT o_custkey FROM orders
+    """,
+    "jql_to_csv": """
+        SELECT c_custkey || ',' || c_name || ',' || c_mktsegment AS line
+        FROM customer
     """,
 }

@@ -286,17 +286,29 @@ class JetroDocs:
     @classmethod
     def from_json_strings(cls, spark: SparkSession, df: DataFrame,
                           json_col: str, *, sample: int = 200,
-                          doc_col: str = "doc") -> "JetroDocs":
-        rows = [r[0] for r in df.select(json_col).limit(sample).collect()
-                if r[0] is not None]
-        if not rows:
-            raise ValueError("no sample documents to infer a schema from")
-        schemas = [infer_schema(json.loads(s)) for s in rows]
-        structs = [s for s in schemas if isinstance(s, T.StructType)]
-        if len(structs) != len(schemas):
-            raise ValueError("every document must be a JSON object")
-        st = _union_struct_dyn(structs)
-        parsed = df.withColumn(doc_col, F.from_json(F.col(json_col), st))
+                          doc_col: str = "doc",
+                          schema: T.StructType | None = None) -> "JetroDocs":
+        """``schema=None`` infers from a driver-side sample (batch input
+        only). A STREAMING DataFrame cannot be sampled — pass the schema
+        explicitly (e.g. inferred once from a batch slice of the same
+        source); every transformation here is batch/stream-agnostic, so
+        the same compiled plan then runs under readStream/writeStream."""
+        if schema is None:
+            if df.isStreaming:
+                raise ValueError(
+                    "streaming input cannot be sampled for schema "
+                    "inference; pass schema= (infer it from a batch "
+                    "sample of the same source)")
+            rows = [r[0] for r in df.select(json_col).limit(sample).collect()
+                    if r[0] is not None]
+            if not rows:
+                raise ValueError("no sample documents to infer a schema from")
+            schemas = [infer_schema(json.loads(s)) for s in rows]
+            structs = [s for s in schemas if isinstance(s, T.StructType)]
+            if len(structs) != len(schemas):
+                raise ValueError("every document must be a JSON object")
+            schema = _union_struct_dyn(structs)
+        parsed = df.withColumn(doc_col, F.from_json(F.col(json_col), schema))
         return cls(spark, parsed, doc_col)
 
     def _compile(self, expr: str) -> Column:
@@ -350,6 +362,14 @@ class JetroTables:
     def query(self, expr: str) -> DataFrame:
         node = parse(expr)
         return self.compile_node(node)
+
+    def write_csv(self, expr: str, path: str, *, sep: str = ",",
+                  header: bool = True, mode: str = "overwrite") -> None:
+        """Distributed CSV sink for a table-rooted pipeline — the
+        table-scale form of ``to_csv`` (§2.1): every partition writes
+        its own part file, no driver-side string assembly."""
+        (self.query(expr).write.mode(mode)
+         .option("sep", sep).option("header", header).csv(path))
 
     def compile_node(self, node: A.Node) -> DataFrame:
         if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):
@@ -710,6 +730,20 @@ class JetroTables:
                 return R.pivot2(df, _name_str(args[0].value), _name_str(args[1].value))
             return R.pivot3(df, _name_str(args[0].value), _name_str(args[1].value),
                             _name_str(args[2].value))
+        if name in ("to_csv", "to_tsv"):
+            # Relational form of the §2.1 sink: one formatted line per
+            # row (same cell quoting as the doc-mode string builder,
+            # helpers.rs:130-169) — the write-ready shape; doc mode's
+            # single joined string would be a driver-side cliff at
+            # table scale. Use JetroTables.write_csv for a real
+            # distributed file sink.
+            from jetro_spark.jql.compiler import _csv_cell
+            sep = "," if name == "to_csv" else "\t"
+            cols = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            line = F.concat_ws(sep, *[
+                _csv_cell(F.col(c2), df.schema[c2].dataType, sep)
+                for c2 in cols])
+            return df.select(line.alias("line"))
         if name in ("diff", "intersect", "union"):
             other = self._resolve_table(args[0].value)
             if other is None:
