@@ -79,19 +79,24 @@ def main() -> None:
     from jetro_spark.benchdoc import BENCH_QUERIES, synth_doc
     from jetro_spark.jql.engine import Jetro
 
-    # checkpoint=True materializes the parsed doc once (their warm cache)
-    # AND keeps per-query tasks small — without it every task ships the
-    # ~6.6 MB document inside its ParallelCollectionPartition.
-    jt = Jetro.from_value(spark, synth_doc(20_000, 6), checkpoint=True)
+    # local=True (the default) materializes the parsed doc once into a
+    # JVM LocalRelation — Catalyst then folds every Project-shaped doc
+    # query driver-side, so execution launches zero Spark jobs (there is
+    # no point distributing a single document; the reference is likewise
+    # one in-process thread over a cached parse).
+    jt = Jetro.from_value(spark, synth_doc(20_000, 6))
     # 1 warmup + best-of-3, mirroring the baseline's cache-hot protocol
     # (bench_lock.rs:11-18: 3 warmups + 20 iterations, best/median) —
-    # the warmup pays plan compile + codegen, like their plan cache.
+    # the warmup pays expression compile, like their plan cache. Each
+    # timed execute() runs the FULL query under a fresh QueryExecution
+    # (analysis + optimization + evaluation + JVM materialization);
+    # nothing result-shaped is cached between iterations.
     for name, expr in BENCH_QUERIES.items():
-        jt.frame(expr).write.format("noop").mode("overwrite").save()
+        jt.execute(expr)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jt.frame(expr).write.format("noop").mode("overwrite").save()
+            jt.execute(expr)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         total += best

@@ -42,6 +42,7 @@ from jetro_spark.jql.compiler import (
     union_struct,
 )
 from jetro_spark.jql.parser import parse
+from jetro_spark.localrel import fresh_execute, to_local_relation
 from jetro_spark.operators import relational as R
 
 # ------------------------------------------------------------ doc ingest
@@ -162,13 +163,28 @@ class Jetro:
     """Document-mode handle: ``Jetro.from_bytes(spark, data).collect(expr)``.
     Reference API: jc/lib.rs:354-380 (from_bytes), :477 (collect)."""
 
-    def __init__(self, spark: SparkSession, value, *, checkpoint: bool = False):
+    def __init__(self, spark: SparkSession, value, *,
+                 checkpoint: bool = False, local: bool | None = None):
         wrapped = value if isinstance(value, dict) else {"__root__": value}
         self.schema: T.StructType = infer_schema(wrapped)
         self._wrapped_scalar = not isinstance(value, dict)
         row = _to_row(wrapped, self.schema)
         df = spark.createDataFrame(
             [(row,)], T.StructType([T.StructField("__doc", self.schema, False)]))
+        if local is None:
+            local = not checkpoint
+        if local:
+            # One document = one row: distribute nothing. Rebuilding the
+            # frame as a JVM LocalRelation lets Catalyst's
+            # ConvertToLocalRelation rule evaluate Project-shaped queries
+            # eagerly on the driver — collect() returns with ZERO jobs,
+            # dropping the ~40-80 ms single-task dispatch floor.
+            # Table-scale pipelines (JetroTables/JetroDocs) never come
+            # through here.
+            converted = to_local_relation(df)
+            if converted is not None:
+                df = converted
+                checkpoint = False
         if checkpoint:
             # A ParallelCollectionRDD embeds the document in its Partition
             # objects, so EVERY downstream task ships the whole doc (MBs)
@@ -182,15 +198,17 @@ class Jetro:
 
     @classmethod
     def from_bytes(cls, spark: SparkSession, data: bytes | str,
-                   *, checkpoint: bool = False) -> "Jetro":
+                   *, checkpoint: bool = False,
+                   local: bool | None = None) -> "Jetro":
         if isinstance(data, bytes):
             data = data.decode("utf-8")
-        return cls(spark, json.loads(data), checkpoint=checkpoint)
+        return cls(spark, json.loads(data), checkpoint=checkpoint, local=local)
 
     @classmethod
     def from_value(cls, spark: SparkSession, value,
-                   *, checkpoint: bool = False) -> "Jetro":
-        return cls(spark, value, checkpoint=checkpoint)
+                   *, checkpoint: bool = False,
+                   local: bool | None = None) -> "Jetro":
+        return cls(spark, value, checkpoint=checkpoint, local=local)
 
     def root(self) -> TC:
         base = TC(F.col("__doc"), self.schema, doc=True)
@@ -221,6 +239,21 @@ class Jetro:
             df = self.df.select(tc.col.alias("value"))
             self._plan_cache[expr] = df
         return df
+
+    def execute(self, expr: str) -> int:
+        """Run ``expr`` end-to-end and materialize the result in engine
+        (JVM) memory; returns the row count. Unlike ``collect`` this skips
+        the JVM→Python conversion — the counterpart of the reference
+        producing an in-process Value (jc/lib.rs:477). Each call pays the
+        full analysis + optimization + evaluation cost under a fresh
+        QueryExecution (expression compilation is plan-cached, matching
+        the reference's warm plan cache)."""
+        df = self.frame(expr)
+        n = fresh_execute(df)
+        if n is None:  # no classic-JVM surface: distributed fallback
+            df.write.format("noop").mode("overwrite").save()
+            return df.count()
+        return n
 
     def collect(self, expr: str):
         """Evaluate and return a plain Python value (jetro collect())."""

@@ -1,0 +1,89 @@
+"""Driver-local execution for small documents via LocalRelation folding.
+
+Document-mode queries operate on ONE row (the document), so distributing
+them buys nothing: a single-task Spark job costs ~40-80 ms of scheduler
+dispatch regardless of the work inside. Catalyst already has the right
+tool — the ``ConvertToLocalRelation`` optimizer rule evaluates
+Project/Filter plans over a ``LocalRelation`` eagerly on the driver, so
+``collect()``/``executeCollect()`` return without launching a single job.
+
+PySpark's ``createDataFrame`` builds a ``LogicalRDD`` (data enters through
+an RDD of pickled rows), which that rule cannot see.  ``to_local_relation``
+materializes a DataFrame once and rebuilds it as a true JVM
+``LocalRelation``, flipping every downstream Project-shaped query onto the
+zero-job path.  Table-scale data must NOT go through here — this is the
+single-node small-data path; the distributed path (parquet scans,
+checkpointed docs) is unchanged.  Reference parity: jetro evaluates the
+whole document in-process on one thread (jc/lib.rs:477 collect); this is
+the Spark-idiomatic equivalent for data that fits in one hand.
+
+Uses py4j access to Spark-internal classes (stable across Spark 4.x
+classic; absent under Spark Connect) — every entry point degrades
+gracefully to ``None`` so callers can fall back to the RDD-backed path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _jvm_bits(df: DataFrame):
+    spark = df.sparkSession
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jspark = spark._jsparkSession  # type: ignore[attr-defined]
+    return spark, jvm, jspark
+
+
+def to_local_relation(df: DataFrame) -> DataFrame | None:
+    """Execute ``df`` once and rebuild it as a LocalRelation-backed frame.
+
+    Returns None when the JVM surface is unavailable (Spark Connect,
+    future version drift) — callers fall back to the distributed path.
+    """
+    try:
+        spark, jvm, jspark = _jvm_bits(df)
+        qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+        rows = qe.executedPlan().executeCollect()
+        attrs = qe.optimizedPlan().output()
+        jlist = jvm.java.util.ArrayList()
+        for r in rows:
+            jlist.add(r.copy())
+        seq = jvm.org.apache.spark.api.python.PythonUtils.toSeq(jlist)
+        local_relation = jvm.org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        stream_none = getattr(local_relation, "apply$default$4")()
+        lr = local_relation(attrs, seq, False, stream_none)
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(jspark, lr)
+        return DataFrame(jdf, spark)
+    except Exception:
+        return None
+
+
+def is_local_plan(df: DataFrame) -> bool:
+    """True when the optimized plan folded to a bare LocalRelation —
+    i.e. the query evaluates driver-side with no job."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
+        return opt.nodeName() == "LocalRelation"
+    except Exception:
+        return False
+
+
+def fresh_execute(df: DataFrame) -> int | None:
+    """Re-run ``df`` end-to-end under a brand-new QueryExecution and
+    materialize the result JVM-side; returns the row count.
+
+    ``Dataset.collect()`` on a memoized Dataset reuses its (already
+    folded) QueryExecution, which would amount to caching *results*, not
+    plans.  This forces analysis + optimization + evaluation to happen
+    again — the honest per-iteration cost for benchmarking — while still
+    letting expression compilation (the Python-side plan cache) be reused,
+    mirroring the reference's warm plan cache protocol
+    (bench_lock.rs:11-18).  Returns None when the JVM surface is missing.
+    """
+    try:
+        spark, jvm, jspark = _jvm_bits(df)
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jspark, df._jdf.logicalPlan())  # type: ignore[attr-defined]
+        return len(jdf.queryExecution().executedPlan().executeCollect())
+    except Exception:
+        return None
