@@ -111,6 +111,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Measurement-protocol provenance: relational queries are
+                # timed via distributed noop-sink writes (all rounds);
+                # doc-mode bl_q* are timed via driver-local fresh
+                # executeCollect since r03 (LocalRelation fold — zero-job
+                # path). bl_q* numbers from r01/r02 used the noop sink and
+                # are NOT comparable round-over-round across that switch.
+                "protocol": "relational=noop-sink; bl_q*=localrel-fresh-executeCollect (since r03)",
             }
         )
     )

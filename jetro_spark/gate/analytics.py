@@ -17,6 +17,7 @@ from jetro_spark.operators import (
     with_zscore,
 )
 from jetro_spark.session import load_tables
+from jetro_spark.timeutil import ts_to_nanos
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,10 +80,14 @@ def q_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling window (batch form): hourly buckets from raw
-    nanosecond epochs — representation-safe across engines."""
+    """Event-time tumbling window (batch form): hourly buckets from
+    nanosecond epochs — representation-safe across engines AND across
+    testdata generations (ts has shipped as both bigint nanos and
+    timestamp_ntz; timeutil normalizes either to a nano epoch, matching
+    DuckDB's epoch_ns)."""
     ev = _events(spark, sf_dir)
-    hour = F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    ns = ts_to_nanos(F.col("ts"), dict(ev.dtypes).get("ts", ""))
+    hour = F.floor(ns / F.lit(3_600_000_000_000)).cast("long")
     return ev.groupBy(hour.alias("hour_bucket"), F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),

@@ -180,11 +180,20 @@ class Jetro:
             # eagerly on the driver — collect() returns with ZERO jobs,
             # dropping the ~40-80 ms single-task dispatch floor.
             # Table-scale pipelines (JetroTables/JetroDocs) never come
-            # through here.
+            # through here. When conversion succeeds it supersedes
+            # checkpoint (the LocalRelation already embeds the
+            # materialized rows — there is no lineage left to truncate).
             converted = to_local_relation(df)
             if converted is not None:
                 df = converted
                 checkpoint = False
+            else:
+                # No classic-JVM surface (Spark Connect, version drift):
+                # without the LocalRelation fold the frame stays a
+                # ParallelCollectionRDD whose partitions embed the whole
+                # document — every downstream task would ship it. Fall
+                # back to a lineage-truncating checkpoint instead.
+                checkpoint = True
         if checkpoint:
             # A ParallelCollectionRDD embeds the document in its Partition
             # objects, so EVERY downstream task ships the whole doc (MBs)
@@ -250,8 +259,10 @@ class Jetro:
         the reference's warm plan cache)."""
         df = self.frame(expr)
         n = fresh_execute(df)
-        if n is None:  # no classic-JVM surface: distributed fallback
-            df.write.format("noop").mode("overwrite").save()
+        if n is None:  # no classic-JVM surface: distributed fallback.
+            # One materialization only — count() executes the query
+            # end-to-end; a prior noop write would run it a second time
+            # and double every timed bench iteration.
             return df.count()
         return n
 

@@ -26,6 +26,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+try:  # py4j ships with classic pyspark; absent under pure Spark Connect
+    from py4j.protocol import Py4JError, Py4JJavaError
+except ImportError:  # pragma: no cover
+    class Py4JJavaError(Exception):  # type: ignore[no-redef]
+        pass
+
+    class Py4JError(Exception):  # type: ignore[no-redef]
+        pass
+
+# Surface-availability failures only: a missing _jvm/_jdf attribute
+# (Spark Connect), a wrong-arity internal API (version drift), or a py4j
+# protocol error that is NOT a JVM-side exception. A Py4JJavaError means
+# the JVM call ran and threw — that is a genuine query-evaluation error
+# (AnalysisException, codegen failure, ...) and must propagate, not be
+# silently rerouted to a distributed re-run with its context lost.
+_UNAVAILABLE = (AttributeError, TypeError, Py4JError)
+
+
+def _surface_missing(exc: Exception) -> bool:
+    return isinstance(exc, _UNAVAILABLE) and not isinstance(exc, Py4JJavaError)
+
 
 def _jvm_bits(df: DataFrame):
     spark = df.sparkSession
@@ -54,8 +75,10 @@ def to_local_relation(df: DataFrame) -> DataFrame | None:
         lr = local_relation(attrs, seq, False, stream_none)
         jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(jspark, lr)
         return DataFrame(jdf, spark)
-    except Exception:
-        return None
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise
 
 
 def is_local_plan(df: DataFrame) -> bool:
@@ -64,8 +87,10 @@ def is_local_plan(df: DataFrame) -> bool:
     try:
         opt = df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
         return opt.nodeName() == "LocalRelation"
-    except Exception:
-        return False
+    except Exception as exc:
+        if _surface_missing(exc):
+            return False
+        raise
 
 
 def fresh_execute(df: DataFrame) -> int | None:
@@ -85,5 +110,7 @@ def fresh_execute(df: DataFrame) -> int | None:
         jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             jspark, df._jdf.logicalPlan())  # type: ignore[attr-defined]
         return len(jdf.queryExecution().executedPlan().executeCollect())
-    except Exception:
-        return None
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise

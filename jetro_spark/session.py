@@ -11,7 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from jetro_spark.timeutil import with_event_timestamp
 
 TABLES = (
     "region",
@@ -86,13 +87,13 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # events.ts is TIMESTAMP(NANOS) → bigint nanos under the legacy
-            # conf. Keep the raw nanos (what DuckDB's epoch_ns sees too) and
-            # add a µs-truncated timestamp for window/streaming operators.
-            df = df.withColumn(
-                "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+        if name == "events":
+            # events.ts has shipped as TIMESTAMP(NANOS) (bigint nanos
+            # under the legacy conf) and as plain µs timestamp across
+            # testdata generations. Keep ts raw (what DuckDB sees too) and
+            # add a normalized TimestampType column for window/streaming
+            # operators regardless of the physical representation.
+            df = with_event_timestamp(df, "ts", "event_time")
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)

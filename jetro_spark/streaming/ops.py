@@ -1,9 +1,10 @@
 """Event-time windowing + stateful operators (batch ≡ streaming).
 
-The driver's events parquet carries nanosecond timestamps, loaded as
-LongType nano-epochs (session.load_tables sets nanosAsLong); helpers
-here convert to TimestampType at microsecond precision (the data's
-actual precision) so F.window / F.session_window / withWatermark apply.
+The driver's events parquet has shipped ts as both TIMESTAMP(NANOS)
+(bigint nano-epochs under nanosAsLong) and plain µs TIMESTAMP across
+testdata generations; helpers here normalize either representation to
+TimestampType so F.window / F.session_window / withWatermark apply
+(jetro_spark.timeutil holds the conversion rules).
 """
 
 from __future__ import annotations
@@ -15,14 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanosecond epoch (nanosAsLong)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+from jetro_spark.timeutil import ts_to_timestamp
 
 
 def event_time(c: Column) -> Column:
@@ -30,8 +24,7 @@ def event_time(c: Column) -> Column:
     exact for this data; sub-microsecond residue would truncate).
     Decimal division, NOT double: nano-epochs (~1.7e18) exceed a
     double's 53-bit mantissa, so `/ 1000.0` rounds the last microsecond."""
-    return F.timestamp_micros(
-        (c.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
+    return ts_to_timestamp(c, "bigint")
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
@@ -54,17 +47,20 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    r = spark.readStream.schema(EVENTS_SCHEMA).option("nanosAsLong", "true")
+    # File streams need an explicit schema; take it from the batch reader
+    # so ts keeps whatever physical representation this testdata
+    # generation uses (bigint nanos under nanosAsLong, or µs timestamp).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    r = spark.readStream.schema(schema).option("nanosAsLong", "true")
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return r.parquet(d)
 
 
 def _with_time(df: DataFrame, time_col: str) -> DataFrame:
-    dt = dict(df.dtypes).get(time_col)
-    if dt == "bigint":
-        return df.withColumn("__et", event_time(F.col(time_col)))
-    return df.withColumn("__et", F.col(time_col))
+    dt = dict(df.dtypes).get(time_col, "")
+    return df.withColumn("__et", ts_to_timestamp(F.col(time_col), dt))
 
 
 def tumbling_windowed(
