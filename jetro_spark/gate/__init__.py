@@ -27,6 +27,7 @@ def _modules():
         analytics,
         benchlock,
         hof,
+        joins,
         jql,
         llm,
         relational,
@@ -34,7 +35,7 @@ def _modules():
         streaming,
     )
 
-    return (relational, scalars, analytics, jql, llm, hof, streaming,
+    return (relational, joins, scalars, analytics, jql, llm, hof, streaming,
             benchlock)
 
 

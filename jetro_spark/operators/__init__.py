@@ -17,6 +17,13 @@ from jetro_spark.operators.relational import (
     pivot3,
     unique_by,
 )
+from jetro_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    left_join,
+    range_join,
+    semi_join,
+)
 from jetro_spark.operators.analytics import (
     with_cum_extreme,
     with_diff,
@@ -29,6 +36,11 @@ from jetro_spark.operators.analytics import (
 
 __all__ = [
     "equi_join",
+    "asof_join",
+    "range_join",
+    "left_join",
+    "semi_join",
+    "anti_join",
     "group_collect",
     "count_by",
     "index_by",
