@@ -33,10 +33,11 @@ def _modules():
         relational,
         scalars,
         streaming,
+        timeseries,
     )
 
-    return (relational, joins, scalars, analytics, jql, llm, hof, streaming,
-            benchlock)
+    return (relational, joins, scalars, analytics, timeseries, jql, llm, hof,
+            streaming, benchlock)
 
 
 def all_queries() -> dict[str, QueryFn]:

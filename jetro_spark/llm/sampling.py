@@ -1,0 +1,92 @@
+"""Deterministic sampling & dataset splits for training-data pipelines.
+
+Everything here is HASH-derived, not RNG-derived: the assignment of a row
+depends only on (key, seed), so splits are reproducible across runs,
+engines, partitionings, and cluster sizes — the property a train/val/test
+split must have (resampling on every run leaks val into train). The hash
+is md5 over ``"{key}:{seed}"`` — available verbatim in Spark AND DuckDB,
+which is what lets the oracle gate check assignments bit-for-bit.
+
+Scale: pure row-local expressions (no shuffle, no RNG state, no driver
+round-trip); a split/sample is a narrow projection/filter that pushes
+down the scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 16 ** 8  # first 8 md5 hex chars → uniform int in [0, 2^32)
+
+
+def hash_bucket(key: Column, seed: int = 42) -> Column:
+    """Uniform bucket in [0, 2^32) from md5 of "{key}:{seed}"."""
+    hx = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+
+
+def hash_fraction(key: Column, seed: int = 42) -> Column:
+    """Uniform double in [0, 1) — the comparable form of hash_bucket."""
+    return hash_bucket(key, seed) / F.lit(float(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    weights: dict[str, float],
+    *,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight thresholds
+    over the key's hash fraction. Weights must sum to ~1; the LAST split
+    absorbs rounding residue (its upper bound is +inf)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    k = F.col(key) if isinstance(key, str) else key
+    frac = hash_fraction(k, seed)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, label)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    fraction: float,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~fraction of rows (those whose key hashes
+    below the threshold). Unlike df.sample(), re-running — or running on
+    a different cluster/partitioning — keeps the SAME rows."""
+    k = F.col(key) if isinstance(key, str) else key
+    return df.filter(hash_fraction(k, seed) < F.lit(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-fraction (e.g. downsample boilerplate-heavy sources harder).
+    Strata absent from ``fractions`` keep ``default_fraction``."""
+    k = F.col(key) if isinstance(key, str) else key
+    frac = hash_fraction(k, seed)
+    thresh: Column = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(thresh)
+    return df.filter(frac < thresh)

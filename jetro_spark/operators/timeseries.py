@@ -1,0 +1,91 @@
+"""Hypertable-style rollup with gap filling (continuous-aggregate shape).
+
+``rollup_gapfill`` buckets an event-time axis to fixed windows, aggregates
+per (keys, bucket), then densifies: every key gets a row for EVERY bucket
+in the observed span, with missing buckets filled by policy — ``null``
+(default), ``zero``, or ``locf`` (last observation carried forward).
+
+Scale design (100 TB intent):
+- The rollup is one shuffle (groupBy keys+bucket with map-side partials).
+- The dense grid is |distinct keys| x |buckets| — metadata-sized relative
+  to the input (the whole point of a rollup); it builds from a distinct
+  on the keys and ONE global min/max aggregate (broadcast, 1 row), then a
+  ``sequence``+explode — no driver collect.
+- The grid→rollup join keys on (keys, bucket): Catalyst broadcasts the
+  grid when small, otherwise shuffles both sides on the same key — never
+  the raw events again.
+- ``locf`` adds one window (same key partitioning as the rollup shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from jetro_spark.operators.joins import DAY_US, HOUR_US, MINUTE_US, SECOND_US  # noqa: F401 (re-export)
+
+
+def time_bucket(c: Column, dtype: str, width_us: int) -> Column:
+    """Bucket index (long) of a time value: floor(unix_micros / width)."""
+    if dtype.startswith("timestamp"):
+        c = F.unix_micros(c.cast("timestamp"))
+    return F.floor(c / F.lit(width_us)).cast("long")
+
+
+def rollup_gapfill(
+    df: DataFrame,
+    *,
+    time_col: str,
+    width_us: int,
+    keys: list[str],
+    aggs: dict[str, Column],
+    fill: dict[str, str] | None = None,
+) -> DataFrame:
+    """Windowed rollup densified over the observed span.
+
+    ``aggs`` maps output name → aggregate Column; ``fill`` maps output
+    name → 'null' | 'zero' | 'locf'. Output columns: *keys, ``bucket``
+    (long index), ``bucket_start_us`` (epoch µs), then the aggregates.
+    The span is GLOBAL (min..max bucket over the whole input), matching
+    a dashboard's contiguous x-axis; keys absent near the edges still
+    get edge rows (null/zero/locf-filled).
+    """
+    fill = fill or {}
+    bad = set(fill) - set(aggs)
+    if bad:
+        raise ValueError(f"fill policies for unknown aggregates: {sorted(bad)}")
+
+    dt = dict(df.dtypes).get(time_col, "")
+    bucketed = df.withColumn("bucket", time_bucket(F.col(time_col), dt, width_us))
+    rolled = bucketed.groupBy(*keys, "bucket").agg(
+        *[c.alias(name) for name, c in aggs.items()])
+
+    span = bucketed.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+    buckets = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket"))
+    grid = df.select(*keys).distinct().crossJoin(buckets) if keys else buckets
+
+    dense = grid.join(rolled, [*keys, "bucket"], "left")
+
+    out_cols: dict[str, Column] = {}
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1)))
+    w = w.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for name in aggs:
+        c = F.col(name)
+        policy = fill.get(name, "null")
+        if policy == "zero":
+            out_cols[name] = F.coalesce(c, F.lit(0))
+        elif policy == "locf":
+            out_cols[name] = F.last(c, ignorenulls=True).over(w)
+        elif policy == "null":
+            out_cols[name] = c
+        else:
+            raise ValueError(f"unknown fill policy {policy!r} for {name!r}")
+
+    return dense.select(
+        *keys,
+        F.col("bucket"),
+        (F.col("bucket") * F.lit(width_us)).alias("bucket_start_us"),
+        *[c.alias(name) for name, c in out_cols.items()],
+    )
