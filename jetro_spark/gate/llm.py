@@ -135,6 +135,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the third ANN strategy (Voronoi cells +
+    n_probe search). Seeded deterministic centroids (the 16 lowest-id
+    vectors) make the whole index oracle-exact: DuckDB re-derives the
+    same centroids from the table and replays assignment, probing, and
+    rerank bit-for-bit."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    out = SIM.ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    return out.select("qid", "nid", "rank")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (banded, no all-pairs) + exact
     Hamming verify. No SQL oracle: signatures are built from Spark's
@@ -181,6 +193,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "simhash_pairs": q_simhash_pairs,
     "mm_decode": q_mm_decode,
     "mm_frames": q_mm_frames,
@@ -387,6 +400,47 @@ ORACLES["embed_neardup"] = f"""
 """
 
 ORACLES["ann_lsh"] = _ann_lsh_sql()
+
+# IVF: centroids re-derived from the table (cell = vec_id of the 16
+# lowest-id vectors — exactly seed_centroids), assignment = argmax cosine
+# with ties to the lowest cell, probes = 4 nearest cells per query,
+# rerank identical to ann_topk. Every float path is the same sequential
+# double fold as the Spark plan.
+ORACLES["ann_ivf"] = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+    cell_scores AS (
+      SELECT e.vec_id, c.cell, {_COS.format(a='e', b='c')} AS s
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell ASC) AS rn
+        FROM cell_scores) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell ASC) AS rn
+        FROM cell_scores WHERE vec_id < 10) WHERE rn <= 4),
+    cand AS (
+      SELECT p.qid, a.vec_id AS nid
+      FROM probes p JOIN assign a USING (cell)
+      WHERE p.qid != a.vec_id),
+    scored AS (
+      SELECT cand.qid, cand.nid, {_COS.format(a='qe', b='ce')} AS score
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.qid
+      JOIN embeddings ce ON ce.vec_id = cand.nid),
+    ranked AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+"""
 
 ORACLES["mm_decode"] = f"""
     WITH h AS (

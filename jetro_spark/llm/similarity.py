@@ -95,6 +95,96 @@ def lsh_bucket_keys(vec: Column, *, tables: int = 8, bits: int = 8,
     return F.array(*keys)
 
 
+def seed_centroids(corpus: DataFrame, n_cells: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: the ``n_cells`` lowest-id corpus
+    vectors. Real IVF k-means-trains these; seeding keeps the whole index
+    ORACLE-EXACT (DuckDB re-derives identical centroids from the table)
+    while the distributed plumbing — assignment, probing, rerank — is the
+    same either way. Pass externally trained centroids to ivf_topk to
+    swap the policy without touching the plan. The collect() is the index
+    BUILD step (n_cells rows, driver-side, once) — queries stay lazy."""
+    rows = (corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .filter(F.col("i") < n_cells).orderBy("i").collect())
+    return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> list[Column]:
+    """cosine(vec, centroid) per cell, centroids embedded as literals —
+    row-local JVM expressions, zero shuffle for assignment."""
+    out = []
+    for _, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        out.append(cosine(vec, lit_c))
+    return out
+
+
+def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine cell id (ties → lowest cell). array_max over
+    struct(score, -cell) is lexicographic: max score, then max(-cell)."""
+    scores = _cell_scores(vec, centroids)
+    arr = F.array(*[
+        F.struct(s.alias("s"), F.lit(-cell).alias("nc"))
+        for (cell, _), s in zip(centroids, scores)])
+    return (-F.array_max(arr)["nc"]).cast("int")
+
+
+def ivf_probe_cells(vec: Column, centroids: list[tuple[int, list[float]]],
+                    n_probe: int) -> Column:
+    """The n_probe nearest cells (by centroid cosine, ties → lowest id):
+    sort struct(-score, cell) ascending, slice, project the cell field."""
+    scores = _cell_scores(vec, centroids)
+    arr = F.array(*[
+        F.struct((-s).alias("ns"), F.lit(cell).alias("c"))
+        for (cell, _), s in zip(centroids, scores)])
+    top = F.slice(F.array_sort(arr), 1, n_probe)
+    return F.transform(top, lambda x: x["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    *, n_cells: int = 16, n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around centroids, probe only the
+    ``n_probe`` cells nearest each query, exact-cosine rerank the
+    candidates. The third ANN strategy next to brute_force_topk (exact
+    baseline) and hyperplane_lsh_topk (hash buckets).
+
+    Scale shape: cell assignment and probe selection are row-local
+    centroid-literal expressions (no shuffle — mirrors the LSH plane
+    literals); the candidate set forms by ONE equi-join on cell id
+    (a corpus vector lives in exactly one cell and a query probes
+    distinct cells, so no dedup pass is needed, unlike LSH's per-table
+    buckets); rerank shuffles candidates only. Hot cells are ordinary
+    join skew → AQE. Recall tunes via n_probe/n_cells."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("nid"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"))
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(ivf_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"))
+
+    pair_ids = (probes.join(corpus_cells, "cell")
+                .filter(F.col("qid") != F.col("nid"))
+                .select("qid", "nid"))
+    qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
+                                    F.col(vec_col).alias("qvec")))
+    cv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (pair_ids.join(qv, "qid").join(cv, "nid")
+              .withColumn("score", cosine(F.col("qvec"), F.col("nvec"))))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "score"))
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -170,3 +170,31 @@ def test_sample_frames(spark):
         schema)
     out = MM.sample_frames(df, every_n=10)
     assert [r["frame_idx"] for r in out.orderBy("frame_idx").collect()] == [0, 10, 20]
+
+
+def test_ivf_assignment_and_probe(vectors):
+    cents = SIM.seed_centroids(vectors, 3)
+    assert [c for c, _ in cents] == [0, 1, 2]
+    cells = vectors.select(
+        "vec_id", SIM.ivf_cell(F.col("embedding"), cents).alias("cell"))
+    got = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    # centroid 0 = [1,0,0,0], 1 = [.9,.1,0,0], 2 = [0,1,0,0]
+    assert got[2] == 2 and got[3] == 2      # y-cluster → centroid 2
+    assert got[0] == 0                      # exactly centroid 0
+    probes = vectors.filter(F.col("vec_id") == 4).select(
+        SIM.ivf_probe_cells(F.col("embedding"), cents, 2).alias("p")).first()["p"]
+    assert len(probes) == 2                 # z-vector: farthest from all; still 2 probes
+
+
+def test_ivf_topk_recall_and_candidate_uniqueness(vectors):
+    exact = SIM.brute_force_topk(vectors, vectors, k=1)
+    approx = SIM.ivf_topk(vectors, vectors, k=1, n_cells=3, n_probe=3)
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    # probing every cell = exhaustive search → recall must be perfect
+    assert e == a
+    # ranks are dense per query (no duplicate candidate pairs pre-rerank)
+    full = SIM.ivf_topk(vectors, vectors, k=5, n_cells=3, n_probe=3)
+    for r in full.groupBy("qid").agg(
+            F.count("*").alias("n"), F.max("rank").alias("mx")).collect():
+        assert r["n"] == r["mx"]
