@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import warnings
 
+from pyspark.errors.exceptions.base import AnalysisException
 from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -245,7 +246,20 @@ class Jetro:
         df = self._plan_cache.get(expr)
         if df is None:
             tc = Compiler().compile(parse(expr), self._env())
-            df = self.df.select(tc.col.alias("value"))
+            try:
+                df = self.df.select(tc.col.alias("value"))
+            except AnalysisException as exc:
+                # Catalyst's analyzer IS this engine's type checker: a
+                # stage applied to an incompatible input (e.g. an array
+                # method on a scalar — `$.x.count().filter(p)`) resolves
+                # to an ill-typed plan. Surface it as the language's own
+                # error type, matching the reference's contract that any
+                # input yields a result or a controlled query error
+                # (fuzz_targets/collect.rs: "must not panic").
+                raise CompileError(
+                    f"expression is ill-typed for this document: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
             self._plan_cache[expr] = df
         return df
 
@@ -289,7 +303,14 @@ class Jetro:
 
     def _collect_node(self, node: A.Node):
         tc = Compiler().compile(node, self._env())
-        return to_python(self.df.select(tc.col.alias("value")).first()["value"])
+        try:
+            df = self.df.select(tc.col.alias("value"))
+        except AnalysisException as exc:  # see frame(): analyzer = type checker
+            raise CompileError(
+                f"expression is ill-typed for this document: "
+                f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+            ) from exc
+        return to_python(df.first()["value"])
 
 
 # ------------------------------------------------------- relational mode

@@ -68,13 +68,17 @@ def tokenize(src: str) -> list[Token]:
             toks.append(Token("str", "".join(buf), i))
             i = j + 1
             continue
-        if c.isdigit():
+        # ASCII digits only, like the reference's pest grammar: Python's
+        # str.isdigit() also accepts superscripts/Eastern Arabic numerals,
+        # which int() then rejects — an uncontrolled ValueError on fuzz
+        # input (e.g. '¹').
+        if "0" <= c <= "9":
             j = i
-            while j < n and src[j].isdigit():
+            while j < n and "0" <= src[j] <= "9":
                 j += 1
-            if j < n and src[j] == "." and j + 1 < n and src[j + 1].isdigit():
+            if j < n and src[j] == "." and j + 1 < n and "0" <= src[j + 1] <= "9":
                 j += 1
-                while j < n and src[j].isdigit():
+                while j < n and "0" <= src[j] <= "9":
                     j += 1
                 toks.append(Token("float", src[i:j], i))
             else:
