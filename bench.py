@@ -41,6 +41,12 @@ HEADLINE = [
     "win_rolling",
     "win_zscore",
     "time_bucket",
+    # r04 additions: extended joins, ts rollup, deterministic split, IVF ANN
+    "asof_join",
+    "range_join",
+    "rollup_gapfill",
+    "hash_split",
+    "ann_ivf",
     # jetro-expression-string queries through the JQL relational compiler
     "jql_filter_map",
     "jql_sort_take",
@@ -65,11 +71,20 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        # 1 warmup + best-of-3, matching the reference baseline's
+        # cache-hot protocol (bench_lock.rs: warmups + best-of-iters) and
+        # the doc-mode loop below. The warmup pays one-time analysis +
+        # codegen; each timed run still executes the full distributed
+        # query through the noop sink (no result caching anywhere).
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
 
     # document-mode bench_lock suite: the reference's own 13-query locked
     # workload (20k orders × 6 items, BASELINE.md) as jetro expression
@@ -111,13 +126,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # Measurement-protocol provenance: relational queries are
-                # timed via distributed noop-sink writes (all rounds);
-                # doc-mode bl_q* are timed via driver-local fresh
-                # executeCollect since r03 (LocalRelation fold — zero-job
-                # path). bl_q* numbers from r01/r02 used the noop sink and
-                # are NOT comparable round-over-round across that switch.
-                "protocol": "relational=noop-sink; bl_q*=localrel-fresh-executeCollect (since r03)",
+                # Measurement-protocol provenance: doc-mode bl_q* are
+                # driver-local fresh executeCollect since r03; relational
+                # queries are noop-sink writes, cold single-shot through
+                # r03 and warm best-of-3 since r04 (cache-hot, like the
+                # reference baseline's own protocol). Numbers across a
+                # protocol switch are NOT comparable round-over-round.
+                "protocol": ("relational=noop-sink warm best-of-3 (since r04; "
+                             "cold single-shot r01-r03); "
+                             "bl_q*=localrel-fresh-executeCollect (since r03)"),
             }
         )
     )

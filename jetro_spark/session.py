@@ -39,10 +39,21 @@ def get_spark(app_name: str = "jetro_spark", cpus: int | None = None) -> SparkSe
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Scan-split sizing is a LOCAL-HARNESS setting: the sf0.1 bench tables
+    # are single ~10-40 MB parquet files, so Spark's 128 MB default splits
+    # them into ~3 input partitions and leaves 29 of 32 cores idle through
+    # the scan + map-side-combine stage (measured 2x on group_agg). 4 MB
+    # restores scan parallelism here. A real cluster run should keep the
+    # 128 MB default (4 MB at 100 TB would be 25M tasks) — override via
+    # SPARK_GRAFT_MAX_PARTITION_BYTES at submit time; many-file production
+    # tables parallelize by file count anyway.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.files.maxPartitionBytes", mpb)
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
