@@ -18,6 +18,7 @@ from jetro_spark.operators.joins import (
     asof_join,
     left_join,
     range_join,
+    salted_join,
     semi_join,
 )
 from jetro_spark.session import load_tables
@@ -118,8 +119,20 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join must produce EXACTLY the plain equi-join
+    answer (salting only changes the physical row distribution) — the
+    oracle is the same SQL as a plain join."""
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    j = salted_join(o, c.withColumnRenamed("c_custkey", "k"),
+                    "o_custkey", "k", salt=8, broadcast_right=True)
+    return j.select("o_orderkey", "o_custkey", "c_name",
+                    F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 QUERIES = {
     "asof_join": q_asof_join,
+    "salted_join": q_salted_join,
     "asof_forward_tol": q_asof_forward_tol,
     "range_join": q_range_join,
     "join_left": q_join_left,
@@ -128,6 +141,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_join": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "asof_join": """
         WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
                         WHERE event_type = 'click'),

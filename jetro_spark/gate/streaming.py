@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from jetro_spark.session import load_tables
 from jetro_spark.streaming import (
+    dedup_within_watermark,
     running_agg_batch,
     session_windowed,
     sliding_windowed,
@@ -50,11 +51,22 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_agg_batch(_events(spark, sf_dir))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermark-bounded streaming dedup; the
+    deterministic surface is the surviving key set (see operator
+    docstring), so the gate projects the keys. Streaming-path parity:
+    tests/test_streaming.py."""
+    out = dedup_within_watermark(_events(spark, sf_dir),
+                                 ["user_id", "event_type"])
+    return out.select("user_id", "event_type")
+
+
 QUERIES = {
     "win_tumbling": q_win_tumbling,
     "win_sliding": q_win_sliding,
     "win_session": q_win_session,
     "stream_state": q_stream_state,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -98,5 +110,8 @@ ORACLES = {
         SELECT user_id, count(*) AS n, sum(value) AS total,
                max(value) AS vmax
         FROM events GROUP BY user_id
+    """,
+    "stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
 }

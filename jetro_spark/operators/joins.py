@@ -74,6 +74,42 @@ def anti_join(left: DataFrame, right: DataFrame, lkey: str, rkey: str) -> DataFr
     return left.join(right, left[lkey] == right[rkey], "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    lkey: str,
+    rkey: str,
+    *,
+    salt: int = 8,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """equi_join for SKEWED keys: the left (fact) side adds a
+    deterministic row-local salt in [0, salt), the right (dimension) side
+    replicates x salt, and the join keys on (key, salt) — a hot key's
+    rows spread over ``salt`` reducers instead of one straggler task.
+
+    AQE's skew-join split handles most cases post-shuffle; explicit
+    salting still wins when the skewed aggregation FOLLOWS the join (AQE
+    can't split a groupBy's hot key) or when AQE is off. The salt derives
+    from a hash of the whole left row (not rand()), so retried tasks
+    salt identically — nondeterministic salting breaks speculative
+    execution and stage retries. Output: jetro right-wins merge, same as
+    equi_join; null keys drop (inner semantics).
+    """
+    lsalt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+                   F.lit(salt)).cast("int")
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    if broadcast_right:
+        r = F.broadcast(r)
+    j = l.alias("__l").join(
+        r.alias("__r"),
+        (F.col(f"__l.{lkey}") == F.col(f"__r.{rkey}"))
+        & (F.col("__l.__salt") == F.col("__r.__salt")),
+        "inner")
+    return _merge_right_wins(j, left.columns, right.columns, "__l", "__r")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -19,6 +19,7 @@ size is bounded by the watermark horizon.
 """
 
 from jetro_spark.streaming.ops import (
+    dedup_within_watermark,
     event_time,
     read_event_stream,
     running_agg_batch,
@@ -29,6 +30,7 @@ from jetro_spark.streaming.ops import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
     "event_time",
     "read_event_stream",
     "running_agg_batch",

@@ -118,6 +118,28 @@ def session_windowed(
                     *(keys or []), "n"))
 
 
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], *, time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with BOUNDED state: duplicates
+    arriving within the watermark horizon are dropped, and per-key state
+    is evicted once the watermark passes it (plain dropDuplicates on a
+    stream keeps every key forever — an unbounded-state leak on a 100 TB
+    ingest). Batch frames take the equivalent dropDuplicates.
+
+    The deterministic surface is the KEY SET (which payload row survives
+    among duplicates is arrival/partition-order dependent in both batch
+    and streaming) — downstream should select the keys or re-join payload
+    by key, same contract as the reference's right-wins equi_join merge.
+    """
+    d = _with_time(df, time_col)
+    if d.isStreaming:
+        return (d.withWatermark("__et", watermark)
+                .dropDuplicatesWithinWatermark(keys).drop("__et"))
+    return d.dropDuplicates(keys).drop("__et")
+
+
 # ------------------------------------------------ custom stateful operator
 
 

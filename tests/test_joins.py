@@ -162,3 +162,20 @@ def test_left_join_right_wins_on_collision(spark):
     r = out.collect()[0]
     assert (r["a"], r["v"]) == ("keep", "winner")
     assert "k" in out.columns and "rk" in out.columns
+
+
+def test_salted_join_equals_equi_join(spark):
+    from jetro_spark.operators.joins import salted_join
+    from jetro_spark.operators import equi_join
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")] * 5, "k long, lv string")
+    right = spark.createDataFrame([(1, "X"), (3, "Y")], "rk long, rv string")
+    plain = sorted(tuple(r) for r in
+                   equi_join(left, right.withColumnRenamed("rk", "k"),
+                             "k", "k").collect())
+    salted = sorted(tuple(r) for r in
+                    salted_join(left, right, "k", "rk", salt=4).collect())
+    # salting changes only physical distribution, never the answer;
+    # null keys drop in both (inner semantics)
+    assert len(salted) == len([t for t in plain])
+    assert {t[-1] for t in salted} == {"X"}

@@ -82,3 +82,18 @@ def test_watermark_is_set(spark):
     out = tumbling_windowed(stream, "1 hour", watermark="30 minutes")
     # watermark node present in the analyzed streaming plan
     assert "watermark" in out._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_dedup_parity_and_bounded_state(spark, events_batch):
+    from jetro_spark.streaming import dedup_within_watermark
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, SF)
+    out = dedup_within_watermark(stream, ["user_id", "event_type"],
+                                 watermark="2 hours")
+    # append mode: dropDuplicatesWithinWatermark emits each key once
+    _run_to_memory(out.select("user_id", "event_type"), name, mode="append")
+    got = _rows(spark, name)
+    batch = {(r["user_id"], r["event_type"]) for r in
+             dedup_within_watermark(events_batch, ["user_id", "event_type"])
+             .select("user_id", "event_type").collect()}
+    assert got == batch and len(batch) > 0
