@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jetro_spark.llm.packing import pack_by_cumsum
 from jetro_spark.llm.sampling import hash_split, stratified_hash_sample
 from jetro_spark.operators.timeseries import HOUR_US, rollup_gapfill
 from jetro_spark.session import load_tables
@@ -61,10 +62,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+# --- sequence packing (cumsum strategy; n_chars as the token proxy) ---------
+def q_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = pack_by_cumsum(docs, "n_chars", 8192, order="doc_id")
+    return out.select("doc_id", "n_chars", "pack_id", "pack_offset")
+
+
 QUERIES = {
     "rollup_gapfill": q_rollup_gapfill,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "pack_cumsum": q_pack_cumsum,
 }
 
 # frac = first-8-hex-chars(md5("{key}:{seed}")) / 16^8, decoded via a
@@ -111,5 +120,15 @@ ORACLES = {
         SELECT doc_id, lang, source FROM documents
         WHERE {_FRAC.format(seed=7)} <
               CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75 ELSE 0.5 END
+    """,
+    "pack_cumsum": """
+        SELECT doc_id, n_chars,
+               CAST(coalesce(sum(n_chars) OVER w, 0) // 8192 AS BIGINT)
+                 AS pack_id,
+               CAST(coalesce(sum(n_chars) OVER w, 0) % 8192 AS BIGINT)
+                 AS pack_offset
+        FROM documents
+        WINDOW w AS (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """,
 }
