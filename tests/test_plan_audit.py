@@ -1,0 +1,100 @@
+"""Mechanical plan audit over every table-backed gate query.
+
+The scale claims in the README ("no all-pairs joins outside explicit
+brute-force oracles, filters push to the scan, broadcasts where
+intended") are enforced here, not just asserted in prose: each gate
+query's physical plan is rendered and greped. A regression that turns a
+bucketed candidate join into a nested loop, or un-pushes a scan filter,
+fails this file — the plan IS the contract.
+
+Doc-mode queries (benchlock, most jql rows) are excluded: they run over
+a one-row LocalRelation where join strategy and pushdown are meaningless.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jetro_spark.gate import analytics, joins, llm, relational, scalars, streaming, timeseries
+
+SF = "/root/testdata/sf0.001"
+
+_MODULES = (relational, joins, scalars, analytics, timeseries, llm, streaming)
+
+# Brute-force-by-design rows: the all-pairs shape is the point (exact
+# baselines over a broadcast side); rollup_gapfill's cross join builds
+# the dense grid from two AGGREGATED metadata-sized frames (distinct
+# keys x bucket span), never from the input. Everything else must never
+# plan an all-pairs join.
+_ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill"}
+
+# mapInPandas/stateful rows whose plan is dominated by the Python stage.
+_SKIP = {"mm_decode", "mm_frames"}
+
+
+def _table_queries():
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    for name in _SKIP:
+        out.pop(name, None)
+    return out
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    rendered = {}
+    for name, fn in _table_queries().items():
+        df = fn(spark, SF)
+        qe = df._jdf.queryExecution()
+        rendered[name] = (qe.executedPlan().toString()
+                          + "\n" + qe.optimizedPlan().toString())
+    return rendered
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items()
+                 if "CartesianProduct" in p and n not in _ALLPAIRS_OK]
+    assert offenders == []
+
+
+def test_nested_loop_joins_only_where_intended(plans):
+    offenders = [n for n, p in plans.items()
+                 if "BroadcastNestedLoopJoin" in p and n not in _ALLPAIRS_OK]
+    assert offenders == []
+
+
+def test_filters_push_to_parquet_scan(plans):
+    # rows whose defining predicate must reach the scan (PushedFilters
+    # non-empty => Parquet row-group/page pruning applies at 100 TB)
+    import re
+    for name in ("filter_map", "join3_revenue", "asof_join", "range_join",
+                 "join_semi"):
+        plan = plans[name]
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert pushed, f"{name}: no pushdown section in scan"
+        assert any(s.strip() for s in pushed), f"{name}: nothing pushed"
+
+
+def test_explicit_broadcasts_survive(plans):
+    # dimension-side broadcast hints must materialize as broadcast joins
+    for name in ("equi_join", "join3_revenue", "join_left", "salted_join"):
+        assert "BroadcastHashJoin" in plans[name] or \
+               "BroadcastExchange" in plans[name], f"{name}: broadcast lost"
+
+
+def test_asof_join_is_single_window_not_join(plans):
+    # the union+window formulation must NOT contain any join operator
+    p = plans["asof_join"]
+    assert "Window" in p
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in p, f"asof_join: unexpected {op}"
+
+
+def test_range_join_is_hash_join_on_bins(plans):
+    # the residual point-in-interval predicate must ride an equi-join
+    # (hash or sort-merge on __bin), never a nested loop
+    p = plans["range_join"]
+    assert ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p)
