@@ -402,15 +402,23 @@ ORACLES["embed_neardup"] = f"""
 ORACLES["ann_lsh"] = _ann_lsh_sql()
 
 # IVF: centroids re-derived from the table (cell = vec_id of the 16
-# lowest-id vectors — exactly seed_centroids), assignment = argmax cosine
-# with ties to the lowest cell, probes = 4 nearest cells per query,
-# rerank identical to ann_topk. Every float path is the same sequential
-# double fold as the Spark plan.
+# lowest-id vectors — exactly seed_centroids), assignment = argmax over
+# the NORM-FREE score dot/||centroid|| (the row norm is a constant
+# positive scale per row, so the Spark plan omits it — the oracle must
+# rank by the same formula for float near-ties to agree), ties to the
+# lowest cell, probes = 4 nearest cells per query, rerank identical to
+# ann_topk. Every float path is the same sequential double fold as the
+# Spark plan.
 ORACLES["ann_ivf"] = f"""
     WITH cents AS (
       SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
     cell_scores AS (
-      SELECT e.vec_id, c.cell, {_COS.format(a='e', b='c')} AS s
+      SELECT e.vec_id, c.cell,
+             list_sum([e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                       for i in generate_series(1, len(e.embedding))])
+             / sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                              for i in generate_series(1, len(c.embedding))]))
+               AS s
       FROM embeddings e CROSS JOIN cents c),
     assign AS (
       SELECT vec_id, cell FROM (

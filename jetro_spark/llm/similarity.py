@@ -20,6 +20,7 @@ comparison possible.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 
 from pyspark.sql import Column, DataFrame, Window
@@ -44,13 +45,21 @@ def brute_force_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(qid, nid, rank) exact top-k by cosine; self-matches excluded;
-    deterministic tie-break on neighbor id."""
+    deterministic tie-break on neighbor id.
+
+    Norms are precomputed per SIDE before the pair join (array folds are
+    interpreted CodegenFallback — 1 fold per pair instead of 3; the
+    score value is bit-identical since l2_norm(a)*l2_norm(b) evaluates
+    the same doubles in the same order)."""
     q = F.broadcast(queries.select(F.col(id_col).alias("qid"),
-                                   F.col(vec_col).alias("qvec")))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+                                   F.col(vec_col).alias("qvec"))
+                    .withColumn("__qn", l2_norm(F.col("qvec"))))
+    c = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+         .withColumn("__nn", l2_norm(F.col("nvec"))))
     scored = (q.crossJoin(c)
               .filter(F.col("qid") != F.col("nid"))
-              .withColumn("score", cosine(F.col("qvec"), F.col("nvec"))))
+              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
+                          / (F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -110,13 +119,33 @@ def seed_centroids(corpus: DataFrame, n_cells: int,
     return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Sequential left-to-right double fold, matching BOTH the Column
+    fold (l2_norm) and DuckDB's list_sum bit-for-bit — centroid norms can
+    therefore be baked in as literals without perturbing any comparison."""
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)  # sqrt, not **0.5: pow(x,.5) isn't bit-guaranteed
+
+
 def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> list[Column]:
-    """cosine(vec, centroid) per cell, centroids embedded as literals —
-    row-local JVM expressions, zero shuffle for assignment."""
+    """Per-cell ranking score dot(vec, centroid) / ||centroid||, with
+    centroids embedded as literals — row-local JVM expressions, zero
+    shuffle for assignment.
+
+    The row's own norm is deliberately ABSENT: it is a positive constant
+    across the cells of one row, so dividing by it cannot change the
+    argmax/top-n_probe ordering — and Spark's higher-order array folds
+    are CodegenFallback (interpreted per element, no codegen CSE), so
+    dropping it cuts the per-row fold count from 48 to 16. Centroid
+    norms are driver-computed literal doubles (_py_norm matches the SQL
+    oracle's sqrt(list_sum) fold bit-for-bit; the oracle ranks cells by
+    this same norm-free formula so float near-ties agree)."""
     out = []
     for _, cvec in centroids:
         lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        out.append(cosine(vec, lit_c))
+        out.append(dot(vec, lit_c) / F.lit(_py_norm(cvec)))
     return out
 
 
@@ -175,10 +204,14 @@ def ivf_topk(
                 .filter(F.col("qid") != F.col("nid"))
                 .select("qid", "nid"))
     qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
-                                    F.col(vec_col).alias("qvec")))
-    cv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+                                    F.col(vec_col).alias("qvec"))
+                     .withColumn("__qn", l2_norm(F.col("qvec"))))
+    cv = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+          .withColumn("__nn", l2_norm(F.col("nvec"))))
+    # per-side norms: 1 interpreted fold per candidate pair, not 3
     scored = (pair_ids.join(qv, "qid").join(cv, "nid")
-              .withColumn("score", cosine(F.col("qvec"), F.col("nvec"))))
+              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
+                          / (F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -212,10 +245,14 @@ def hyperplane_lsh_topk(
                 .select("qid", "nid")
                 .distinct())
     qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
-                                    F.col(vec_col).alias("qvec")))
-    cv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+                                    F.col(vec_col).alias("qvec"))
+                     .withColumn("__qn", l2_norm(F.col("qvec"))))
+    cv = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+          .withColumn("__nn", l2_norm(F.col("nvec"))))
+    # per-side norms: 1 interpreted fold per candidate pair, not 3
     scored = (pair_ids.join(qv, "qid").join(cv, "nid")
-              .withColumn("score", cosine(F.col("qvec"), F.col("nvec"))))
+              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
+                          / (F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
