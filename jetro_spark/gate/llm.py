@@ -135,6 +135,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank")
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup: MinHash-LSH pairs → connected components
+    (min-label propagation to fixpoint) → every document labeled with
+    its duplicate-cluster id (its own id when isolated). The oracle
+    recomputes the SAME pairs via exact Jaccard (the dedup_lsh
+    equivalence) and the SAME closure via a recursive CTE."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", k=5, threshold=0.8)
+    cc = D.connected_components(pairs)
+    out = (d.join(cc, d.doc_id == cc.id, "left")
+           .select("doc_id",
+                   F.coalesce("component", "doc_id").alias("component")))
+    return out
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — the third ANN strategy (Voronoi cells +
     n_probe search). Seeded deterministic centroids (the 16 lowest-id
@@ -194,6 +209,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "dedup_cluster": q_dedup_cluster,
     "simhash_pairs": q_simhash_pairs,
     "mm_decode": q_mm_decode,
     "mm_frames": q_mm_frames,
@@ -400,6 +416,40 @@ ORACLES["embed_neardup"] = f"""
 """
 
 ORACLES["ann_lsh"] = _ann_lsh_sql()
+
+# Clusters: same pair semantics as dedup_lsh (LSH output ≡ exact-Jaccard
+# scan at this threshold), closure via recursive CTE (min reachable id
+# per node = exactly the label-propagation fixpoint). CTEs are
+# MATERIALIZED: DuckDB otherwise inlines the expensive pair scan into
+# every recursive reference (measured 96 s -> 36 s).
+ORACLES["dedup_cluster"] = f"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), s AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([substr(t, i, 5)
+                            for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh
+      FROM d
+    ), pairs AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ), edges AS MATERIALIZED (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+      SELECT src AS id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS component
+    FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+"""
 
 # IVF: centroids re-derived from the table (cell = vec_id of the 16
 # lowest-id vectors — exactly seed_centroids), assignment = argmax over

@@ -238,3 +238,74 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("hamming", hamming64(F.col("a_sig"), F.col("b_sig")))
             .filter(F.col("hamming") <= max_hamming)
             .select("a_id", "b_id", "hamming"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, component)
+    with component = the smallest id reachable from the node. This is how
+    near-dup PAIRS become dedup CLUSTERS: LSH emits pairwise edges, but
+    retention policy ("keep one doc per duplicate group") needs the
+    transitive closure — a~b and b~c must put a,b,c in ONE group.
+
+    Algorithm: min-label propagation. Each iteration joins the edge list
+    against current labels and takes the per-node min of (own label,
+    neighbors' labels); convergence when no label changes. Iteration
+    count is the graph DIAMETER (near-dup clusters are dense, so
+    typically 2-4), each iteration one join + one groupBy — the standard
+    large-graph formulation (no driver-side graph, scales with the edge
+    list). Labels are localCheckpoint'ed per iteration: lineage doubles
+    every round otherwise, and the input's upstream plan (e.g. the whole
+    LSH pipeline) must not be re-executed per iteration.
+
+    Isolated nodes never appear in ``pairs``; callers outer-join and
+    coalesce(component, id) to give singletons their own cluster.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    # materialize the pair list ONCE before symmetrizing: the union below
+    # references it twice, and without the checkpoint the whole upstream
+    # plan (e.g. the LSH candidate pipeline) executes twice
+    p = pairs.select(a.alias("src"), b.alias("dst")).localCheckpoint()
+    edges = (p.union(p.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "component"))
+        new_labels = (msgs.union(labels)
+                      .groupBy("id").agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("component", "old"),
+                                   "id")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} iterations "
+        f"(graph diameter exceeds max_iter)")
+
+
+def dedup_near_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Cluster-aware near-dup retention: group docs by the transitive
+    closure of ``pairs`` and keep the smallest-id document of each
+    cluster (deterministic canonical choice). Docs in no pair survive
+    unchanged."""
+    cc = connected_components(pairs, a_col, b_col)
+    losers = cc.filter(F.col("component") != F.col("id")).select("id")
+    return df.join(losers, df[id_col] == losers.id, "left_anti")

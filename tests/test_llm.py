@@ -198,3 +198,28 @@ def test_ivf_topk_recall_and_candidate_uniqueness(vectors):
     for r in full.groupBy("qid").agg(
             F.count("*").alias("n"), F.max("rank").alias("mx")).collect():
         assert r["n"] == r["mx"]
+
+
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 3)], "a_id long, b_id long")
+    got = {r["id"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    # chain 1-2-3-10 merges into component 1; 7-8 separate
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    assert D.connected_components(pairs).count() == 0
+
+
+def test_dedup_near_clusters_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 12)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a_id long, b_id long")
+    kept = sorted(r["doc_id"] for r in
+                  D.dedup_near_clusters(docs, pairs).collect())
+    # clusters {1,2,3}→keep 1, {7,8}→keep 7; 4,5,6,9,10,11 isolated
+    assert kept == [1, 4, 5, 6, 7, 9, 10, 11]
