@@ -30,14 +30,15 @@ def _modules():
         joins,
         jql,
         llm,
+        profiling,
         relational,
         scalars,
         streaming,
         timeseries,
     )
 
-    return (relational, joins, scalars, analytics, timeseries, jql, llm, hof,
-            streaming, benchlock)
+    return (relational, joins, scalars, analytics, timeseries, profiling,
+            jql, llm, hof, streaming, benchlock)
 
 
 def all_queries() -> dict[str, QueryFn]:

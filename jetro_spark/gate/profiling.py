@@ -1,0 +1,92 @@
+"""Gate queries: data-profiling operators (operators/profiling.py).
+
+Quantiles use the discrete nearest-lower-rank definition so results are
+actual data values (hash-comparable across engines; interpolation FP
+order is engine-specific). Profile min/max are stringified — column
+choices here keep Spark and DuckDB string renderings identical (integers,
+plain doubles, midnight timestamps, strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jetro_spark.operators.profiling import group_quantiles, histogram, profile_table
+from jetro_spark.session import load_tables
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, register=False)["lineitem"]
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_quantiles(_li(spark, sf_dir), "l_extendedprice",
+                           [0.25, 0.5, 0.75, 0.99],
+                           keys=["l_returnflag"])
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram(_li(spark, sf_dir), "l_extendedprice",
+                     lo=0.0, hi=110_000.0, bins=22)
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(_li(spark, sf_dir),
+                         ["l_orderkey", "l_quantity", "l_returnflag",
+                          "l_shipdate"])
+
+
+QUERIES = {
+    "group_quantiles": q_group_quantiles,
+    "histogram": q_histogram,
+    "profile_table": q_profile_table,
+}
+
+
+def _quantile_sql(ps: list[float]) -> str:
+    cells = ",\n               ".join(
+        f"max(CASE WHEN rn = floor((n - 1) * {p}) THEN l_extendedprice END)"
+        f" AS q{int(round(p * 100))}" for p in ps)
+    return f"""
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) - 1 AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT l_returnflag,
+               {cells}
+        FROM r GROUP BY l_returnflag
+    """
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column",
+               count(*)::BIGINT AS n,
+               count(CASE WHEN {col} IS NULL THEN 1 END)::BIGINT AS n_null,
+               count(DISTINCT {col})::BIGINT AS n_distinct,
+               min({col})::VARCHAR AS min_str,
+               max({col})::VARCHAR AS max_str
+        FROM lineitem
+    """
+
+
+ORACLES = {
+    "group_quantiles": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
+    "histogram": """
+        WITH b AS (
+          SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 21)
+                      AS BIGINT) AS bin
+          FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT bin,
+               bin * 5000.0 AS lo_edge,
+               (bin + 1) * 5000.0 AS hi_edge,
+               count(*) AS n
+        FROM b GROUP BY bin
+    """,
+    "profile_table": " UNION ALL ".join(
+        _profile_col_sql(c) for c in
+        ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")),
+}

