@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jetro_spark.operators.profiling import group_quantiles, histogram, profile_table
+from jetro_spark.operators.profiling import (
+    group_quantiles,
+    histogram,
+    key_skew,
+    profile_table,
+)
+from jetro_spark.operators.timeseries import sessionize
 from jetro_spark.session import load_tables
 
 
@@ -37,10 +43,25 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "l_shipdate"])
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    return key_skew(o, "o_orderpriority", top=5).select(
+        "key", "n", F.round("share", 6).alias("share"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    out = sessionize(ev, time_col="ts", gap_us=15 * 60 * 1_000_000,
+                     keys=["user_id"], tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_seq")
+
+
 QUERIES = {
     "group_quantiles": q_group_quantiles,
     "histogram": q_histogram,
     "profile_table": q_profile_table,
+    "key_skew": q_key_skew,
+    "sessionize": q_sessionize,
 }
 
 
@@ -89,4 +110,30 @@ ORACLES = {
     "profile_table": " UNION ALL ".join(
         _profile_col_sql(c) for c in
         ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")),
+    "key_skew": """
+        WITH c AS (
+          SELECT o_orderpriority::VARCHAR AS key, count(*) AS n
+          FROM orders GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT key, n, round(n / total, 6) AS share
+        FROM c, t ORDER BY n DESC, key ASC LIMIT 5
+    """,
+    # strict `> gap` break, 0-based session index per user — mirrors the
+    # win_session oracle's gaps-and-islands construction at event grain
+    "sessionize": """
+        WITH o AS (
+          SELECT event_id, user_id, epoch_us(ts) AS tus,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 900000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT event_id, user_id,
+               CAST(sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                    AS BIGINT) AS session_seq
+        FROM o
+    """,
 }

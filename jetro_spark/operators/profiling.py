@@ -82,6 +82,27 @@ def histogram(
                     "n"))
 
 
+def key_skew(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    top: int = 20,
+) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: the ``top`` heaviest
+    keys with count and share of total. Read with salted_join /
+    AQE-skew-join in mind: a top share near 1/shuffle_partitions means a
+    straggler task. One count shuffle + a broadcast 1-row total."""
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("share", F.col("n") / F.col("__total"))
+            .drop("__total")
+            .orderBy(F.col("n").desc(), F.col("key").asc())
+            .limit(top))
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -33,6 +33,39 @@ def time_bucket(c: Column, dtype: str, width_us: int) -> Column:
     return F.floor(c / F.lit(width_us)).cast("long")
 
 
+def sessionize(
+    df: DataFrame,
+    *,
+    time_col: str,
+    gap_us: int,
+    keys: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a session id to EVERY EVENT (gaps-and-islands): a new
+    session starts when the gap to the key's previous event exceeds
+    ``gap_us``. Complements the session_window AGGREGATE (which emits one
+    row per session) when downstream needs event-grained session joins —
+    e.g. "attach the session's first utm tag to each event".
+
+    Output adds ``session_seq`` (0-based per key, by time) — sessions are
+    one window pass over the key partitioning: lag → break flag → running
+    sum. Deterministic given (time, tiebreak) uniqueness per key."""
+    dt = dict(df.dtypes).get(time_col, "")
+    t = time_bucket(F.col(time_col), dt, 1)  # µs epoch, representation-safe
+    order = [t.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(t).over(w)
+    brk = F.when(prev.isNull() | ((t - prev) > F.lit(gap_us)), 1).otherwise(0)
+    run = (Window.partitionBy(*keys).orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # two projections: a window function (lag) can't nest inside another
+    # window aggregate's argument — same partitioning, so still one sort
+    return (df.withColumn("__brk", brk)
+            .withColumn("session_seq",
+                        (F.sum("__brk").over(run) - 1).cast("long"))
+            .drop("__brk"))
+
+
 def rollup_gapfill(
     df: DataFrame,
     *,

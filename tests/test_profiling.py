@@ -64,3 +64,35 @@ def test_profile_table_approx_mode(spark):
     df = spark.createDataFrame([(i % 10,) for i in range(1000)], "id long")
     out = profile_table(df, approx=True).collect()[0]
     assert 8 <= out["n_distinct"] <= 12  # HLL estimate of 10
+
+
+def test_key_skew_shares(spark):
+    from jetro_spark.operators.profiling import key_skew
+    df = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "k string")
+    out = [(r["key"], r["n"], r["share"]) for r in key_skew(df, "k").collect()]
+    assert out == [("a", 8, 0.8), ("b", 2, 0.2)]
+
+
+def test_sessionize_gaps_and_islands(spark):
+    from jetro_spark.operators.timeseries import sessionize
+    rows = [(1, "u", 0), (2, "u", 100), (3, "u", 2000), (4, "u", 2050),
+            (5, "v", 0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts long")
+    out = {r["event_id"]: r["session_seq"] for r in
+           sessionize(df, time_col="ts", gap_us=500, keys=["user_id"],
+                      tiebreak="event_id").collect()}
+    # u: gap 0→100 fine (session 0), 100→2000 breaks (session 1), 2050 joins
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_matches_session_window_count(spark, tables):
+    from jetro_spark.operators.timeseries import sessionize
+    from jetro_spark.streaming import session_windowed
+    ev = tables["events"]
+    s = sessionize(ev, time_col="ts", gap_us=15 * 60 * 1_000_000,
+                   keys=["user_id"], tiebreak="event_id")
+    n_sessions = (s.select("user_id", "session_seq").distinct().count())
+    agg = session_windowed(ev, "15 minutes", keys=["user_id"]).count()
+    # same definition, two constructions: event-grain islands vs
+    # session_window aggregate must find the same session count
+    assert n_sessions == agg
