@@ -150,6 +150,11 @@ QUERIES = {
     "jql_sort_take": _q(
         "$.orders.sort(-o_totalprice, o_orderkey).take(10)"
         ".map({okey: o_orderkey, total: o_totalprice})"),
+    # enumerate → row_number window over the pipeline order (relational
+    # lowering of ops/collection.rs:409 — no doc fallback)
+    "jql_enumerate": _q(
+        "$.orders.sort(-o_totalprice, o_orderkey).take(25).enumerate()"
+        ".map({rank: index, okey: value.o_orderkey, total: value.o_totalprice})"),
     # predicate count sink
     "jql_count_pred": _q(
         '$.orders.filter(o_orderstatus == "F" and o_totalprice > 100000).count()'),
@@ -319,6 +324,13 @@ ORACLES = {
     "jql_filter_map": """
         SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty
         FROM lineitem WHERE l_quantity > 45
+    """,
+    "jql_enumerate": """
+        SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey) - 1 AS BIGINT) AS rank,
+               o_orderkey AS okey, o_totalprice AS total
+        FROM (SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 25)
     """,
     "jql_sort_take": """
         SELECT o_orderkey AS okey, o_totalprice AS total

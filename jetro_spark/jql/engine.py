@@ -707,6 +707,24 @@ class JetroTables:
             inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             self._order = order
             return inv.offset(-i - 1).limit(1)
+        if name == "enumerate":
+            # → rows of {index, value} over the pipeline order
+            # (ops/collection.rs:409). Dense global indexing is an
+            # inherently single-sequence operation (same class as
+            # take_while's running sum); unordered tables fall back.
+            if order is None:
+                return None
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
+            out = df.select(
+                (F.row_number().over(w) - 1).cast("long").alias("index"),
+                F.struct(*[F.col(c2) for c2 in vis]).alias("value"),
+                *hid)
+            self._order = [(F.col("index"), False)]
+            return out
         if name == "reverse":
             if order is None:
                 return None

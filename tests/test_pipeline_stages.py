@@ -44,6 +44,9 @@ def rel(spark, seq_tables, expr):
     # a window stage after reverse() follows the flipped order
     ("$.s.sort(k).map(v).reverse().cummax()",
      [(2.0,), (9.0,), (9.0,), (9.0,), (9.0,), (9.0,), (9.0,)], ["v"]),
+    # enumerate → {index, value} rows over the pipeline order
+    ("$.s.sort(-v, k).take(3).enumerate().map({i: index, v: value.v})",
+     [(0, 9.0), (1, 5.0), (2, 4.0)], ["i", "v"]),
 ])
 def test_native_lowering(spark, seq_tables, expr, want, cols):
     vals, got_cols = rel(spark, seq_tables, expr)
