@@ -725,6 +725,29 @@ class JetroTables:
                 *hid)
             self._order = [(F.col("index"), False)]
             return out
+        if name == "pairwise":
+            # overlapping [prev, cur] pairs over the pipeline order
+            # (ops/collection.rs:556): lag window, first row dropped.
+            # Order keys ride along as __ord columns (the _select_carry
+            # convention) since the projection replaces the data columns.
+            if order is None:
+                return None
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            for i, (col, _desc) in enumerate(order):
+                df = df.withColumn(f"__ord{i}", col)
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            extras = [F.col(f"__ord{i}") for i in range(len(order))]
+            cur = (F.col(vis[0]) if len(vis) == 1
+                   else F.struct(*[F.col(c2) for c2 in vis]))
+            out = (df.select(F.lag(cur).over(w).alias("__prev"),
+                             cur.alias("__cur"), *extras)
+                   .filter(F.col("__prev").isNotNull())
+                   .select(F.array("__prev", "__cur").alias("value"), *extras))
+            self._order = [(F.col(f"__ord{i}"), d)
+                           for i, (_, d) in enumerate(order)]
+            return out
         if name == "reverse":
             if order is None:
                 return None

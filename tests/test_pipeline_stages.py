@@ -47,6 +47,11 @@ def rel(spark, seq_tables, expr):
     # enumerate → {index, value} rows over the pipeline order
     ("$.s.sort(-v, k).take(3).enumerate().map({i: index, v: value.v})",
      [(0, 9.0), (1, 5.0), (2, 4.0)], ["i", "v"]),
+    # pairwise → [prev, cur] rows via lag; first row dropped
+    ("$.s.sort(k).map(v).pairwise()",
+     [([3.0, 1.0],), ([1.0, 4.0],), ([4.0, 1.0],), ([1.0, 5.0],),
+      ([5.0, 9.0],), ([9.0, 2.0],)], ["value"]),
+    ("$.s.sort(k).map(v).pairwise().count()", [(6,)], ["value"]),
 ])
 def test_native_lowering(spark, seq_tables, expr, want, cols):
     vals, got_cols = rel(spark, seq_tables, expr)
