@@ -16,9 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from jetro_spark.session import load_tables
 from jetro_spark.streaming import (
     dedup_within_watermark,
+    interval_join_streams,
     running_agg_batch,
     session_windowed,
     sliding_windowed,
@@ -61,7 +64,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the two-sided-watermark stream-stream interval
+    join: each click paired with same-user purchases in the preceding
+    hour. Streaming-path parity: tests/test_streaming.py."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    j = interval_join_streams(clicks, purchases, on="user_id",
+                              lower="INTERVAL 1 HOUR",
+                              upper="INTERVAL 0 SECONDS")
+    return j.select("event_id", "user_id",
+                    F.col("r_event_id").alias("p_event_id"))
+
+
 QUERIES = {
+    "stream_interval_join": q_stream_interval_join,
     "win_tumbling": q_win_tumbling,
     "win_sliding": q_win_sliding,
     "win_session": q_win_session,
@@ -113,5 +133,15 @@ ORACLES = {
     """,
     "stream_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "stream_interval_join": """
+        SELECT c.event_id, c.user_id, p.event_id AS p_event_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts - INTERVAL 1 HOUR
+         AND p.ts <= c.ts
     """,
 }

@@ -21,6 +21,7 @@ size is bounded by the watermark horizon.
 from jetro_spark.streaming.ops import (
     dedup_within_watermark,
     event_time,
+    interval_join_streams,
     read_event_stream,
     running_agg_batch,
     running_agg_state,
@@ -32,6 +33,7 @@ from jetro_spark.streaming.ops import (
 __all__ = [
     "dedup_within_watermark",
     "event_time",
+    "interval_join_streams",
     "read_event_stream",
     "running_agg_batch",
     "running_agg_state",

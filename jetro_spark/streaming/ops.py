@@ -118,6 +118,50 @@ def session_windowed(
                     *(keys or []), "n"))
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    lower: str = "INTERVAL 1 HOUR",
+    upper: str = "INTERVAL 0 SECONDS",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream INNER join bounded by an event-time interval:
+    match when ``right_time ∈ [left_time - lower, left_time + upper]``
+    and the ``on`` keys are equal.
+
+    The time-bound condition is what makes this viable on two unbounded
+    streams: with watermarks on BOTH sides, Spark derives how long each
+    side's join state must be retained (watermark + interval span) and
+    evicts it — an unbounded stream-stream join would otherwise keep
+    every row forever. The same code path runs on batch frames
+    (withWatermark is a no-op there), so batch ≡ streaming parity is
+    testable.
+
+    Right columns (except the key) come back ``{right_prefix}``-renamed;
+    both event-time columns are normalized to TimestampType first
+    (timeutil), whatever the physical representation."""
+    lt = ts_to_timestamp(F.col(left_time), dict(left.dtypes).get(left_time, ""))
+    rt = ts_to_timestamp(F.col(right_time), dict(right.dtypes).get(right_time, ""))
+    l = left.withColumn("__lt", lt).withWatermark("__lt", watermark)
+    rcols = [c for c in right.columns if c != on]
+    r = right.select(F.col(on),
+                     *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols])
+    r = (r.withColumn("__rt", ts_to_timestamp(
+            F.col(f"{right_prefix}{right_time}"),
+            dict(right.dtypes).get(right_time, "")))
+         .withWatermark("__rt", watermark)
+         .withColumnRenamed(on, f"__r_{on}"))
+    cond = ((l[on] == r[f"__r_{on}"])
+            & (F.col("__rt") >= F.col("__lt") - F.expr(lower))
+            & (F.col("__rt") <= F.col("__lt") + F.expr(upper)))
+    return l.join(r, cond, "inner").drop("__lt", "__rt", f"__r_{on}")
+
+
 def dedup_within_watermark(
     df: DataFrame, keys: list[str], *, time_col: str = "ts",
     watermark: str = "1 hour",

@@ -97,3 +97,30 @@ def test_stream_dedup_parity_and_bounded_state(spark, events_batch):
              dedup_within_watermark(events_batch, ["user_id", "event_type"])
              .select("user_id", "event_type").collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_stream_interval_join_parity(spark, events_batch):
+    from pyspark.sql import functions as F
+    from jetro_spark.streaming import interval_join_streams
+
+    def split(df):
+        c = df.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        p = df.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        return c, p
+
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    sc, sp = split(read_event_stream(spark, SF))
+    out = interval_join_streams(sc, sp, on="user_id",
+                                lower="INTERVAL 1 HOUR",
+                                upper="INTERVAL 0 SECONDS")
+    _run_to_memory(out.select("event_id", "r_event_id"), name, mode="append")
+    got = _rows(spark, name)
+    bc, bp = split(events_batch)
+    batch = {(r["event_id"], r["r_event_id"]) for r in
+             interval_join_streams(bc, bp, on="user_id",
+                                   lower="INTERVAL 1 HOUR",
+                                   upper="INTERVAL 0 SECONDS")
+             .select("event_id", "r_event_id").collect()}
+    assert got == batch and len(batch) > 0
