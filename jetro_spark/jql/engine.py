@@ -436,6 +436,37 @@ class JetroTables:
         (self.query(expr).write.mode(mode)
          .option("sep", sep).option("header", header).csv(path))
 
+    def write_parquet(self, expr: str, path: str, *,
+                      partition_by: list[str] | None = None,
+                      cluster_by: list[str] | None = None,
+                      target_files: int | None = None,
+                      mode: str = "overwrite") -> None:
+        """Distributed parquet sink with layout control — what a
+        training-data pipeline actually ships:
+
+        - ``partition_by``: hive-style directory partitioning; downstream
+          filters on these columns become partition PRUNING (whole
+          directories skipped, no footer reads).
+        - ``cluster_by``: repartition on the keys then sort within each
+          file — co-locates equal keys and gives parquet min/max
+          row-group statistics real selectivity for range predicates.
+        - ``target_files``: cap the output file count (tiny-file storms
+          from a 32-partition shuffle writing 32 files per hive partition
+          are the classic small-files problem; at cluster scale size this
+          to ~<1 GB per file).
+        """
+        df = self.query(expr)
+        if cluster_by:
+            n = target_files or df.sparkSession.sparkContext.defaultParallelism
+            df = (df.repartition(n, *[F.col(c) for c in cluster_by])
+                  .sortWithinPartitions(*cluster_by))
+        elif target_files:
+            df = df.repartition(target_files)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
     def compile_node(self, node: A.Node) -> DataFrame:
         if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):
             df = self._comp(node)
