@@ -22,11 +22,25 @@ from jetro_spark.operators.joins import (
     semi_join,
 )
 from jetro_spark.session import load_tables
+from jetro_spark.timeutil import ts_to_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Tables with every time column normalized to TimestampType —
+    representation-safe across testdata generations (bigint nano-epochs
+    under nanosAsLong, or plain µs timestamps). Joins/tolerances here
+    use timestamp arithmetic (INTERVAL literals), which a raw bigint
+    axis would break."""
     dfs = load_tables(spark, sf_dir, register=False)
-    return [dfs[n] for n in names]
+    out = []
+    for n in names:
+        df = dfs[n]
+        for tc in ("ts", "o_orderdate", "l_shipdate"):
+            dt = dict(df.dtypes).get(tc)
+            if dt is not None:
+                df = df.withColumn(tc, ts_to_timestamp(F.col(tc), dt))
+        out.append(df)
+    return out
 
 
 def _us(c: F.Column) -> F.Column:

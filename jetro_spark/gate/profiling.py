@@ -51,6 +51,11 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, register=False)["events"]
+    # normalize ts to TimestampType (representation-safe across testdata
+    # generations; sessionize numeric axes are raw µs, never raw nanos)
+    from jetro_spark.timeutil import ts_to_timestamp
+    ev = ev.withColumn("ts", ts_to_timestamp(
+        F.col("ts"), dict(ev.dtypes).get("ts", "")))
     out = sessionize(ev, time_col="ts", gap_us=15 * 60 * 1_000_000,
                      keys=["user_id"], tiebreak="event_id")
     return out.select("event_id", "user_id", "session_seq")

@@ -17,11 +17,23 @@ from jetro_spark.llm.packing import pack_by_cumsum
 from jetro_spark.llm.sampling import hash_split, stratified_hash_sample
 from jetro_spark.operators.timeseries import HOUR_US, rollup_gapfill
 from jetro_spark.session import load_tables
+from jetro_spark.timeutil import ts_to_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Tables with events.ts normalized to TimestampType —
+    representation-safe across testdata generations (bigint nano-epochs
+    under nanosAsLong, or µs timestamps); the timeseries operators take
+    timestamps or raw-µs axes, never raw nanos."""
     dfs = load_tables(spark, sf_dir, register=False)
-    return [dfs[n] for n in names]
+    out = []
+    for n in names:
+        df = dfs[n]
+        dt = dict(df.dtypes).get("ts")
+        if dt is not None:
+            df = df.withColumn("ts", ts_to_timestamp(F.col("ts"), dt))
+        out.append(df)
+    return out
 
 
 # --- hourly rollup per event_type, zero-filled counts + locf'd totals -------

@@ -160,6 +160,24 @@ def _apply_lambda(spark: SparkSession, lam: A.Node, value):
     return to_python(sub.df.select(tc.col.alias("value")).first()["value"])
 
 
+def _analyzed_select(df: DataFrame, col: Column) -> DataFrame:
+    """select() with analyzer failures surfaced as CompileError.
+
+    Catalyst's analyzer IS this engine's type checker: a stage applied to
+    an incompatible input (e.g. an array method on a scalar —
+    `$.x.count().filter(p)`) resolves to an ill-typed plan. Surfacing it
+    as the language's own error type keeps the reference's contract that
+    any input yields a result or a controlled query error
+    (fuzz_targets/collect.rs: "must not panic")."""
+    try:
+        return df.select(col)
+    except AnalysisException as exc:
+        raise CompileError(
+            f"expression is ill-typed for this document: "
+            f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+        ) from exc
+
+
 class Jetro:
     """Document-mode handle: ``Jetro.from_bytes(spark, data).collect(expr)``.
     Reference API: jc/lib.rs:354-380 (from_bytes), :477 (collect)."""
@@ -246,26 +264,15 @@ class Jetro:
         df = self._plan_cache.get(expr)
         if df is None:
             tc = Compiler().compile(parse(expr), self._env())
-            try:
-                df = self.df.select(tc.col.alias("value"))
-            except AnalysisException as exc:
-                # Catalyst's analyzer IS this engine's type checker: a
-                # stage applied to an incompatible input (e.g. an array
-                # method on a scalar — `$.x.count().filter(p)`) resolves
-                # to an ill-typed plan. Surface it as the language's own
-                # error type, matching the reference's contract that any
-                # input yields a result or a controlled query error
-                # (fuzz_targets/collect.rs: "must not panic").
-                raise CompileError(
-                    f"expression is ill-typed for this document: "
-                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
-                ) from exc
+            df = _analyzed_select(self.df, tc.col.alias("value"))
             self._plan_cache[expr] = df
         return df
 
     def execute(self, expr: str) -> int:
         """Run ``expr`` end-to-end and materialize the result in engine
-        (JVM) memory; returns the row count. Unlike ``collect`` this skips
+        (JVM) memory; returns the row count (-1 on the distributed
+        fallback path, where counting would need a second execution).
+        Unlike ``collect`` this skips
         the JVM→Python conversion — the counterpart of the reference
         producing an in-process Value (jc/lib.rs:477). Each call pays the
         full analysis + optimization + evaluation cost under a fresh
@@ -274,10 +281,14 @@ class Jetro:
         df = self.frame(expr)
         n = fresh_execute(df)
         if n is None:  # no classic-JVM surface: distributed fallback.
-            # One materialization only — count() executes the query
-            # end-to-end; a prior noop write would run it a second time
-            # and double every timed bench iteration.
-            return df.count()
+            # ONE materialization, via the noop sink: count() would let
+            # Catalyst column-prune the entire `value` projection away
+            # (Aggregate(count(1)) needs no columns) and time nothing.
+            # Row count is unknowable without a second execution, so
+            # return -1 (callers use execute() for timing/materialization,
+            # not cardinality).
+            df.write.format("noop").mode("overwrite").save()
+            return -1
         return n
 
     def collect(self, expr: str):
@@ -303,13 +314,7 @@ class Jetro:
 
     def _collect_node(self, node: A.Node):
         tc = Compiler().compile(node, self._env())
-        try:
-            df = self.df.select(tc.col.alias("value"))
-        except AnalysisException as exc:  # see frame(): analyzer = type checker
-            raise CompileError(
-                f"expression is ill-typed for this document: "
-                f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
-            ) from exc
+        df = _analyzed_select(self.df, tc.col.alias("value"))
         return to_python(df.first()["value"])
 
 
@@ -750,9 +755,13 @@ class JetroTables:
                                  for c2, d in order])
             vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
             hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
+            # scalar pipelines keep the bare element as `value` (doc-mode
+            # semantics: value IS the element); only object rows wrap
+            val = (F.col(vis[0]) if len(vis) == 1
+                   else F.struct(*[F.col(c2) for c2 in vis]))
             out = df.select(
                 (F.row_number().over(w) - 1).cast("long").alias("index"),
-                F.struct(*[F.col(c2) for c2 in vis]).alias("value"),
+                val.alias("value"),
                 *hid)
             self._order = [(F.col("index"), False)]
             return out

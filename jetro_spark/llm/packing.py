@@ -14,7 +14,10 @@ Two strategies, both deterministic:
 - **pack_greedy** — exact first-fit-sequential semantics (the
   accumulator RESETS at each break, so no pack ever exceeds max_tokens
   unless a single document does): a stateful fold that SQL windows
-  cannot express, run as Arrow-batched applyInPandas per shard. Shards
+  cannot express, run as an Arrow-batched ``mapInPandas`` iterator fold
+  over shard-repartitioned, within-partition-sorted data (NOT
+  applyInPandas-per-group — the fold walks each partition's batch
+  stream, carrying accumulator state across Arrow batches). Shards
   are independent (hash of the key), so parallelism = shard count and
   memory = one shard's (id, n_tokens) pairs — pack locality is traded
   for scale, exactly like the reference trades insertion order for

@@ -24,12 +24,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from jetro_spark.operators.joins import DAY_US, HOUR_US, MINUTE_US, SECOND_US  # noqa: F401 (re-export)
+from jetro_spark.timeutil import ts_to_micros
 
 
 def time_bucket(c: Column, dtype: str, width_us: int) -> Column:
-    """Bucket index (long) of a time value: floor(unix_micros / width)."""
+    """Bucket index (long) of a time value: floor(epoch_micros / width).
+
+    Timestamp columns convert to epoch micros; NUMERIC columns are taken
+    as a raw MICROSECOND axis as-is. A bigint nano-epoch column (the
+    nanosAsLong parquet representation) must be normalized first —
+    timeutil.ts_to_micros / with_event_timestamp — as the gate queries
+    do; feeding raw nanos here buckets 1000x too fine."""
     if dtype.startswith("timestamp"):
-        c = F.unix_micros(c.cast("timestamp"))
+        return F.floor(ts_to_micros(c, dtype) / F.lit(width_us)).cast("long")
     return F.floor(c / F.lit(width_us)).cast("long")
 
 
@@ -51,7 +58,9 @@ def sessionize(
     one window pass over the key partitioning: lag → break flag → running
     sum. Deterministic given (time, tiebreak) uniqueness per key."""
     dt = dict(df.dtypes).get(time_col, "")
-    t = time_bucket(F.col(time_col), dt, 1)  # µs epoch, representation-safe
+    # µs epoch: timestamps convert; numeric axes taken as µs (see
+    # time_bucket docstring — normalize bigint nano-epochs upstream)
+    t = time_bucket(F.col(time_col), dt, 1)
     order = [t.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)
     prev = F.lag(t).over(w)

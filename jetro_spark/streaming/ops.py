@@ -18,6 +18,8 @@ from pyspark.sql import types as T
 
 from jetro_spark.timeutil import ts_to_timestamp
 
+_STREAM_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+
 
 def event_time(c: Column) -> Column:
     """Nanosecond-epoch long → TimestampType (microsecond precision —
@@ -50,8 +52,25 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     # File streams need an explicit schema; take it from the batch reader
     # so ts keeps whatever physical representation this testdata
     # generation uses (bigint nanos under nanosAsLong, or µs timestamp).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src).schema
+    # The legacy conf is needed only for this one schema probe — restore
+    # the caller's value after (leaving it flipped would silently change
+    # how ALL later batch reads in a non-get_spark session decode
+    # TIMESTAMP(NANOS) columns), and cache per (session, file) so
+    # repeated stream builds don't re-read footers.
+    key = (id(spark), src)
+    schema = _STREAM_SCHEMA_CACHE.get(key)
+    if schema is None:
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        old = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            schema = spark.read.parquet(src).schema
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
+        _STREAM_SCHEMA_CACHE[key] = schema
     r = spark.readStream.schema(schema).option("nanosAsLong", "true")
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))

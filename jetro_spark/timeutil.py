@@ -36,6 +36,17 @@ def ts_to_timestamp(c: Column, dtype: str) -> Column:
     return c
 
 
+def ts_to_micros(c: Column, dtype: str) -> Column:
+    """Any ts representation → bigint microsecond epoch. bigint input is
+    NANOS by repo convention (nanosAsLong) — decimal division, not `/`,
+    which would round through double above 2^53."""
+    if dtype == "bigint":
+        return (c.cast("decimal(38,0)") / F.lit(_NS_PER_US)).cast("long")
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
 def ts_to_nanos(c: Column, dtype: str) -> Column:
     """Any ts representation → bigint nanosecond epoch (what DuckDB's
     epoch_ns() reports; sub-µs residue is zero for µs-precision data)."""

@@ -47,6 +47,10 @@ def rel(spark, seq_tables, expr):
     # enumerate → {index, value} rows over the pipeline order
     ("$.s.sort(-v, k).take(3).enumerate().map({i: index, v: value.v})",
      [(0, 9.0), (1, 5.0), (2, 4.0)], ["i", "v"]),
+    # scalar pipeline: value is the BARE element (doc-mode semantics),
+    # not a 1-field struct
+    ("$.s.sort(k).map(v).take(2).enumerate().map({i: index, x: value})",
+     [(0, 3.0), (1, 1.0)], ["i", "x"]),
     # pairwise → [prev, cur] rows via lag; first row dropped
     ("$.s.sort(k).map(v).pairwise()",
      [([3.0, 1.0],), ([1.0, 4.0],), ([4.0, 1.0],), ([1.0, 5.0],),
