@@ -150,6 +150,11 @@ QUERIES = {
     "jql_sort_take": _q(
         "$.orders.sort(-o_totalprice, o_orderkey).take(10)"
         ".map({okey: o_orderkey, total: o_totalprice})"),
+    # accumulate running-sum shape → window prefix sum (no doc fallback;
+    # integral values keep every prefix float-exact on both engines)
+    "jql_accumulate": _q(
+        "$.orders.sort(o_orderkey).map(o_orderkey)"
+        ".accumulate((a, x) => a + x)"),
     # enumerate → row_number window over the pipeline order (relational
     # lowering of ops/collection.rs:409 — no doc fallback)
     "jql_enumerate": _q(
@@ -324,6 +329,12 @@ ORACLES = {
     "jql_filter_map": """
         SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty
         FROM lineitem WHERE l_quantity > 45
+    """,
+    "jql_accumulate": """
+        SELECT CAST(sum(o_orderkey) OVER (ORDER BY o_orderkey
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) AS value
+        FROM orders
     """,
     "jql_enumerate": """
         SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC,

@@ -1832,7 +1832,16 @@ def m_accumulate(self, recv, args, env):
     if len(args) > 1:
         it = self.compile(args[1].value, env)
         init, init_dt = it.col, it.dtype
-    fn, _ = self._lam2(args[0].value, env, init_dt, _elem(recv))
+    fn, body_dt = self._lam2(args[0].value, env, init_dt, _elem(recv))
+    if (not isinstance(body_dt, type(init_dt))
+            and isinstance(body_dt, T.NumericType)
+            and isinstance(init_dt, T.NumericType)):
+        # the fold body widens the accumulator (int init + double
+        # elements → double): F.aggregate requires zero and lambda to
+        # agree, so promote the accumulator type and recompile
+        init_dt = body_dt
+        init = init.cast(body_dt.simpleString()) if init is not None else None
+        fn, body_dt = self._lam2(args[0].value, env, init_dt, _elem(recv))
     return TC(AR.accumulate(recv.col, fn, init), T.ArrayType(init_dt))
 
 

@@ -765,6 +765,15 @@ class JetroTables:
                 *hid)
             self._order = [(F.col("index"), False)]
             return out
+        if name == "accumulate":
+            # Running-SUM pattern — `(a, x) => a + <expr(x)>` (either
+            # operand order, optional scalar init) — lowers to a window
+            # prefix sum; the general fold (multiplication, conditionals)
+            # has no closed window form and keeps the doc fallback.
+            lowered = self._accumulate_window(df, args, env, order)
+            if lowered is not None:
+                return lowered
+            return None
         if name == "pairwise":
             # overlapping [prev, cur] pairs over the pipeline order
             # (ops/collection.rs:556): lag window, first row dropped.
@@ -909,6 +918,69 @@ class JetroTables:
                 return df.intersect(other)
             return df.unionByName(other, allowMissingColumns=True)
         return None
+
+    def _accumulate_window(self, df: DataFrame, args, env: Env,
+                           order: list | None) -> DataFrame | None:
+        """Relational accumulate for the running-sum lambda shape (see
+        _method_stage): window prefix sum over the pipeline order.
+        Returns None (→ doc fallback) for any other fold body, missing
+        order, or non-scalar init."""
+        if order is None or not args:
+            return None
+        lam = args[0].value
+        if not isinstance(lam, A.Lambda) or len(lam.params) != 2:
+            return None
+        acc_name, x_name = lam.params
+        body = lam.body
+        if not (isinstance(body, A.Binary) and body.op == "+"):
+            return None
+        if isinstance(body.left, A.Ident) and body.left.name == acc_name:
+            term = body.right
+        elif isinstance(body.right, A.Ident) and body.right.name == acc_name:
+            term = body.left
+        else:
+            return None
+        # the term must not reference the accumulator (a + a*x etc.)
+        refs: set[str] = set()
+
+        def walk(n):
+            if isinstance(n, A.Ident):
+                refs.add(n.name)
+            for f in getattr(n, "__dataclass_fields__", {}):
+                v = getattr(n, f)
+                for it in (v if isinstance(v, (list, tuple)) else [v]):
+                    if isinstance(it, A.Node):
+                        walk(it)
+        walk(term)
+        if acc_name in refs:
+            return None
+        init = F.lit(0.0)
+        if len(args) > 1:
+            itc = self.c.compile(args[1].value, env)
+            if not isinstance(itc.dtype, (T.NumericType, T.NullType)):
+                return None
+            init = itc.col.cast("double")
+        vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+        if isinstance(term, A.Ident) and term.name == x_name:
+            # bare element: the pipeline's single scalar column
+            if len(vis) != 1:
+                return None
+            term_col = F.col(vis[0]).cast("double")
+        else:
+            env2 = env.bind(x_name, self._row_tc(df))
+            tc = self.c.compile(term, env2)
+            if tc.col is None:
+                return None
+            term_col = tc.col.cast("double")
+        from pyspark.sql.window import Window
+        w = (Window.orderBy(*[c2.desc() if d else c2.asc()
+                              for c2, d in order])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
+        out = df.select((init + F.sum(term_col).over(w)).alias("value"),
+                        *hid)
+        self._order = order
+        return out
 
     def _window_stage(self, df: DataFrame, name: str, args,
                       order: list | None) -> DataFrame:

@@ -51,6 +51,12 @@ def rel(spark, seq_tables, expr):
     # not a 1-field struct
     ("$.s.sort(k).map(v).take(2).enumerate().map({i: index, x: value})",
      [(0, 3.0), (1, 1.0)], ["i", "x"]),
+    # accumulate running-sum shape → window prefix sum (no fallback);
+    # general folds (a * x) keep the doc fallback
+    ("$.s.sort(k).map(v).accumulate((a, x) => a + x)",
+     [(3.0,), (4.0,), (8.0,), (9.0,), (14.0,), (23.0,), (25.0,)], ["value"]),
+    ("$.s.sort(k).map(v).accumulate((a, x) => a + x, 100).last()",
+     [(125.0,)], ["value"]),
     # pairwise → [prev, cur] rows via lag; first row dropped
     ("$.s.sort(k).map(v).pairwise()",
      [([3.0, 1.0],), ([1.0, 4.0],), ([4.0, 1.0],), ([1.0, 5.0],),
@@ -80,7 +86,8 @@ def test_fallback_refuses_large_file_input(spark, monkeypatch):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     t = JetroTables(spark, {"lineitem": li})
     with pytest.raises(CompileError, match="refusing the"):
-        t.query("$.lineitem.map(l_quantity).accumulate((a, x) => a + x)")
+        # multiplicative fold: no window lowering -> doc fallback path
+        t.query("$.lineitem.map(l_quantity).accumulate((a, x) => a * x, 1)")
 
 
 def test_fallback_allows_unknown_size_estimates(spark, seq_tables,
@@ -89,7 +96,7 @@ def test_fallback_allows_unknown_size_estimates(spark, seq_tables,
     monkeypatch.setenv("JETRO_FALLBACK_MAX_BYTES", "1000")
     with pytest.warns(UserWarning, match="no relational lowering"):
         out = JetroTables(spark, seq_tables).query(
-            "$.s.map({v: v}).accumulate((a, x) => a + x.v)")
+            "$.s.map({v: v}).accumulate((a, x) => a * x.v, 1)")
         assert len(out.collect()) == 7
 
 
