@@ -90,6 +90,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("jaccard")))
 
 
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / PII / junk quality filters (Gopher-style signals) —
+    all expression-only, usable as pushed-down scan predicates."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    pii = TX.pii_counts(t)
+    return d.select(
+        "doc_id",
+        F.round(TX.dup_ngram_ratio(t, 3), 6).alias("dup3"),
+        pii["n_email"].alias("n_email"),
+        pii["n_phone"].alias("n_phone"),
+        F.round(TX.junk_ratio(t), 6).alias("junk"),
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style composite quality score, expression-only (usable
     as a pushed-down scan filter at 100 TB)."""
@@ -205,6 +220,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_quality": q_doc_quality,
+    "quality_filters": q_quality_filters,
     "fingerprint": q_fingerprint,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
@@ -508,6 +524,37 @@ ORACLES["mm_decode"] = f"""
            CAST(16 + ({_HEXPAIR.format(p1=1, p2=2)}) % 240 AS INTEGER) AS width,
            CAST(16 + ({_HEXPAIR.format(p1=3, p2=4)}) % 240 AS INTEGER) AS height
     FROM h
+"""
+
+# 3-gram repetition / PII shapes / control-char contamination. Both
+# engines' regex backends (Java Pattern, RE2) use leftmost-first greedy
+# matching, so non-overlapping match COUNTS agree for these patterns.
+ORACLES["quality_filters"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]
+                  ELSE [] END AS grams
+      FROM t)
+    SELECT doc_id,
+           round(CASE WHEN len(grams) > 0
+                      THEN (len(grams) - len(list_distinct(grams)))::DOUBLE
+                           / len(grams)
+                      ELSE 0.0 END, 6) AS dup3,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]')) AS BIGINT) AS n_phone,
+           round(CASE WHEN len(text) > 0
+                      THEN (len(text) - len(regexp_replace(text,
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{{FFFD}}]',
+                           '', 'g')))::DOUBLE / len(text)
+                      ELSE 0.0 END, 6) AS junk
+    FROM g
 """
 
 ORACLES["mm_frames"] = """

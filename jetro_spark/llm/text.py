@@ -142,3 +142,47 @@ def bottomk_sketch(shingles: Column, k: int = 16) -> Column:
     by overlap of sketches). Pure expressions: hash → sort → slice."""
     hashes = F.array_sort(F.transform(shingles, lambda s: F.xxhash64(s)))
     return F.slice(hashes, 1, k)
+
+
+# ---------------------------------------------------- repetition / junk
+
+def dup_ngram_ratio(c: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition signal (high ratio = template/boilerplate
+    text). 0.0 when fewer than n tokens. Expression-only: usable as a
+    pushed-down quality filter at scan time."""
+    toks = ws_tokens(normalize_text(c))
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    grams = F.when(k > 0, F.slice(grams, 1, k)).otherwise(
+        F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (F.when(total > 0, (total - distinct) / total)
+            .otherwise(F.lit(0.0)).cast("double"))
+
+
+# email / phone-number shapes — redaction-count signals, not validators
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_counts(c: Column) -> Column:
+    """struct(n_email, n_phone): occurrences of email / phone shapes.
+    The filtering decision (drop vs redact) stays with the caller."""
+    return F.struct(
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+    )
+
+
+def junk_ratio(c: Column) -> Column:
+    """Fraction of characters that are control chars (C0 minus
+    tab/newline/CR) or U+FFFD replacement characters — the
+    mojibake/binary-contamination signal. 0.0 for empty text."""
+    n = F.length(c)
+    junk = n - F.length(F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))
+    return (F.when(n > 0, junk / n).otherwise(F.lit(0.0))).cast("double")

@@ -223,3 +223,25 @@ def test_dedup_near_clusters_keeps_min_per_cluster(spark):
                   D.dedup_near_clusters(docs, pairs).collect())
     # clusters {1,2,3}→keep 1, {7,8}→keep 7; 4,5,6,9,10,11 isolated
     assert kept == [1, 4, 5, 6, 7, 9, 10, 11]
+
+
+def test_dup_ngram_ratio(spark):
+    rows = [("a b c a b c a b c a b c",), ("all unique words right here",),
+            ("x y",), ("",)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["d"] for r in df.select(
+        F.round(TX.dup_ngram_ratio(F.col("t"), 3), 4).alias("d")).collect()]
+    # 12 toks → 10 grams, 3 distinct → 0.7; <3 toks → 0.0
+    assert got == [0.7, 0.0, 0.0, 0.0]
+
+
+def test_pii_counts_and_junk_ratio(spark):
+    rows = [("mail foo@example.com and bar.baz@mail.co or +1 (555) 123-4567",),
+            ("clean text",),
+            ("bad" + chr(0) + "x" + chr(0xFFFD),)]
+    df = spark.createDataFrame(rows, "t string")
+    out = df.select(TX.pii_counts(F.col("t")).alias("p"),
+                    F.round(TX.junk_ratio(F.col("t")), 4).alias("j")).collect()
+    assert (out[0]["p"]["n_email"], out[0]["p"]["n_phone"]) == (2, 1)
+    assert out[1]["j"] == 0.0
+    assert out[2]["j"] == round(2 / 6, 4)
