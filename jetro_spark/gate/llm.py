@@ -165,6 +165,16 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids, flattened to (label, pos, m) rows so
+    the oracle compares scalar cells. Exact-decimal accumulation makes
+    the means order-independent — hence engine-comparable."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    cents = SIM.label_centroids(e, "label", "embedding")
+    return (cents.select("label", F.posexplode("centroid").alias("pos", "m"))
+            .select("label", "pos", F.round("m", 8).alias("m")))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — the third ANN strategy (Voronoi cells +
     n_probe search). Seeded deterministic centroids (the 16 lowest-id
@@ -225,6 +235,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "label_centroids": q_label_centroids,
     "dedup_cluster": q_dedup_cluster,
     "simhash_pairs": q_simhash_pairs,
     "mm_decode": q_mm_decode,
@@ -524,6 +535,22 @@ ORACLES["mm_decode"] = f"""
            CAST(16 + ({_HEXPAIR.format(p1=1, p2=2)}) % 240 AS INTEGER) AS width,
            CAST(16 + ({_HEXPAIR.format(p1=3, p2=4)}) % 240 AS INTEGER) AS height
     FROM h
+"""
+
+# Class centroids: 0-based positions on both sides; exact decimal sums
+# cast to double BEFORE the divide (decimal-division scale rules differ
+# between engines; double division of identical operands does not).
+ORACLES["label_centroids"] = """
+    SELECT label,
+           CAST(pos - 1 AS INTEGER) AS pos,
+           -- ::DOUBLE first: DuckDB's FLOAT->DECIMAL converts at float
+           -- precision (garbage low digits); Spark casts via the exact
+           -- double value
+           round(CAST(sum(x::DOUBLE::DECIMAL(28,10)) AS DOUBLE) / count(*), 8) AS m
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
 """
 
 # 3-gram repetition / PII shapes / control-char contamination. Both

@@ -104,6 +104,33 @@ def lsh_bucket_keys(vec: Column, *, tables: int = 8, bits: int = 8,
     return F.array(*keys)
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (class centroid / prototype): posexplode →
+    per-(label, position) mean → reassemble ordered arrays. One shuffle
+    on (label, pos) with map-side partials; output rows = |labels|.
+
+    Position means accumulate in EXACT decimal (order-independent), so
+    the result is reproducible across partitionings and engines — a
+    float sum's value depends on reduction order, which would make the
+    centroid non-deterministic run-to-run at scale."""
+    pos = df.select(F.col(label_col).alias("label"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    # exact decimal sum → double, THEN divide: decimal-division scale
+    # rules differ between engines, double division of identical
+    # operands does not
+    means = pos.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+         / F.count(F.lit(1))).alias("m"))
+    return (means.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("centroid")))
+
+
 def seed_centroids(corpus: DataFrame, n_cells: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    ) -> list[tuple[int, list[float]]]:

@@ -245,3 +245,12 @@ def test_pii_counts_and_junk_ratio(spark):
     assert (out[0]["p"]["n_email"], out[0]["p"]["n_phone"]) == (2, 1)
     assert out[1]["j"] == 0.0
     assert out[2]["j"] == round(2 / 6, 4)
+
+
+def test_label_centroids(spark):
+    rows = [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r["label"]: r["centroid"] for r in
+           SIM.label_centroids(df).collect()}
+    assert got[0] == [2.0, 4.0]
+    assert got[1] == [10.0, 0.0]
