@@ -774,6 +774,33 @@ class JetroTables:
             if lowered is not None:
                 return lowered
             return None
+        if name == "chunk":
+            # groups of n consecutive rows → one row per chunk holding
+            # the group as an array (ops/collection.rs chunk). The
+            # per-chunk collect_list is bounded by the user's n — unlike
+            # group_collect there is no unbounded-group OOM surface.
+            if order is None or not args:
+                return None
+            n = _lit_int(args[0].value)
+            if n <= 0:
+                raise CompileError("chunk size must be positive")
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            elem = (F.col(vis[0]) if len(vis) == 1
+                    else F.struct(*[F.col(c2) for c2 in vis]))
+            rn = F.row_number().over(w) - 1
+            d2 = df.select((F.floor(rn / F.lit(n))).alias("__chunk"),
+                           rn.alias("__rn"), elem.alias("__e"))
+            out = (d2.groupBy(F.col("__chunk").alias("__ord0"))
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(F.struct("__rn", "__e"))),
+                       lambda s: s["__e"]).alias("value"))
+                   .select("value", "__ord0")
+                   .orderBy("__ord0"))
+            self._order = [(F.col("__ord0"), False)]  # chunk sequence order
+            return out
         if name == "pairwise":
             # overlapping [prev, cur] pairs over the pipeline order
             # (ops/collection.rs:556): lag window, first row dropped.

@@ -1,5 +1,44 @@
 """Large-scale training-data pipeline operators (brief extension beyond
-the reference surface): dedup, similarity search, text analysis,
-multimodal columns. All hot paths are built-in Column expressions
-(JVM-side, whole-stage codegen); Python appears only in the multimodal
-decode stubs via Arrow-batched mapInPandas."""
+the reference surface): dedup + duplicate-cluster resolution, similarity
+search (brute force / hyperplane LSH / IVF), deterministic sampling &
+train/val/test splits, sequence packing, text analysis & quality
+filters, multimodal columns. All hot paths are built-in Column
+expressions (JVM-side); Python appears only in Arrow-batched
+mapInPandas (multimodal decode stubs, exact greedy packing)."""
+
+from jetro_spark.llm.dedup import (
+    connected_components,
+    dedup_near_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from jetro_spark.llm.packing import pack_by_cumsum, pack_greedy
+from jetro_spark.llm.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from jetro_spark.llm.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    ivf_topk,
+    label_centroids,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "connected_components",
+    "dedup_near_clusters",
+    "brute_force_topk",
+    "hyperplane_lsh_topk",
+    "ivf_topk",
+    "label_centroids",
+    "hash_split",
+    "hash_sample",
+    "stratified_hash_sample",
+    "pack_by_cumsum",
+    "pack_greedy",
+]

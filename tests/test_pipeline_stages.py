@@ -57,6 +57,11 @@ def rel(spark, seq_tables, expr):
      [(3.0,), (4.0,), (8.0,), (9.0,), (14.0,), (23.0,), (25.0,)], ["value"]),
     ("$.s.sort(k).map(v).accumulate((a, x) => a + x, 100).last()",
      [(125.0,)], ["value"]),
+    # chunk(n) → one row per group-of-n (bounded collect per chunk)
+    ("$.s.sort(k).map(v).chunk(3)",
+     [([3.0, 1.0, 4.0],), ([1.0, 5.0, 9.0],), ([2.0],)], ["value"]),
+    ("$.s.sort(k).map(v).chunk(3).first()", [([3.0, 1.0, 4.0],)], ["value"]),
+    ("$.s.sort(k).chunk(4).count()", [(2,)], ["value"]),
     # pairwise → [prev, cur] rows via lag; first row dropped
     ("$.s.sort(k).map(v).pairwise()",
      [([3.0, 1.0],), ([1.0, 4.0],), ([4.0, 1.0],), ([1.0, 5.0],),
