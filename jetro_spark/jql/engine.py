@@ -431,7 +431,17 @@ class JetroTables:
 
     def query(self, expr: str) -> DataFrame:
         node = parse(expr)
-        return self.compile_node(node)
+        try:
+            return self.compile_node(node)
+        except AnalysisException as exc:
+            # same totality contract as document mode (_analyzed_select):
+            # an ill-typed stage combination (e.g. summing an
+            # array-valued pipeline) surfaces as the language's own
+            # error, not a raw engine exception
+            raise CompileError(
+                f"expression is ill-typed for these tables: "
+                f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+            ) from exc
 
     def write_csv(self, expr: str, path: str, *, sep: str = ",",
                   header: bool = True, mode: str = "overwrite") -> None:

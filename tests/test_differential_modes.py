@@ -31,7 +31,8 @@ from jetro_spark.jql.engine import Jetro, JetroTables
 pytestmark = pytest.mark.skipif(not HAVE_HYPOTHESIS,
                                 reason="hypothesis not installed")
 
-ROWS = [{"k": i, "v": float((i * 37) % 101)} for i in range(17)]
+ROWS = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+        for i in range(17)]
 DOC = {"s": ROWS}
 
 # stages legal mid-pipeline on rows/scalars in BOTH modes; every
@@ -47,6 +48,14 @@ _SCALAR_MID = st.sampled_from([
     # sum/avg/diff is float-exact and mode-comparable
     ".map(v).rolling_sum(3)", ".map(v).rolling_avg(4)",
     ".map(v).cummax()", ".map(v).lag(1)", ".map(v).diff_window()",
+    # array-shaping stages (relational: lag window / bounded collect)
+    ".map(v).pairwise()", ".map(v).chunk(4)",
+])
+
+# keyed-reducer sinks: doc mode returns an ordered object / winner row,
+# relational mode returns (key, value) rows — normalized before compare
+_KEYED_SINK = st.sampled_from([
+    ".count_by(g)", ".min_by(v)", ".max_by(v)", ".unique_by(g)",
 ])
 _SINK = st.sampled_from([
     "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
@@ -85,16 +94,58 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
     if sink in (".sum()", ".min()", ".max()") and not scalars:
         expr_tail += ""  # sum over rows is object-sum → skip via guard below
         return
-    doc_expr = "$.s" + expr_tail
-    rel_expr = "$.s" + expr_tail
+    from jetro_spark.jql.compiler import CompileError
 
+    expr = "$.s" + expr_tail
     jt = Jetro.from_value(spark, DOC)
-    doc_out = jt.collect(doc_expr)
-
-    t = JetroTables(spark, {"s": spark.createDataFrame(
-        [(r["k"], r["v"]) for r in ROWS], "k long, v double")})
-    rel_out = _rel_result(t.query(rel_expr))
-
-    # scalar sinks: doc returns a scalar, relational a 1-element list
+    doc_err = rel_err = False
+    doc_out = rel_out = None
+    try:
+        doc_out = jt.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        rel_out = _rel_result(
+            JetroTables(spark, {"s": _table(spark)}).query(expr))
+    except CompileError:
+        rel_err = True
+    # an ill-typed combination (e.g. .pairwise().sum() — summing arrays)
+    # must error CONTROLLED in both modes; one-sided errors are
+    # divergences
+    assert doc_err == rel_err, (
+        f"one-sided error for {expr!r}: doc_err={doc_err} rel_err={rel_err}")
+    if doc_err:
+        return
+    # single-value sinks return the bare value in doc mode — wrap it so
+    # an array-valued result (a pairwise pair, a chunk) isn't mistaken
+    # for a result LIST
+    if sink in (".first()", ".last()", ".nth(2)"):
+        doc_out = [doc_out]
     assert _norm(doc_out) == _norm(rel_out), (
-        f"mode divergence for {doc_expr!r}:\n doc={doc_out}\n rel={rel_out}")
+        f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+
+
+def _table(spark):
+    return spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in ROWS], "k long, v double, g string")
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_MID, max_size=2), _KEYED_SINK)
+def test_keyed_reducers_agree(spark, mids, sink):
+    expr = "$.s.sort(k)" + "".join(mids) + sink
+    jt = Jetro.from_value(spark, DOC)
+    doc_out = jt.collect(expr)
+    rel_out = _rel_result(JetroTables(spark, {"s": _table(spark)}).query(expr))
+
+    if sink.startswith(".count_by"):
+        # doc: ordered {key: n} object; rel: rows of {key, value}
+        doc_cmp = sorted((k, n) for k, n in doc_out.items())
+        rel_cmp = sorted((r["key"], r["value"]) for r in rel_out)
+        assert doc_cmp == rel_cmp, expr
+    elif sink.startswith((".min_by", ".max_by")):
+        doc_cmp = _norm([doc_out] if isinstance(doc_out, dict) else doc_out)
+        assert doc_cmp == _norm(rel_out), expr
+    else:  # unique_by: same element multiset (first-wins keeps by g)
+        assert _norm(doc_out) == _norm(rel_out), expr
