@@ -117,9 +117,10 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
     if doc_err:
         return
     # single-value sinks return the bare value in doc mode — wrap it so
-    # an array-valued result (a pairwise pair, a chunk) isn't mistaken
-    # for a result LIST
-    if sink in (".first()", ".last()", ".nth(2)"):
+    # an array-valued result (a pairwise pair, a chunk, an array min)
+    # isn't mistaken for a result LIST
+    if sink in (".first()", ".last()", ".nth(2)", ".min()", ".max()",
+                ".sum()", ".count()"):
         doc_out = [doc_out]
     assert _norm(doc_out) == _norm(rel_out), (
         f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
