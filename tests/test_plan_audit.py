@@ -15,11 +15,17 @@ from __future__ import annotations
 
 import pytest
 
-from jetro_spark.gate import analytics, joins, llm, relational, scalars, streaming, timeseries
+from jetro_spark.gate import analytics, joins, jql, llm, relational, scalars, streaming, timeseries
 
 SF = "/root/testdata/sf0.001"
 
 _MODULES = (relational, joins, scalars, analytics, timeseries, llm, streaming)
+
+# JQL-compiled relational rows: the compiler, not hand-written DataFrame
+# code, must still produce pushdown-eligible, join-extractable plans
+_JQL_TABLE_ROWS = ("jql_filter_map", "jql_sort_take", "jql_equi_join",
+                   "jql_comp_join", "jql_count_by", "jql_accumulate",
+                   "jql_enumerate")
 
 # Brute-force-by-design rows: the all-pairs shape is the point (exact
 # baselines over a broadcast side); rollup_gapfill's cross join builds
@@ -36,6 +42,8 @@ def _table_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
+    for name in _JQL_TABLE_ROWS:
+        out[name] = jql.QUERIES[name]
     for name in _SKIP:
         out.pop(name, None)
     return out
@@ -69,7 +77,7 @@ def test_filters_push_to_parquet_scan(plans):
     # non-empty => Parquet row-group/page pruning applies at 100 TB)
     import re
     for name in ("filter_map", "join3_revenue", "asof_join", "range_join",
-                 "join_semi"):
+                 "join_semi", "jql_filter_map"):
         plan = plans[name]
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert pushed, f"{name}: no pushdown section in scan"
