@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jetro_spark.operators.profiling import (
+    check_constraints,
     group_quantiles,
     histogram,
     key_skew,
@@ -61,12 +62,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "session_seq")
 
 
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate contract over lineitem: range/nullability row checks
+    plus key-uniqueness — note (l_orderkey, l_linenumber) is genuinely
+    NOT unique in the synthetic data, so that constraint reports real
+    violations rather than a trivial zero."""
+    li = load_tables(spark, sf_dir, register=False)["lineitem"]
+    return check_constraints(
+        li,
+        {
+            "qty_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "discount_unit_interval": (F.col("l_discount") >= 0)
+                                      & (F.col("l_discount") <= 1),
+        },
+        unique=[["l_orderkey", "l_linenumber"]],
+    )
+
+
 QUERIES = {
     "group_quantiles": q_group_quantiles,
     "histogram": q_histogram,
     "profile_table": q_profile_table,
     "key_skew": q_key_skew,
     "sessionize": q_sessionize,
+    "check_constraints": q_check_constraints,
 }
 
 
@@ -122,6 +143,28 @@ ORACLES = {
         t AS (SELECT sum(n) AS total FROM c)
         SELECT key, n, round(n / total, 6) AS share
         FROM c, t ORDER BY n DESC, key ASC LIMIT 5
+    """,
+    "check_constraints": """
+        SELECT 'qty_in_range' AS constraint,
+               sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM lineitem
+        UNION ALL
+        SELECT 'price_positive',
+               sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+                        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_not_null',
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_unit_interval',
+               sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false)
+                        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)',
+               coalesce(sum(n - 1), 0)::BIGINT
+        FROM (SELECT count(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
     """,
     # strict `> gap` break, 0-based session index per user — mirrors the
     # win_session oracle's gaps-and-islands construction at event grain

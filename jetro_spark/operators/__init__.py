@@ -26,8 +26,10 @@ from jetro_spark.operators.joins import (
     semi_join,
 )
 from jetro_spark.operators.profiling import (
+    check_constraints,
     group_quantiles,
     histogram,
+    key_skew,
     profile_table,
 )
 from jetro_spark.operators.timeseries import rollup_gapfill, time_bucket
@@ -51,6 +53,8 @@ __all__ = [
     "anti_join",
     "group_quantiles",
     "histogram",
+    "key_skew",
+    "check_constraints",
     "profile_table",
     "rollup_gapfill",
     "time_bucket",

@@ -82,6 +82,39 @@ def histogram(
                     "n"))
 
 
+def check_constraints(
+    df: DataFrame,
+    checks: dict[str, Column],
+    *,
+    unique: list[list[str]] | None = None,
+) -> DataFrame:
+    """Data-contract validation: one output row per constraint with its
+    violation count — the ingest gate a pipeline runs before accepting a
+    batch. ``checks`` maps name → boolean Column that must hold per row
+    (nulls count as violations — an unevaluable constraint is not a
+    passing one); ``unique`` lists key tuples that must be unique
+    (violations = rows beyond the first per duplicated key).
+
+    Row checks aggregate in ONE pass (no shuffle beyond the final 1-row
+    agg); each uniqueness check is one groupBy on its key tuple."""
+    rows = [
+        F.struct(F.lit(name).alias("constraint"),
+                 F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1)
+                       .otherwise(0)).cast("long").alias("n_violations"))
+        for name, cond in checks.items()
+    ]
+    out = df.agg(F.array(*rows).alias("p")) \
+        .select(F.explode("p").alias("p")).select("p.*")
+    for keys in unique or []:
+        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    .cast("long").alias("n_violations"))
+               .select(F.lit("unique(" + ",".join(keys) + ")")
+                       .alias("constraint"), "n_violations"))
+        out = out.unionByName(dup)
+    return out
+
+
 def key_skew(
     df: DataFrame,
     key: str | Column,

@@ -96,3 +96,17 @@ def test_sessionize_matches_session_window_count(spark, tables):
     # same definition, two constructions: event-grain islands vs
     # session_window aggregate must find the same session count
     assert n_sessions == agg
+
+
+def test_check_constraints(spark):
+    from jetro_spark.operators.profiling import check_constraints
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, -2.0), (2, None), (3, 9.0), (3, 1.0)],
+        "k long, v double")
+    out = {r["constraint"]: r["n_violations"] for r in check_constraints(
+        df,
+        {"v_positive": F.col("v") > 0, "k_small": F.col("k") < 10},
+        unique=[["k"]],
+    ).collect()}
+    # null v counts as a violation (unevaluable != passing)
+    assert out == {"v_positive": 2, "k_small": 0, "unique(k)": 2}
