@@ -41,12 +41,18 @@ HEADLINE = [
     "win_rolling",
     "win_zscore",
     "time_bucket",
-    # r04 additions: extended joins, ts rollup, deterministic split, IVF ANN
+    # r04 additions: extended joins, ts rollup, deterministic split, IVF
+    # ANN, sessionization, profiling, contract checks
     "asof_join",
     "range_join",
     "rollup_gapfill",
     "hash_split",
     "ann_ivf",
+    "sessionize",
+    "group_quantiles",
+    "histogram",
+    "check_constraints",
+    "stream_interval_join",
     # jetro-expression-string queries through the JQL relational compiler
     "jql_filter_map",
     "jql_sort_take",
