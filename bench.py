@@ -106,16 +106,18 @@ def main() -> None:
     # no point distributing a single document; the reference is likewise
     # one in-process thread over a cached parse).
     jt = Jetro.from_value(spark, synth_doc(20_000, 6))
-    # 1 warmup + best-of-3, mirroring the baseline's cache-hot protocol
-    # (bench_lock.rs:11-18: 3 warmups + 20 iterations, best/median) —
-    # the warmup pays expression compile, like their plan cache. Each
-    # timed execute() runs the FULL query under a fresh QueryExecution
-    # (analysis + optimization + evaluation + JVM materialization);
-    # nothing result-shaped is cached between iterations.
+    # 1 warmup + best-of-5 (the reference's own protocol is 3 warmups +
+    # 20 iterations best/median, bench_lock.rs:11-18; these queries cost
+    # 10-90 ms so extra iterations are nearly free and damp run-to-run
+    # JIT/GC noise). The warmup pays expression compile, like their plan
+    # cache. Each timed execute() runs the FULL query under a fresh
+    # QueryExecution (analysis + optimization + evaluation + JVM
+    # materialization); nothing result-shaped is cached between
+    # iterations.
     for name, expr in BENCH_QUERIES.items():
         jt.execute(expr)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             jt.execute(expr)
             best = min(best, time.perf_counter() - t0)
