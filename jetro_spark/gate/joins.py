@@ -66,6 +66,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of LEFT: every click kept, unmatched ones with null purchase --------
+def q_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("p_event_id"), "user_id", "ts")
+    j = asof_join(clicks, purchases, on=["user_id"],
+                  left_time="ts", right_time="ts", how="left")
+    return j.select("event_id", "user_id",
+                    F.col("r_p_event_id").alias("p_event_id"))
+
+
 # --- as-of forward + tolerance: next signup within 12h of each error --------
 def q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
@@ -146,6 +159,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_join": q_asof_join,
+    "asof_left": q_asof_left,
     "salted_join": q_salted_join,
     "asof_forward_tol": q_asof_forward_tol,
     "range_join": q_range_join,
@@ -172,6 +186,15 @@ ORACLES = {
                epoch_us(p.ts) AS purchase_us,
                round(p.p_value, 4) AS p_value
         FROM clicks c ASOF JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "asof_left": """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'click'),
+             purch AS (SELECT event_id AS p_event_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, p.p_event_id
+        FROM clicks c ASOF LEFT JOIN purch p
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "asof_forward_tol": """
