@@ -52,9 +52,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts", "value")
+    # asof_join's determinism contract requires right rows unique per
+    # (on, time): with duplicate (user_id, ts) both Spark's window pick
+    # and DuckDB's native ASOF pick are arbitrary and may disagree.
+    # Enforce it here with a deterministic rule (min event_id wins, its
+    # payload via min_by) so the oracle comparison can never become
+    # tie-dependent on a future testdata generation.
     purchases = ev.filter(F.col("event_type") == "purchase") \
-        .select(F.col("event_id").alias("p_event_id"), "user_id", "ts",
-                F.col("value").alias("p_value"))
+        .groupBy("user_id", "ts") \
+        .agg(F.min("event_id").alias("p_event_id"),
+             F.min_by("value", "event_id").alias("p_value"))
     j = asof_join(clicks, purchases, on=["user_id"],
                   left_time="ts", right_time="ts")
     return j.select(
@@ -71,8 +78,10 @@ def q_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts")
+    # deterministic tie rule — see q_asof_join
     purchases = ev.filter(F.col("event_type") == "purchase") \
-        .select(F.col("event_id").alias("p_event_id"), "user_id", "ts")
+        .groupBy("user_id", "ts") \
+        .agg(F.min("event_id").alias("p_event_id"))
     j = asof_join(clicks, purchases, on=["user_id"],
                   left_time="ts", right_time="ts", how="left")
     return j.select("event_id", "user_id",
@@ -84,8 +93,10 @@ def q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error") \
         .select("event_id", "user_id", "ts")
+    # deterministic tie rule — see q_asof_join
     signups = ev.filter(F.col("event_type") == "signup") \
-        .select(F.col("event_id").alias("s_event_id"), "user_id", "ts")
+        .groupBy("user_id", "ts") \
+        .agg(F.min("event_id").alias("s_event_id"))
     j = asof_join(errors, signups, on=["user_id"],
                   left_time="ts", right_time="ts", direction="forward",
                   tolerance=F.expr("INTERVAL 12 HOURS"))
@@ -177,9 +188,10 @@ ORACLES = {
     "asof_join": """
         WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
                         WHERE event_type = 'click'),
-             purch AS (SELECT event_id AS p_event_id, user_id, ts,
-                              value AS p_value FROM events
-                       WHERE event_type = 'purchase')
+             purch AS (SELECT user_id, ts, min(event_id) AS p_event_id,
+                              arg_min(value, event_id) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
         SELECT c.event_id, c.user_id,
                epoch_us(c.ts) AS click_us,
                p.p_event_id,
@@ -191,8 +203,9 @@ ORACLES = {
     "asof_left": """
         WITH clicks AS (SELECT event_id, user_id, ts FROM events
                         WHERE event_type = 'click'),
-             purch AS (SELECT event_id AS p_event_id, user_id, ts
-                       FROM events WHERE event_type = 'purchase')
+             purch AS (SELECT user_id, ts, min(event_id) AS p_event_id
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
         SELECT c.event_id, c.user_id, p.p_event_id
         FROM clicks c ASOF LEFT JOIN purch p
           ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -200,8 +213,9 @@ ORACLES = {
     "asof_forward_tol": """
         WITH err AS (SELECT event_id, user_id, ts FROM events
                      WHERE event_type = 'error'),
-             sgn AS (SELECT event_id AS s_event_id, user_id, ts FROM events
-                     WHERE event_type = 'signup'),
+             sgn AS (SELECT user_id, ts, min(event_id) AS s_event_id
+                     FROM events WHERE event_type = 'signup'
+                     GROUP BY user_id, ts),
         matched AS (
           SELECT e.event_id, e.user_id, s.s_event_id,
                  epoch_us(s.ts) - epoch_us(e.ts) AS gap_us

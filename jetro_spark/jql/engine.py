@@ -992,23 +992,37 @@ class JetroTables:
         if acc_name in refs:
             return None
         init = F.lit(0.0)
+        init_dt: T.DataType = T.DoubleType()
+        have_init = False
         if len(args) > 1:
             itc = self.c.compile(args[1].value, env)
             if not isinstance(itc.dtype, (T.NumericType, T.NullType)):
                 return None
-            init = itc.col.cast("double")
+            init, init_dt, have_init = itc.col, itc.dtype, True
         vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
         if isinstance(term, A.Ident) and term.name == x_name:
             # bare element: the pipeline's single scalar column
             if len(vis) != 1:
                 return None
-            term_col = F.col(vis[0]).cast("double")
+            term_col, term_dt = F.col(vis[0]), df.schema[vis[0]].dataType
         else:
             env2 = env.bind(x_name, self._row_tc(df))
             tc = self.c.compile(term, env2)
             if tc.col is None:
                 return None
-            term_col = tc.col.cast("double")
+            term_col, term_dt = tc.col, tc.dtype
+        # Accumulator typing mirrors doc-mode m_accumulate (compiler.py):
+        # the result type is the `+`-promotion of init and element, so an
+        # explicit integral init over integral terms folds in long (exact
+        # above 2^53); everything else — including the implicit 0.0
+        # default — folds in double.
+        if (have_init and isinstance(init_dt, T.IntegralType)
+                and isinstance(term_dt, T.IntegralType)):
+            init = init.cast("long")
+            term_col = term_col.cast("long")
+        else:
+            init = init.cast("double")
+            term_col = term_col.cast("double")
         from pyspark.sql.window import Window
         w = (Window.orderBy(*[c2.desc() if d else c2.asc()
                               for c2, d in order])

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from jetro_spark.timeutil import ts_to_timestamp
 
-_STREAM_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+_STREAM_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
 
 
 def event_time(c: Column) -> Column:
@@ -57,7 +57,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     # how ALL later batch reads in a non-get_spark session decode
     # TIMESTAMP(NANOS) columns), and cache per (session, file) so
     # repeated stream builds don't re-read footers.
-    key = (id(spark), src)
+    # spark.app.id is stable for the session's lifetime and never reused
+    # the way id(spark) can be after GC (classic and Connect both expose
+    # it); a fresh session gets a fresh cache entry.
+    key = (spark.conf.get("spark.app.id", "?"), src)
     schema = _STREAM_SCHEMA_CACHE.get(key)
     if schema is None:
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"

@@ -44,6 +44,11 @@ _MID = st.sampled_from([
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",
+    # explicit inits exercise accumulator typing: integral init over
+    # integral terms must stay long in BOTH modes (ADVICE r04), mixed
+    # init/term must fold in double in both
+    ".map(k).accumulate((a, x) => a + x, 0)",
+    ".map(v).accumulate((a, x) => a + x, 100)",
     # window builtins exist in both modes; v is integral-valued so every
     # sum/avg/diff is float-exact and mode-comparable
     ".map(v).rolling_sum(3)", ".map(v).rolling_avg(4)",

@@ -170,12 +170,16 @@ def test_salted_join_equals_equi_join(spark):
     left = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c"), (None, "d")] * 5, "k long, lv string")
     right = spark.createDataFrame([(1, "X"), (3, "Y")], "rk long, rv string")
+    cols = ["k", "lv", "rv"]
     plain = sorted(tuple(r) for r in
                    equi_join(left, right.withColumnRenamed("rk", "k"),
-                             "k", "k").collect())
+                             "k", "k").select(*cols).collect())
     salted = sorted(tuple(r) for r in
-                    salted_join(left, right, "k", "rk", salt=4).collect())
-    # salting changes only physical distribution, never the answer;
-    # null keys drop in both (inner semantics)
-    assert len(salted) == len([t for t in plain])
-    assert {t[-1] for t in salted} == {"X"}
+                    salted_join(left, right, "k", "rk", salt=4)
+                    .select(*cols).collect())
+    # salting changes only physical distribution, never the answer:
+    # full multiset equality on identically-selected columns (a mere
+    # row-count check would let a column-merge bug through); null keys
+    # drop in both (inner semantics)
+    assert salted == plain
+    assert len(salted) == 10 and {t[-1] for t in salted} == {"X"}
