@@ -43,7 +43,7 @@ from jetro_spark.jql.compiler import (
     union_struct,
 )
 from jetro_spark.jql.parser import parse
-from jetro_spark.localrel import fresh_execute, to_local_relation
+from jetro_spark.localrel import compile_warm, fresh_execute, to_local_relation
 from jetro_spark.operators import relational as R
 
 # ------------------------------------------------------------ doc ingest
@@ -223,6 +223,9 @@ class Jetro:
         self.df = df
         self.spark = spark
         self._plan_cache: dict[str, DataFrame] = {}
+        # expr -> WarmQuery | None (None = warm path unavailable, use
+        # fresh_execute); False sentinel = not yet compiled
+        self._warm_cache: dict[str, object] = {}
 
     @classmethod
     def from_bytes(cls, spark: SparkSession, data: bytes | str,
@@ -274,10 +277,21 @@ class Jetro:
         fallback path, where counting would need a second execution).
         Unlike ``collect`` this skips
         the JVM→Python conversion — the counterpart of the reference
-        producing an in-process Value (jc/lib.rs:477). Each call pays the
-        full analysis + optimization + evaluation cost under a fresh
-        QueryExecution (expression compilation is plan-cached, matching
-        the reference's warm plan cache)."""
+        producing an in-process Value (jc/lib.rs:477).
+
+        Warm-plan protocol (matches the reference's plan + pointer
+        caches, bench_lock.rs:11-18): the FIRST call per expression pays
+        parse + analysis + optimization + projection codegen; every
+        later call re-evaluates the full optimized expression tree over
+        the document (localrel.WarmQuery). Where the warm handle can't
+        be built (non-Project plans, Spark Connect), each call pays a
+        fresh QueryExecution instead."""
+        wq = self._warm_cache.get(expr, False)
+        if wq is False:
+            wq = compile_warm(self.frame(expr))
+            self._warm_cache[expr] = wq
+        if wq is not None:
+            return wq.run()
         df = self.frame(expr)
         n = fresh_execute(df)
         if n is None:  # no classic-JVM surface: distributed fallback.

@@ -93,6 +93,93 @@ def is_local_plan(df: DataFrame) -> bool:
         raise
 
 
+class WarmQuery:
+    """Compile-once / evaluate-per-call handle for a doc-mode query.
+
+    ``run()`` re-evaluates the FULL optimized expression tree over the
+    pinned input rows — the work the reference re-does per iteration
+    under its warm plan cache (bench_lock.rs:11-18) — while analysis,
+    optimization, and projection codegen were paid once at build time.
+
+    py4j pitfall: every generated projection class is named
+    ``GeneratedClass$SpecificSafeProjection`` and py4j's reflection
+    cache is keyed by class NAME, so calling a method on a *second*
+    generated instance dispatches through the first instance's Method
+    objects (IllegalArgumentException: object is not an instance of
+    declaring class). Never invoke the projection directly — pass it as
+    an ARGUMENT to a stable-class receiver: ``rows.map(projection)`` on
+    the Scala Seq evaluates the projection against every row JVM-side.
+    """
+
+    def __init__(self, jproj, jrows):
+        self._proj = jproj
+        self._rows = jrows
+        # Project is 1:1, so the result count equals the pinned input
+        # count — computed once here, saving a py4j roundtrip per run.
+        self._n = jrows.size()
+
+    def run(self) -> int:
+        """Evaluate the projection over the pinned rows; row count.
+
+        ``data()`` is a strict Scala List, so ``map`` evaluates eagerly.
+        The generated projection reuses one mutable output row across
+        apply() calls — fine here (the result rows are never read; the
+        evaluation itself is the product for execute()'s count-only
+        contract)."""
+        self._rows.map(self._proj)
+        return self._n
+
+
+# Catalyst evaluates Project-over-LocalRelation at OPTIMIZATION time via
+# this rule — excluded during warm compile so the optimized plan keeps
+# the (simplified) expression tree instead of the pre-computed answer.
+_FOLD_RULE = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+
+
+def compile_warm(df: DataFrame) -> WarmQuery | None:
+    """Build the warm-execution handle for a Project-over-LocalRelation
+    frame: optimize once with the local-fold rule excluded (all
+    expression-level rules still run; nothing is pre-evaluated), then
+    codegen a SafeProjection from the optimized project list.
+
+    Returns None — callers fall back to ``fresh_execute`` — when the
+    JVM surface is missing (Spark Connect), the optimized plan is not a
+    bare Project over LocalRelation, or any expression is
+    nondeterministic (re-evaluating those warm would need per-run
+    initialization, which the py4j name-cache pitfall above prevents).
+    """
+    try:
+        spark, jvm, jspark = _jvm_bits(df)
+        key = "spark.sql.optimizer.excludedRules"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, _FOLD_RULE if not prev else f"{prev},{_FOLD_RULE}")
+        try:
+            jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                jspark, df._jdf.logicalPlan())  # type: ignore[attr-defined]
+            opt = jdf.queryExecution().optimizedPlan()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        if opt.nodeName() != "Project":
+            return None
+        child = opt.children().head()
+        if child.nodeName() != "LocalRelation":
+            return None
+        exprs = opt.projectList()
+        if not all(exprs.apply(i).deterministic()
+                   for i in range(exprs.size())):
+            return None
+        proj = jvm.org.apache.spark.sql.catalyst.expressions.SafeProjection \
+            .create(exprs, child.output())
+        return WarmQuery(proj, child.data())
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise
+
+
 def fresh_execute(df: DataFrame) -> int | None:
     """Re-run ``df`` end-to-end under a brand-new QueryExecution and
     materialize the result JVM-side; returns the row count.

@@ -58,6 +58,45 @@ def test_fresh_execute_propagates_evaluation_errors(spark):
     assert exc_info.value is not None
 
 
+def test_warm_query_counts_match_fresh(spark):
+    # The warm compile-once handle must agree with the fresh-QueryExecution
+    # path on every bench_lock query shape (count protocol: execute()).
+    from jetro_spark.benchdoc import BENCH_QUERIES, synth_doc
+    from jetro_spark.localrel import compile_warm
+
+    jt = Jetro.from_value(spark, synth_doc(200, 3))
+    for name, expr in BENCH_QUERIES.items():
+        wq = compile_warm(jt.frame(expr))
+        assert wq is not None, f"{name}: warm path unavailable"
+        fresh = fresh_execute(jt.frame(expr))
+        assert wq.run() == fresh, name
+        # second run re-evaluates (same pinned rows → same count)
+        assert wq.run() == fresh, name
+
+
+def test_warm_query_reevaluates_not_caches_results(spark):
+    # Two documents sharing one expression string must produce different
+    # counts through their own warm handles — the handle pins rows, not
+    # results, and evaluation happens per run().
+    a = Jetro.from_value(spark, {"xs": [{"v": i} for i in range(4)]})
+    b = Jetro.from_value(spark, {"xs": [{"v": i} for i in range(9)]})
+    expr = "$.xs.filter(v >= 0).map(v)"
+    assert a.execute(expr) == 1 and b.execute(expr) == 1
+    assert a.collect(expr) == [0, 1, 2, 3]
+    assert b.collect(expr) == list(range(9))
+
+
+def test_warm_query_nondeterministic_falls_back(spark):
+    # A nondeterministic projection must not get a warm handle (it would
+    # need per-run initialization the py4j name-cache pitfall prevents).
+    from jetro_spark.localrel import compile_warm
+    import pyspark.sql.functions as F
+
+    jt = Jetro.from_value(spark, DOC)
+    df = jt.df.select((F.rand() * 10).alias("value"))
+    assert compile_warm(df) is None
+
+
 def test_to_local_relation_roundtrip(spark):
     df = spark.range(5).selectExpr("id", "id * 2 as dbl")
     lr = to_local_relation(df)
