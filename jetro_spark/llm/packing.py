@@ -50,11 +50,19 @@ def pack_by_cumsum(
     sum over ``order``. One window shuffle; deterministic given a unique
     order key."""
     o = F.col(order) if isinstance(order, str) else order
-    w = (Window.partitionBy(shard) if shard else Window.partitionBy(F.lit(1)))
-    w = w.orderBy(o).rowsBetween(Window.unboundedPreceding, -1)
-    running = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
-    return (df.withColumn("__run", running)
-            .withColumn("pack_id", F.floor(F.col("__run") / F.lit(max_tokens)))
+    if shard:
+        w = (Window.partitionBy(shard).orderBy(o)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        running = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+        d = df.withColumn("__run", running)
+    else:
+        # global pack order WITHOUT a single-partition window: two-level
+        # distributed prefix sum (identical pack_id values, scale-safe)
+        from jetro_spark.operators.prefix import distributed_prefix
+        d = distributed_prefix(df, [o], F.col(token_col).cast("long"),
+                               out="__run")
+        d = d.withColumn("__run", F.col("__run").cast("long"))
+    return (d.withColumn("pack_id", F.floor(F.col("__run") / F.lit(max_tokens)))
             .withColumn("pack_offset", F.col("__run") % F.lit(max_tokens))
             .drop("__run"))
 

@@ -1,0 +1,66 @@
+"""Distributed global prefix aggregation — the scale-safe replacement
+for ``Window.partitionBy(F.lit(1))``.
+
+A single-partition window funnels the ENTIRE dataset through one task: a
+guaranteed straggler at 100 TB. The classic fix (what RDD
+``zipWithIndex`` does with a driver collect, here kept fully lazy and
+plan-side) is a two-level prefix:
+
+1. range-repartition by the order key — Spark's RangePartitioner
+   guarantees partition ``i`` holds keys ≤ partition ``i+1``'s, so the
+   physical partition id IS the coarse global order;
+2. a per-partition window (parallel across ``spark.sql.shuffle.
+   partitions`` tasks) computes the local running value;
+3. per-partition totals — at most P rows, P = shuffle partitions, i.e.
+   METADATA, not data — get their own prefix via the only un-partitioned
+   window in the plan, ordered by ``__pid``. The plan audit
+   (tests/test_plan_audit.py) recognizes exactly this shape: a global
+   window is legal only when it orders by ``__pid``;
+4. broadcast-join the P-row offset table back and add.
+
+Cost: one range shuffle + one broadcast, instead of one
+shuffle-everything-to-one-task. Ties in the order key stay inside one
+partition (RangePartitioner never splits equal keys), so callers that
+guarantee a unique order key get a fully deterministic prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_prefix(
+    df: DataFrame,
+    order: list[str | Column],
+    value: Column,
+    *,
+    out: str = "__prefix",
+    inclusive: bool = False,
+    total: str | None = None,
+) -> DataFrame:
+    """Add ``out`` = global running sum of ``value`` over ``order``
+    (exclusive by default: the sum of strict predecessors, 0 for the
+    first row). With ``total`` set, also attach the grand total as a
+    constant column of that name (broadcast of a 1-row aggregate).
+    """
+    ocols = [F.col(o) if isinstance(o, str) else o for o in order]
+    d = df.repartitionByRange(*ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    wl = (Window.partitionBy("__pid").orderBy(*ocols)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.currentRow if inclusive else -1))
+    d = d.withColumn("__local",
+                     F.coalesce(F.sum(value).over(wl), F.lit(0)))
+    totals = d.groupBy("__pid").agg(F.sum(value).alias("__t"))
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0)))
+    d = (d.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+         .withColumn(out, F.col("__off") + F.col("__local"))
+         .drop("__pid", "__local", "__off"))
+    if total is not None:
+        grand = offs.agg(F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
+        d = d.crossJoin(F.broadcast(grand))
+    return d

@@ -44,10 +44,17 @@ def group_quantiles(
     if tiebreak is not None:
         order.append((F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc())
     d = df.filter(F.col(value_col).isNotNull())
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(*order)
-    d = (d.withColumn("__rn", F.row_number().over(w) - 1)
-         .withColumn("__n", F.count(F.lit(1)).over(
-             Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1)))))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        d = (d.withColumn("__rn", F.row_number().over(w) - 1)
+             .withColumn("__n", F.count(F.lit(1)).over(
+                 Window.partitionBy(*keys))))
+    else:
+        # global quantiles: two-level distributed rank (range-partition +
+        # local window + metadata-sized offsets) — never a
+        # single-partition window over the data
+        from jetro_spark.operators.prefix import distributed_prefix
+        d = distributed_prefix(d, order, F.lit(1), out="__rn", total="__n")
     aggs = []
     for p in ps:
         pos = F.floor((F.col("__n") - 1) * F.lit(p))

@@ -91,6 +91,40 @@ def test_explicit_broadcasts_survive(plans):
                "BroadcastExchange" in plans[name], f"{name}: broadcast lost"
 
 
+# JQL pipeline rows whose SEMANTICS are a single ordered sequence
+# (global running accumulation / enumeration): the un-partitioned window
+# is the operator's definition, documented in engine._window_stage; the
+# keyed scale-parallel forms live in operators/analytics.py.
+_GLOBAL_SEQ_OK = {"jql_accumulate", "jql_enumerate", "jql_sort_take"}
+
+
+def test_no_single_partition_windows_over_data(plans):
+    """An un-partitioned window funnels the whole dataset through one
+    task. The only legal shapes: (a) the metadata prefix in
+    operators/prefix.py — un-partitioned but ordered by __pid over a
+    ≤shuffle-partitions-row totals table; (b) declared single-sequence
+    JQL rows."""
+    offenders = []
+    for name, plan in plans.items():
+        if name in _GLOBAL_SEQ_OK:
+            continue
+        for line in plan.splitlines():
+            s = line.strip().lstrip(":+- ")
+            if not s.startswith("Window "):
+                continue
+            # `Window [exprs], [part], [order]`: with only 2 bracket
+            # groups the 2nd is EITHER a partition spec (unordered
+            # window — fine, it shuffles by key) or an order spec
+            # (un-partitioned window — the funnel). Order specs carry
+            # ASC/DESC direction tokens; partition specs never do.
+            if s.count("], [") != 1:
+                continue
+            last = s.rsplit("], [", 1)[1]
+            if (" ASC" in last or " DESC" in last) and "__pid" not in last:
+                offenders.append((name, s[:120]))
+    assert offenders == [], offenders
+
+
 def test_asof_join_is_single_window_not_join(plans):
     # the union+window formulation must NOT contain any join operator
     p = plans["asof_join"]
