@@ -187,6 +187,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank")
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over K-MEANS-TRAINED centroids (train_centroids, 3 Lloyd's
+    iterations) — the production ANN index build, next to the
+    oracle-exact seeded variant (q_ann_ivf). No exact SQL oracle by
+    nature (DuckDB cannot replay the training loop); gate/tolerance.py
+    verifies recall@10 >= 0.9 against DuckDB's EXACT cosine top-10
+    instead, so the row is tolerance-verified, not rows-only."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    cents = SIM.train_centroids(e, 16, iters=3)
+    q = e.filter(F.col("vec_id") < 10)
+    out = SIM.ivf_topk(e, q, k=10, n_cells=16, n_probe=6, centroids=cents)
+    return out.select("qid", "nid", "rank")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (banded, no all-pairs) + exact
     Hamming verify. No SQL oracle: signatures are built from Spark's
@@ -235,6 +249,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "label_centroids": q_label_centroids,
     "dedup_cluster": q_dedup_cluster,
     "simhash_pairs": q_simhash_pairs,

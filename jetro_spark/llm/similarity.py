@@ -146,6 +146,40 @@ def seed_centroids(corpus: DataFrame, n_cells: int,
     return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
 
 
+def train_centroids(
+    corpus: DataFrame, n_cells: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    *, iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """K-means-trained IVF centroids (Lloyd's), fully distributed and
+    deterministic — the production index-build step that seed_centroids
+    stands in for when oracle exactness is needed.
+
+    Per iteration: assignment is the same row-local centroid-literal
+    expression queries use (ivf_cell — zero shuffle), the mean update is
+    label_centroids' posexplode + exact-decimal position means (one
+    shuffle on (cell, pos), order-independent → bit-stable across
+    partitionings), and only the n_cells x dim MODEL is collected
+    driver-side. Empty cells keep their previous centroid. Determinism:
+    seeded init (lowest-id vectors), tie-broken assignment, exact-decimal
+    means — two runs over the same table give identical centroids.
+
+    Scale: iteration cost = one corpus scan + one (cell,pos)-key shuffle
+    with map-side partials; the driver only ever holds the model. Gate:
+    tests/test_llm.py asserts recall@10 >= 0.9 vs brute_force_topk and
+    run-to-run determinism; scripts/check_oracle.py applies the same
+    recall tolerance against DuckDB's exact top-k."""
+    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    src = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = src.select(ivf_cell(F.col("__v"), cents).alias("label"),
+                              F.col("__v").alias("embedding"))
+        got = {int(r["label"]): [float(x) for x in r["centroid"]]
+               for r in label_centroids(assigned).collect()}
+        cents = [(cell, got.get(cell, vec)) for cell, vec in cents]
+    return cents
+
+
 def _py_norm(vec: list[float]) -> float:
     """Sequential left-to-right double fold, matching BOTH the Column
     fold (l2_norm) and DuckDB's list_sum bit-for-bit — centroid norms can

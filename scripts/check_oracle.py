@@ -75,8 +75,25 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
-            n_weak += 1
+            from jetro_spark.gate.tolerance import TOLERANCE
+            tol = TOLERANCE.get(name)
+            if tol is None:
+                print(f"weak {name}: rows={len(srows)} (no oracle) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_weak += 1
+                continue
+            desc, check = tol
+            try:
+                problem = check(spark, con, SF_DIR, srows, scols)
+            except Exception as e:
+                problem = f"tolerance checker error: {type(e).__name__}: {e}"
+            if problem:
+                print(f"FAIL {name}: {problem}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} rows={len(srows)} (tolerance: {desc}) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_pass += 1
             continue
         try:
             rel = con.sql(oracles[name])
