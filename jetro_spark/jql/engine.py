@@ -432,6 +432,11 @@ class JetroTables:
         # a .sort(...) stage and threaded through order-preserving stages
         # so positional analytics (lag/rolling/... §2.6) can window on it
         self._order: list | None = None
+        # True when the pipeline's element is a bare scalar (after
+        # `map(v)`), False for object rows — a single-column DataFrame is
+        # ambiguous (`map({v: v})` also has one column), so the engine
+        # tracks which projection produced it for the doc fallback
+        self._scalar: bool = False
 
     # row-scope env: bare idents resolve to F.col via TC(row=True);
     # let-bound scalars shadow nothing (row fields win — locals are
@@ -608,7 +613,9 @@ class JetroTables:
         if isinstance(tc.dtype, T.StructType):
             # object-shaped map → one column per field (CollapseProject
             # folds the star-expansion into a single Project)
+            self._scalar = False
             return df.select(tc.col.alias("__s")).select("__s.*")
+        self._scalar = True
         return df.select(tc.col.alias(self._scalar_name(body)))
 
     @staticmethod
@@ -627,17 +634,20 @@ class JetroTables:
 
     def _pipeline(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
         saved, self._order = self._order, None
+        saved_sc, self._scalar = self._scalar, False
         try:
             i = 0
             while i < len(steps):
                 step = steps[i]
+                pre_order = self._order
                 out = self._stage(df, step)
                 if out is None:
-                    return self._doc_fallback(df, steps[i:])
+                    return self._doc_fallback(df, steps[i:], pre_order)
                 df = out
                 i += 1
         finally:
             self._order = saved
+            self._scalar = saved_sc
         hidden = [c for c in df.columns if c.startswith("__ord")]
         return df.drop(*hidden) if hidden else df
 
@@ -697,9 +707,11 @@ class JetroTables:
         extras = [F.col(f"__ord{i}") for i in range(len(order))]
         tc = self.c.compile(body, env)
         if isinstance(tc.dtype, T.StructType):
+            self._scalar = False
             out = df.select(tc.col.alias("__s"), *extras).select("__s.*", *[
                 f"__ord{i}" for i in range(len(order))])
         else:
+            self._scalar = True
             out = df.select(tc.col.alias(self._scalar_name(body)), *extras)
         self._order = [(F.col(f"__ord{i}"), d) for i, (_, d) in enumerate(order)]
         return out
@@ -709,15 +721,40 @@ class JetroTables:
         name, args = step.name, step.args
         c = self.c
 
+        def elem_tc() -> TC:
+            # what a lambda param binds to: the row struct for object
+            # pipelines, the BARE column for scalar ones (after map(v),
+            # `x => x * 2` sees the element, same as doc mode). The row
+            # case materializes F.struct so VALUE uses of the whole param
+            # (`x => x > 40`) reach Spark's analyzer and fail controlled,
+            # exactly like doc mode; field access still compiles to
+            # top-level F.col via the row=True branch (pushdown-friendly)
+            vis2 = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if self._scalar and len(vis2) == 1:
+                return TC(F.col(vis2[0]), df.schema[vis2[0]].dataType)
+            return TC(F.struct(*[F.col(c2) for c2 in vis2]),
+                      T.StructType([f for f in df.schema.fields
+                                    if f.name in vis2]), row=True)
+
         def pred(node):
             # condition context: bare comparisons push down to parquet
-            # and keep join keys extractable (see Compiler.compile_cond)
+            # and keep join keys extractable (see Compiler.compile_cond).
+            # `x => x.v > 6` binds its param to the element, like doc mode.
+            if isinstance(node, A.Lambda):
+                env2 = env.bind(node.params[0], elem_tc())
+                return c.compile_cond(node.body, env2)
             return c.compile_cond(node, env)
 
         def key_col(node):
             n2, desc = node, False
             if isinstance(n2, A.Neg):
                 n2, desc = n2.expr, True
+            if isinstance(n2, A.Lambda):
+                body = n2.body
+                if isinstance(body, A.Neg):
+                    body, desc = body.expr, not desc
+                env2 = env.bind(n2.params[0], elem_tc())
+                return c.compile(body, env2).col, desc
             col = c.compile(n2, env).col
             return col, desc
 
@@ -727,13 +764,33 @@ class JetroTables:
         if name == "map":
             body = args[0].value
             if isinstance(body, A.Lambda):
-                env2 = env.bind(body.params[0], self._row_tc(df))
+                env2 = env.bind(body.params[0], elem_tc())
                 return self._select_carry(df, body.body, env2, order)
             return self._select_carry(df, body, env, order)
         if name in ("sort", "sort_by"):
             if not args:
                 keys = [(F.col(x), False) for x in df.columns
                         if not x.startswith("__ord")]
+            elif (len(args) == 1 and isinstance(args[0].value, A.Lambda)
+                  and len(args[0].value.params) == 2):
+                # comparator form: the two canonical `(a, b) => a < b`
+                # shapes lower to a natural sort over the element
+                # (struct ordering = field-order lexicographic, same as
+                # doc mode's whole-element compare); see _sort_args
+                lam = args[0].value
+                body = lam.body
+                if not (isinstance(body, A.Binary)
+                        and body.op in ("<", "<=", ">", ">=")
+                        and isinstance(body.left, A.Ident)
+                        and isinstance(body.right, A.Ident)
+                        and {body.left.name, body.right.name}
+                        == set(lam.params)):
+                    raise CompileError(
+                        "comparator sort supports only `(a, b) => a < b` "
+                        "shapes; use sort(key) / sort(-key) for key-based "
+                        "ordering")
+                asc_ops = ("<", "<=") if body.left.name == lam.params[0]                     else (">", ">=")
+                keys = [(elem_tc().col, body.op not in asc_ops)]
             else:
                 keys = [key_col(a.value) for a in args]
             self._order = keys
@@ -799,6 +856,7 @@ class JetroTables:
                 return lowered
             return None
         if name == "chunk":
+            self._scalar = True
             # groups of n consecutive rows → one row per chunk holding
             # the group as an array (ops/collection.rs chunk). The
             # per-chunk collect_list is bounded by the user's n — unlike
@@ -826,6 +884,7 @@ class JetroTables:
             self._order = [(F.col("__ord0"), False)]  # chunk sequence order
             return out
         if name == "pairwise":
+            self._scalar = True
             # overlapping [prev, cur] pairs over the pipeline order
             # (ops/collection.rs:556): lag window, first row dropped.
             # Order keys ride along as __ord columns (the _select_carry
@@ -868,7 +927,7 @@ class JetroTables:
                  .rowsBetween(Window.unboundedPreceding, 0))
             node = args[0].value
             if isinstance(node, A.Lambda):
-                env2 = env.bind(node.params[0], self._row_tc(df))
+                env2 = env.bind(node.params[0], elem_tc())
                 ok = c.compile_cond(node.body, env2)
             else:
                 ok = pred(node)
@@ -881,7 +940,7 @@ class JetroTables:
         if name == "flat_map":
             body = args[0].value
             if isinstance(body, A.Lambda):
-                env2 = env.bind(body.params[0], self._row_tc(df))
+                env2 = env.bind(body.params[0], elem_tc())
                 tc = c.compile(body.body, env2)
                 body = body.body
             else:
@@ -891,7 +950,9 @@ class JetroTables:
             el = tc.dtype.elementType
             out = df.select(F.explode(tc.col).alias("__e"))
             if isinstance(el, T.StructType):
+                self._scalar = False
                 return out.select("__e.*")
+            self._scalar = True
             return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
             return df.distinct()
@@ -899,23 +960,29 @@ class JetroTables:
             col, _ = key_col(args[0].value)
             return R.unique_by(df, col)
         if name == "count":
+            self._scalar = True
             if args:
                 return df.agg(F.count_if(pred(args[0].value)).alias("value"))
             return df.agg(F.count(F.lit(1)).alias("value"))
         if name == "len":
+            self._scalar = True
             return df.agg(F.count(F.lit(1)).alias("value"))
         if name in ("sum", "avg", "min", "max"):
+            self._scalar = True
             col = c.compile(args[0].value, env).col if args else F.col(df.columns[0])
             agg = {"sum": lambda x: F.coalesce(F.sum(x), F.lit(0.0)),
                    "avg": F.avg, "min": F.min, "max": F.max}[name](col)
             return df.agg(agg.alias("value"))
         if name in ("any", "exists"):
+            self._scalar = True
             return df.agg(F.coalesce(F.bool_or(pred(args[0].value)),
                                      F.lit(False)).alias("value"))
         if name == "all":
+            self._scalar = True
             return df.agg(F.coalesce(F.bool_and(pred(args[0].value)),
                                      F.lit(True)).alias("value"))
         if name == "approx_count_distinct":
+            self._scalar = True
             col = c.compile(args[0].value, env).col if args else F.struct(*df.columns)
             return df.agg(F.approx_count_distinct(col).alias("value"))
         if name in ("min_by", "max_by"):
@@ -946,6 +1013,7 @@ class JetroTables:
             return R.pivot3(df, _name_str(args[0].value), _name_str(args[1].value),
                             _name_str(args[2].value))
         if name in ("to_csv", "to_tsv"):
+            self._scalar = True
             # Relational form of the §2.1 sink: one formatted line per
             # row (same cell quoting as the doc-mode string builder,
             # helpers.rs:130-169) — the write-ready shape; doc mode's
@@ -968,6 +1036,179 @@ class JetroTables:
             if name == "intersect":
                 return df.intersect(other)
             return df.unionByName(other, allowMissingColumns=True)
+        if name == "compact":
+            # drop null elements (ops/collection.rs:23); object rows are
+            # non-null structs, so multi-column inputs pass through
+            self._order = order
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) == 1 and self._scalar:
+                return df.filter(F.col(vis[0]).isNotNull())
+            return df
+        if name == "flatten":
+            # array-of-arrays rows → element rows: explode IS the
+            # relational flatten; deeper levels flatten row-locally first
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) != 1 or not self._scalar:
+                return None
+            col2, dt = F.col(vis[0]), df.schema[vis[0]].dataType
+            if not isinstance(dt, T.ArrayType):
+                return None
+            n = _opt_int(args, 1) or 1
+            for _ in range(n - 1):
+                if not isinstance(dt.elementType, T.ArrayType):
+                    break
+                col2, dt = F.flatten(col2), dt.elementType
+            el = dt.elementType
+            out = df.select(F.explode(col2).alias("__e"))
+            if isinstance(el, T.StructType):
+                return out.select("__e.*")
+            return out.select(F.col("__e").alias(vis[0]))
+        if name in ("find_first", "find_one"):
+            # element-or-nothing: same empty-rowset convention as `first`
+            self._order = order
+            return df.filter(pred(args[0].value)).limit(1)
+        if name == "find_index":
+            self._scalar = True
+            # 0-based index of first match over the pipeline order, -1
+            # when absent (ops/array.rs:293); unordered → doc fallback
+            if order is None:
+                return None
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            ok = pred(args[0].value)
+            d2 = df.select((F.row_number().over(w) - 1).alias("__fi_rn"),
+                           ok.alias("__fi_ok"))
+            return d2.filter(F.col("__fi_ok")).agg(
+                F.coalesce(F.min("__fi_rn"), F.lit(-1))
+                .cast("long").alias("value"))
+        if name in ("includes", "contains"):
+            # membership over the rowset → one-pass bool_or aggregation
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) != 1 or not self._scalar:
+                return None
+            self._scalar = True
+            v = c.compile(args[0].value, env).col
+            return df.agg(F.coalesce(F.bool_or(F.col(vis[0]) == v),
+                                     F.lit(False)).alias("value"))
+        if name in ("index", "index_of"):
+            # first 0-based position of the value over the pipeline
+            # order, -1 when absent (ops/array.rs index)
+            if order is None:
+                return None
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) != 1 or not self._scalar:
+                return None
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            self._scalar = True
+            v = c.compile(args[0].value, env).col
+            d2 = df.select((F.row_number().over(w) - 1).alias("__ix_rn"),
+                           (F.col(vis[0]) == v).alias("__ix_ok"))
+            return d2.filter(F.col("__ix_ok")).agg(
+                F.coalesce(F.min("__ix_rn"), F.lit(-1))
+                .cast("long").alias("value"))
+        if name == "join":
+            # string join sink: one-pass collect + array_join; the rn tag
+            # keeps the pipeline order through the unordered agg
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) != 1 or not self._scalar:
+                return None
+            self._scalar = True
+            sep = _lit_str(args[0].value) if args else ""
+            elem = F.col(vis[0])
+            if order is not None:
+                from pyspark.sql.window import Window
+                w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                     for c2, d in order])
+                tagged = df.select(F.row_number().over(w).alias("__j_rn"),
+                                   elem.alias("__j_e"))
+                arr = F.transform(
+                    F.array_sort(F.collect_list(F.struct("__j_rn", "__j_e"))),
+                    lambda s: s["__j_e"])
+                return tagged.agg(F.array_join(arr, sep).alias("value"))
+            arr = F.transform(
+                F.collect_list(F.struct(elem.alias("__j_e"))),
+                lambda s: s["__j_e"])
+            return df.agg(F.array_join(arr, sep).alias("value"))
+        if name == "window":
+            self._scalar = True
+            # sliding windows of n consecutive rows over the pipeline
+            # order (ops/collection.rs window): per-row frame collect,
+            # short tails dropped — bounded by the user's n like chunk
+            if order is None or not args:
+                return None
+            n = _lit_int(args[0].value)
+            if n <= 0:
+                raise CompileError("window size must be positive")
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            elem = (F.col(vis[0]) if len(vis) == 1
+                    else F.struct(*[F.col(c2) for c2 in vis]))
+            # struct wrapper: collect_list drops bare nulls, doc windows
+            # keep them ([7.5, null] is a valid window of 2)
+            win = F.transform(
+                F.collect_list(F.struct(elem.alias("__w_e"))).over(
+                    w.rowsBetween(Window.currentRow, n - 1)),
+                lambda s: s["__w_e"])
+            out = (df.select((F.row_number().over(w) - 1).alias("__ord0"),
+                             win.alias("value"))
+                   .filter(F.size("value") == n)
+                   .select("value", "__ord0"))
+            self._order = [(F.col("__ord0"), False)]
+            return out
+        if name == "partition":
+            # {pass: [...], fail: [...]} → one-pass agg with map-side
+            # partials; preserves pipeline order via the rn tag
+            ok = pred(args[0].value)
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            elem = (F.col(vis[0]) if len(vis) == 1
+                    else F.struct(*[F.col(c2) for c2 in vis]))
+            m = F.coalesce(ok, F.lit(False))
+            if order is not None:
+                from pyspark.sql.window import Window
+                w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                     for c2, d in order])
+                tagged = df.select(F.row_number().over(w).alias("__p_rn"),
+                                   m.alias("__p_m"), elem.alias("__p_e"))
+                arr = F.array_sort(
+                    F.collect_list(F.struct("__p_rn", "__p_m", "__p_e")))
+            else:
+                tagged = df.select(F.lit(0).alias("__p_rn"),
+                                   m.alias("__p_m"), elem.alias("__p_e"))
+                arr = F.collect_list(F.struct("__p_rn", "__p_m", "__p_e"))
+            keep = F.transform(F.filter(arr, lambda s: s["__p_m"]),
+                               lambda s: s["__p_e"])
+            drop = F.transform(F.filter(arr, lambda s: ~s["__p_m"]),
+                               lambda s: s["__p_e"])
+            return tagged.agg(keep.alias("pass"), drop.alias("fail"))
+        if name == "group_shape":
+            # group_shape(key_λ, shape_λ): groupBy the STRINGIFIED key
+            # (doc semantics, ops/array.rs:841-863), shape applied to the
+            # per-key collected array — parallel by key, unlike the doc
+            # fallback's whole-table collect
+            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            if len(vis) == 1:
+                elem: Column = F.col(vis[0])
+                elem_dt: T.DataType = df.schema[vis[0]].dataType
+            else:
+                elem = F.struct(*[F.col(c2) for c2 in vis])
+                elem_dt = T.StructType(
+                    [f for f in df.schema.fields if f.name in vis])
+            key_fn, _kd = c._lam(args[0].value, env, elem_dt)
+            # struct wrapper: collect_list drops bare null elements, doc
+            # group arrays keep them
+            wrapped = F.transform(
+                F.collect_list(F.struct(elem.alias("__e"))),
+                lambda s: s["__e"])
+            grouped = (df.groupBy(key_fn(elem).cast("string").alias("key"))
+                       .agg(wrapped.alias("__grp")))
+            shape_fn, _sd = c._lam(args[1].value, env, T.ArrayType(elem_dt))
+            return grouped.select(F.col("key"),
+                                  shape_fn(F.col("__grp")).alias("value"))
         return None
 
     def _accumulate_window(self, df: DataFrame, args, env: Env,
@@ -1134,12 +1375,21 @@ class JetroTables:
     # scale (override via JETRO_FALLBACK_MAX_BYTES; 0 disables)
     FALLBACK_MAX_BYTES = 1 << 30
 
-    def _doc_fallback(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
+    def _doc_fallback(self, df: DataFrame, steps: list[A.Node],
+                      order: list | None = None) -> DataFrame:
         """Collapse remaining stages to document mode over a collected
-        array<struct>. Correct for any builtin; single-task — the scale
+        array. Correct for any builtin; single-task — the scale
         cliff is explicit: warned below the size ceiling, refused above
         it (a forgotten `$.lineitem...zip(...)` at 100 TB must fail
-        loudly, not OOM — round-2 verdict item)."""
+        loudly, not OOM — round-2 verdict item).
+
+        Scalar pipelines (one visible column, e.g. after `map(id)`)
+        collect a bare array<scalar>, not array<struct> — same element
+        convention as the enumerate/chunk stages; wrapping broke every
+        element-typed builtin downstream (includes/join/flatten/…).
+        A live sort order rides into the collected array via a
+        row_number tag so order-sensitive folds see the pipeline order
+        (the window is single-partition, but so is the whole fallback)."""
         import os
         limit = int(os.environ.get("JETRO_FALLBACK_MAX_BYTES",
                                    self.FALLBACK_MAX_BYTES))
@@ -1159,19 +1409,47 @@ class JetroTables:
         warnings.warn(
             "jql: stage has no relational lowering; collapsing to a "
             "single-task document pipeline", stacklevel=2)
-        st = T.StructType(df.schema.fields)
-        arr_df = df.agg(F.collect_list(F.struct(*df.columns)).alias("__arr"))
-        tc = TC(F.col("__arr"), T.ArrayType(st))
+        vis = [c for c in df.columns if not c.startswith("__ord")]
+        scalar = self._scalar and len(vis) == 1
+        if scalar:
+            elem = F.col(vis[0])
+            elem_dt: T.DataType = df.schema[vis[0]].dataType
+        else:
+            elem = F.struct(*[F.col(c) for c in vis])
+            elem_dt = T.StructType(
+                [f for f in df.schema.fields if f.name in vis])
+        if order:
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*[c2.desc() if d else c2.asc()
+                                 for c2, d in order])
+            tagged = df.select(F.row_number().over(w).alias("__fb_rn"),
+                               elem.alias("__fb_e"))
+            arr = F.transform(
+                F.array_sort(F.collect_list(F.struct("__fb_rn", "__fb_e"))),
+                lambda s: s["__fb_e"])
+            arr_df = tagged.agg(arr.alias("__arr"))
+        else:
+            # struct wrapper: collect_list drops bare nulls, doc arrays
+            # keep them ([1, null, 2].compact() must see the null)
+            arr = F.transform(
+                F.collect_list(F.struct(elem.alias("__fb_e"))),
+                lambda s: s["__fb_e"])
+            arr_df = df.agg(arr.alias("__arr"))
+        tc = TC(F.col("__arr"), T.ArrayType(elem_dt))
         env = Env(root=None, current=tc)
         for step in steps:
             tc = self.c.step(tc, step, env)
+        # scalar pipelines keep their projected column name through the
+        # fallback (`map(n_name).reverse()` stays `n_name` — the
+        # _scalar_name convention); object elements expand to columns
+        name = vis[0] if scalar else "value"
         out = arr_df.select(tc.col.alias("value"))
         # explode arrays back to rows so the result stays a row-shaped
         # DataFrame (and downstream .write/noop parallelizes again)
         if isinstance(tc.dtype, T.ArrayType) and not is_objrepr(tc.dtype):
-            out = out.select(F.explode_outer("value").alias("value"))
+            out = out.select(F.explode_outer("value").alias(name))
             if isinstance(tc.dtype.elementType, T.StructType):
-                out = out.select("value.*")
+                out = out.select(f"{name}.*")
         return out
 
 

@@ -41,6 +41,8 @@ _MID = st.sampled_from([
     ".filter(v > 40)", ".filter(k != 3)", ".map({k: k, v: v})",
     ".sort(v)", ".sort(-v)", ".sort(k)", ".take(9)", ".skip(4)",
     ".reverse()", ".take(12)", ".skip(1)",
+    # lambda-bound predicate/key forms must lower like their bare twins
+    ".filter(x => x.v > 40)", ".sort(x => -x.v)", ".compact()",
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",
@@ -54,7 +56,8 @@ _SCALAR_MID = st.sampled_from([
     ".map(v).rolling_sum(3)", ".map(v).rolling_avg(4)",
     ".map(v).cummax()", ".map(v).lag(1)", ".map(v).diff_window()",
     # array-shaping stages (relational: lag window / bounded collect)
-    ".map(v).pairwise()", ".map(v).chunk(4)",
+    ".map(v).pairwise()", ".map(v).chunk(4)", ".map(v).window(3)",
+    ".map(v).compact()",
 ])
 
 # keyed-reducer sinks: doc mode returns an ordered object / winner row,
@@ -64,7 +67,7 @@ _KEYED_SINK = st.sampled_from([
 ])
 _SINK = st.sampled_from([
     "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
-    ".min()", ".max()",
+    ".min()", ".max()", ".find_index(x => x > 40)", ".includes(74.0)",
 ])
 
 
@@ -125,7 +128,8 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
     # an array-valued result (a pairwise pair, a chunk, an array min)
     # isn't mistaken for a result LIST
     if sink in (".first()", ".last()", ".nth(2)", ".min()", ".max()",
-                ".sum()", ".count()"):
+                ".sum()", ".count()", ".find_index(x => x > 40)",
+                ".includes(74.0)"):
         doc_out = [doc_out]
     assert _norm(doc_out) == _norm(rel_out), (
         f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")

@@ -123,3 +123,111 @@ def test_doc_mode_equivalence(spark, seq_tables):
         [5.0, 9.0, 2.0]
     assert j.collect("$.s.map(v).flat_map([@, @ + 100.0]).len()") == 14
     assert j.collect("$.s.sort(k).map(v).nth(-2)") == 9.0
+
+
+# ------------------------- round-5 lowerings (fallback-surface shrink)
+
+
+@pytest.mark.parametrize("expr,want,cols", [
+    # flatten: explode IS the relational flatten
+    ("$.s.sort(k).map([v, v + 100]).flatten().count()", [(14,)], ["value"]),
+    # find_first / find_one: filter + limit 1 over the pipeline order
+    ("$.s.sort(k).find_first(v > 4).map(v)", [(5.0,)], ["v"]),
+    ("$.s.sort(k).find_one(x => x.v > 4).map(k)", [(4,)], ["k"]),
+    # find_index: 0-based over the order, -1 when absent
+    ("$.s.sort(k).find_index(v > 4)", [(4,)], ["value"]),
+    ("$.s.sort(k).find_index(v > 100)", [(-1,)], ["value"]),
+    # includes/contains: one-pass bool_or membership
+    ("$.s.map(v).includes(9.0)", [(True,)], ["value"]),
+    ("$.s.map(k).includes(99)", [(False,)], ["value"]),
+    # index_of: first position over the order
+    ("$.s.sort(k).map(v).index_of(1.0)", [(1,)], ["value"]),
+    ("$.s.sort(k).map(v).index_of(7.0)", [(-1,)], ["value"]),
+    # join: ordered collect + array_join
+    ('$.s.sort(k).map(f"{k}").join("-")', [("0-1-2-3-4-5-6",)], ["value"]),
+    ('$.s.sort(-v).take(3).map(f"{v}").join(",")',
+     [("9.0,5.0,4.0",)], ["value"]),
+    # window(n): sliding frames over the order, short tails dropped
+    ("$.s.sort(k).map(v).window(3).count()", [(5,)], ["value"]),
+    ("$.s.sort(k).map(v).window(3).first()", [([3.0, 1.0, 4.0],)], ["value"]),
+    ("$.s.sort(k).map(v).window(7)",
+     [([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0],)], ["value"]),
+    # lambda predicate/key forms lower like their bare twins
+    ("$.s.filter(x => x.v > 4).count()", [(2,)], ["value"]),
+    ("$.s.sort(x => -x.v).map(v).first()", [(9.0,)], ["v"]),
+    ("$.s.map(k).unique_by(x => x % 3).count()", [(3,)], ["value"]),
+])
+def test_round5_native_lowering(spark, seq_tables, expr, want, cols):
+    vals, got_cols = rel(spark, seq_tables, expr)
+    assert vals == want
+    assert got_cols == cols
+
+
+def test_partition_lowers_to_one_pass_agg(spark, seq_tables):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = JetroTables(spark, seq_tables).query(
+            "$.s.sort(k).map(v).partition(x => x < 4)")
+        rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["pass"] == [3.0, 1.0, 1.0, 2.0]
+    assert rows[0]["fail"] == [4.0, 5.0, 9.0]
+
+
+def test_group_shape_lowers_to_group_by(spark, seq_tables):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = JetroTables(spark, seq_tables).query(
+            "$.s.group_shape(x => x.k % 2, g => g.map(v).sum())")
+        got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == {"0": 14.0, "1": 11.0}
+
+
+def test_compact_drops_scalar_nulls_natively(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 7.5), (4, None)], "id long, v double")
+    jt = JetroTables(spark, {"t": df})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert sorted(r["v"] for r in
+                      jt.query("$.t.map(v).compact()").collect()) == [7.5, 10.0]
+        # object rows are non-null structs: pass-through
+        assert jt.query("$.t.compact().count()").collect()[0]["value"] == 4
+
+
+def test_doc_fallback_scalar_pipelines_unwrap(spark, seq_tables):
+    """The fallback collects scalar pipelines as bare arrays (not
+    array<struct>) and respects the live sort order — the general
+    multiplicative fold is the canonical non-lowerable stage."""
+    jt = JetroTables(spark, seq_tables)
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = jt.query(
+            "$.s.sort(k).map(v).accumulate((a, x) => a * x, 1.0)")
+        vals = [r["v"] for r in out.collect()]
+    assert vals == [3.0, 3.0, 12.0, 12.0, 60.0, 540.0, 1080.0]
+
+
+def test_doc_fallback_single_field_object_not_unwrapped(spark, seq_tables):
+    """map({v: v}) makes single-COLUMN object rows — the fallback must
+    keep the struct wrapper so x.v still resolves (the _scalar flag
+    disambiguates what a 1-column DataFrame means)."""
+    jt = JetroTables(spark, seq_tables)
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = jt.query(
+            "$.s.sort(k).map({v: v}).accumulate((a, x) => a * x.v, 1.0)")
+        assert len(out.collect()) == 7
+
+
+def test_comparator_sort_lowers_naturally(spark, seq_tables):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        jt = JetroTables(spark, seq_tables)
+        asc = [r["v"] for r in
+               jt.query("$.s.map(v).sort((a, b) => a < b)").collect()]
+        desc = [r["v"] for r in
+                jt.query("$.s.map(v).sort((a, b) => b < a)").collect()]
+    assert asc == sorted(asc) and desc == sorted(desc, reverse=True)
+    from jetro_spark.jql.compiler import CompileError
+    with pytest.raises(CompileError, match="comparator sort"):
+        JetroTables(spark, seq_tables).query(
+            "$.s.sort((a, b) => a.v - b.v)")
