@@ -41,15 +41,56 @@ def _modules():
             jql, llm, hof, streaming, benchlock)
 
 
+# The driver's correctness run samples the FIRST 50 registry rows; this
+# tier lists one representative per operator family so the sample spans
+# the whole surface (relational core, extended joins, scalars, windows,
+# time series, profiling, JQL language, LLM-pipeline ops, HOFs,
+# streaming, doc-suite) instead of exhausting itself on the first two
+# modules. Every row still runs in the full local gate
+# (scripts/check_oracle.py); tiering changes sampling coverage only.
+_TIER1 = [
+    # relational core
+    "filter_map", "sort_take", "group_agg", "join3_revenue", "count_by",
+    "index_by", "max_by", "pivot", "implode", "approx_count_distinct",
+    # extended joins
+    "equi_join", "asof_join", "range_join", "salted_join", "join_semi",
+    "join_anti",
+    # scalar functions
+    "string_case", "regex_ops", "parse_cast", "encoding",
+    # window builtins
+    "win_lag_lead", "win_zscore",
+    # time series
+    "time_bucket", "rollup_gapfill", "sessionize",
+    # profiling / contracts
+    "group_quantiles", "profile_table", "check_constraints",
+    # JQL language (doc + relational modes)
+    "jql_filter_map", "jql_patch", "jql_window", "jql_comprehension",
+    "jql_variant_deep", "deep_search",
+    # LLM-pipeline operators
+    "dedup_exact", "dedup_lsh", "dedup_cluster", "ann_topk",
+    "ann_ivf_trained", "label_centroids", "mm_decode", "text_stats",
+    "quality_filters", "hash_split", "pack_cumsum",
+    # HOFs / streaming / doc-suite
+    "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
+    "doc_bl_q10",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    head = {k: merged[k] for k in _TIER1 if k in merged}
+    tail = {k: v for k, v in merged.items() if k not in head}
+    return {**head, **tail}
+
+
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for mod in _modules():
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)

@@ -43,7 +43,12 @@ from jetro_spark.jql.compiler import (
     union_struct,
 )
 from jetro_spark.jql.parser import parse
-from jetro_spark.localrel import compile_warm, fresh_execute, to_local_relation
+from jetro_spark.localrel import (
+    compile_warm,
+    fresh_execute,
+    plan_size_estimate,
+    to_local_relation,
+)
 from jetro_spark.operators import relational as R
 
 # ------------------------------------------------------------ doc ingest
@@ -491,7 +496,14 @@ class JetroTables:
         """
         df = self.query(expr)
         if cluster_by:
-            n = target_files or df.sparkSession.sparkContext.defaultParallelism
+            if target_files:
+                n = target_files
+            else:
+                try:
+                    n = df.sparkSession.sparkContext.defaultParallelism
+                except Exception:  # Spark Connect: no sparkContext —
+                    n = int(df.sparkSession.conf.get(  # shuffle width is
+                        "spark.sql.shuffle.partitions"))  # the same knob
             df = (df.repartition(n, *[F.col(c) for c in cluster_by])
                   .sortWithinPartitions(*cluster_by))
         elif target_files:
@@ -1394,12 +1406,10 @@ class JetroTables:
         limit = int(os.environ.get("JETRO_FALLBACK_MAX_BYTES",
                                    self.FALLBACK_MAX_BYTES))
         if limit:
-            est = int(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes())
-            # >= 2^60 is Catalyst's "unknown" (spark.sql.defaultSizeInBytes
-            # = Long.Max for local/unstatted relations) — only refuse on a
-            # REAL estimate, e.g. from file-source statistics
-            if limit < est < (1 << 60):
+            # None = no real estimate (Connect, local relations) — only
+            # refuse on file-source statistics; degrade to warn-only
+            est = plan_size_estimate(df)
+            if est is not None and est > limit:
                 names = [getattr(s, "name", type(s).__name__) for s in steps]
                 raise CompileError(
                     f"stage {names[0]!r} has no relational lowering and the "

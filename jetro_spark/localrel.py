@@ -48,6 +48,26 @@ def _surface_missing(exc: Exception) -> bool:
     return isinstance(exc, _UNAVAILABLE) and not isinstance(exc, Py4JJavaError)
 
 
+def has_classic_surface(spark) -> bool:
+    """Capability probe: True when the session exposes the classic py4j
+    JVM surface (`_jvm` / `_jsparkSession`) that the LocalRelation fold
+    and warm-query paths need. False under Spark Connect, where every
+    caller takes its documented degradation:
+
+    - ``to_local_relation`` → None (doc frames stay RDD-backed; queries
+      run as regular 1-row distributed jobs — correct, ~40-80 ms/job)
+    - ``compile_warm`` / ``fresh_execute`` → None (``execute()`` times a
+      noop-sink materialization and reports -1 rows)
+    - the doc-fallback size refusal degrades to warn-only (no plan
+      statistics without a QueryExecution handle)
+    """
+    try:
+        return (getattr(spark, "_jvm", None) is not None
+                and getattr(spark, "_jsparkSession", None) is not None)
+    except Exception:
+        return False
+
+
 def _jvm_bits(df: DataFrame):
     spark = df.sparkSession
     jvm = spark._jvm  # type: ignore[attr-defined]
@@ -75,6 +95,22 @@ def to_local_relation(df: DataFrame) -> DataFrame | None:
         lr = local_relation(attrs, seq, False, stream_none)
         jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(jspark, lr)
         return DataFrame(jdf, spark)
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise
+
+
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes; None when the
+    estimate is unavailable (Spark Connect: no QueryExecution handle) or
+    is the >= 2^60 "unknown" sentinel (spark.sql.defaultSizeInBytes =
+    Long.Max for local/unstatted relations) — only a REAL estimate (e.g.
+    from file-source statistics) is returned."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
+                  .stats().sizeInBytes())
+        return est if est < (1 << 60) else None
     except Exception as exc:
         if _surface_missing(exc):
             return None

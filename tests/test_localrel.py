@@ -104,3 +104,92 @@ def test_to_local_relation_roundtrip(spark):
     assert is_local_plan(lr)
     assert [(r["id"], r["dbl"]) for r in lr.collect()] == [
         (i, 2 * i) for i in range(5)]
+
+
+# ---------------------------------------------- Spark Connect degradation
+#
+# The classic py4j surface (_jvm/_jdf) is absent under Spark Connect.
+# Every localrel entry point must degrade to None there, and doc mode
+# must stay CORRECT through its documented fallbacks (RDD-backed frames,
+# noop-sink execute). The degraded path is simulated by making
+# _jvm_bits raise the same surface-missing error Connect raises; a real
+# Connect session leg runs when grpcio is available (it is not in the
+# default CI container — the test skips, the simulation still runs).
+
+
+def _break_jvm_surface(monkeypatch):
+    import jetro_spark.localrel as L
+
+    def boom(df):
+        raise AttributeError("'SparkSession' object has no attribute '_jvm'")
+    monkeypatch.setattr(L, "_jvm_bits", boom)
+
+
+def test_capability_probe(spark):
+    from jetro_spark.localrel import has_classic_surface
+    assert has_classic_surface(spark) is True
+
+    class FakeConnectSession:
+        pass
+    assert has_classic_surface(FakeConnectSession()) is False
+
+
+def test_degraded_entry_points_return_none(spark, monkeypatch):
+    from jetro_spark import localrel as L
+    _break_jvm_surface(monkeypatch)
+    df = spark.range(3)
+    assert L.to_local_relation(df) is None
+    assert L.compile_warm(df) is None
+    assert L.fresh_execute(df) is None
+
+
+def test_doc_mode_correct_without_classic_surface(spark, monkeypatch):
+    """collect() results must be identical through the degraded path —
+    only the zero-job fold is lost, not semantics."""
+    _break_jvm_surface(monkeypatch)
+    jt = Jetro.from_value(spark, DOC)
+    assert jt.collect("$.orders.filter(total > 500).map(id)") == \
+        list(range(6, 21))
+    assert jt.collect("$.orders.map(total).sum()") == 21000.0
+    # execute(): warm handle unavailable -> noop-sink materialization,
+    # row count unknowable without a second run -> -1 by contract
+    assert jt.execute("$.orders.map(id)") == -1
+
+
+def test_relational_fallback_size_check_degrades(spark, monkeypatch):
+    """The doc-fallback size refusal needs a plan-size estimate; without
+    one (Spark Connect) it must warn-and-continue, not crash — even with
+    a tiny ceiling configured."""
+    import jetro_spark.jql.engine as E
+    monkeypatch.setenv("JETRO_FALLBACK_MAX_BYTES", "10")
+    monkeypatch.setattr(E, "plan_size_estimate", lambda df: None)
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double")
+    jt = E.JetroTables(spark, {"s": df})
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = jt.query("$.s.sort(k).map(v).accumulate((a, x) => a * x, 1.0)")
+        assert [r["v"] for r in out.collect()] == [2.0, 6.0]
+
+
+def _grpc_available() -> bool:
+    try:
+        import grpc  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _grpc_available(),
+                    reason="Spark Connect needs grpcio (absent in the "
+                           "default container) — degradation is covered "
+                           "by the simulated tests above")
+def test_doc_mode_over_real_connect_session():
+    from pyspark.sql import SparkSession
+    remote = SparkSession.builder.remote("local[2]").getOrCreate()
+    try:
+        from jetro_spark.localrel import has_classic_surface
+        assert has_classic_surface(remote) is False
+        jt = Jetro.from_value(remote, DOC)
+        assert jt.collect("$.orders.filter(total > 500).map(id)") == \
+            list(range(6, 21))
+    finally:
+        remote.stop()
