@@ -1407,6 +1407,23 @@ class Compiler:
                  ).alias(f.name)
                 for f in cast_to.fields])
 
+        def shape_of(st: T.StructType):
+            return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+        cast_shape = shape_of(cast_to)
+
+        def filterable(ed: T.DataType) -> bool:
+            """Array elements that ARE the (only-shaped) candidate, with
+            no deeper candidates inside: matching elements pass through
+            BY REFERENCE via F.filter instead of being rebuilt
+            field-by-field through when(m, array(struct(...))) — on the
+            narrow deep-find benchmark that struct copy per element was
+            ~3x the whole query."""
+            return (isinstance(ed, T.StructType) and want(ed)
+                    and shape_of(ed) == cast_shape
+                    and all(rec(_probe(f.dataType), f.dataType) is None
+                            for f in ed.fields))
+
         def rec(c: Column, d: T.DataType) -> Column | None:
             pieces: list[Column] = []
             if isinstance(d, T.StructType):
@@ -1422,7 +1439,14 @@ class Compiler:
                         pieces.append(sub)
             elif isinstance(d, T.ArrayType):
                 ed = d.elementType
-                if rec(_probe(ed), ed) is not None:
+                if filterable(ed):
+                    m = match_fn(_probe(ed), ed) if isinstance(ed, T.StructType) else None
+                    if m is None:
+                        pieces.append(c)
+                    else:
+                        pieces.append(F.filter(
+                            c, lambda e: match_fn(e, ed)))
+                elif rec(_probe(ed), ed) is not None:
                     pieces.append(F.flatten(F.transform(
                         c, lambda e: F.coalesce(rec(e, ed), empty))))
             if not pieces:

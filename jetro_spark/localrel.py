@@ -157,12 +157,13 @@ class WarmQuery:
     def run(self) -> int:
         """Evaluate the projection over the pinned rows; row count.
 
-        ``data()`` is a strict Scala List, so ``map`` evaluates eagerly.
-        The generated projection reuses one mutable output row across
-        apply() calls — fine here (the result rows are never read; the
-        evaluation itself is the product for execute()'s count-only
-        contract)."""
-        self._rows.map(self._proj)
+        ``data()`` is a strict Scala List; ``foreach`` evaluates the
+        projection against every row eagerly without building a result
+        List. The generated projection reuses one mutable output row
+        across apply() calls — fine here (the result rows are never
+        read; the evaluation itself is the product for execute()'s
+        count-only contract)."""
+        self._rows.foreach(self._proj)
         return self._n
 
 
