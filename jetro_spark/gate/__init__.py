@@ -54,7 +54,7 @@ _TIER1 = [
     "index_by", "max_by", "pivot", "implode", "approx_count_distinct",
     # extended joins
     "equi_join", "asof_join", "range_join", "salted_join", "join_semi",
-    "join_anti",
+    "bucketed_join",
     # scalar functions
     "string_case", "regex_ops", "parse_cast", "encoding",
     # window builtins

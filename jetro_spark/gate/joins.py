@@ -168,6 +168,42 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+# --- bucketed co-located join: layout pays the shuffle once at write ---------
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders+customer bucketed by custkey, join with ZERO shuffle
+    (asserted — the plan contract, not just the values), return the same
+    rows a plain SQL join gives. operators/bucketing.py scale notes."""
+    import os
+    import tempfile
+
+    from jetro_spark.operators.bucketing import (
+        assert_no_shuffle,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    base = tempfile.mkdtemp(prefix="jetro_gate_buckets_")
+    write_bucketed(o.filter(F.col("o_totalprice") > 400000)
+                   .select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "gate_b_orders", ["o_custkey"], 8,
+                   path=os.path.join(base, "orders"))
+    write_bucketed(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_name"),
+                   "gate_b_cust", ["o_custkey"], 8,
+                   path=os.path.join(base, "cust"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "gate_b_orders", "gate_b_cust",
+                          ["o_custkey"])
+        assert_no_shuffle(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return j.select("o_orderkey", "o_custkey", "c_name",
+                    F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "asof_left": q_asof_left,
@@ -177,9 +213,16 @@ QUERIES = {
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
+    "bucketed_join": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "salted_join": """
         SELECT o.o_orderkey, o.o_custkey, c.c_name,
                round(o.o_totalprice, 2) AS o_totalprice
