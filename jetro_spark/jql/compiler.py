@@ -1315,9 +1315,23 @@ class Compiler:
                 return None
             return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
         if isinstance(dt, T.ArrayType):
-            sub_builder = self._descend_col(_probe(dt.elementType), dt.elementType, name, out)
+            ed = dt.elementType
+            sub_builder = self._descend_col(_probe(ed), ed, name, out)
             if sub_builder is None:
                 return None
+            # last-level extraction: array<struct> whose ONLY hits are
+            # the elements' direct `name` field → GetArrayStructFields
+            # (whole-stage codegen) instead of an interpreted per-element
+            # transform — same values, same order, same null handling
+            # (null element → null entry, exactly like array(e.name))
+            if (isinstance(ed, T.StructType)
+                    and not isinstance(out, T.VariantType)
+                    and any(f.name == name for f in ed.fields)
+                    and all(self._descend_col(_probe(f.dataType),
+                                              f.dataType, name, out) is None
+                            for f in ed.fields)):
+                return col.getField(name).cast(
+                    T.ArrayType(out).simpleString())
             return F.flatten(F.transform(
                 col, lambda e: F.coalesce(
                     self._descend_col(e, dt.elementType, name, out), empty)))
