@@ -1373,6 +1373,26 @@ class JetroTables:
             col = F.when(F.row_number().over(w) >= n, body)
         return df.select(col.alias(cname), *hid)
 
+    def _table_refs(self, nodes: list[A.Node]) -> set[str]:
+        """Names of registered tables referenced via `$.<name>` anywhere
+        in the given AST nodes (generic dataclass walk)."""
+        import dataclasses
+        refs: set[str] = set()
+
+        def walk(n):
+            if isinstance(n, A.Path) and isinstance(n.base, A.Root)                     and n.steps and isinstance(n.steps[0], A.Field)                     and n.steps[0].name in self.tables:
+                refs.add(n.steps[0].name)
+            if dataclasses.is_dataclass(n) and not isinstance(n, type):
+                for f in dataclasses.fields(n):
+                    walk(getattr(n, f.name))
+            elif isinstance(n, (list, tuple)):
+                for x in n:
+                    walk(x)
+
+        for n in nodes:
+            walk(n)
+        return refs
+
     def _resolve_table(self, node: A.Node) -> DataFrame | None:
         if isinstance(node, A.Path) and isinstance(node.base, A.Root) \
                 and len(node.steps) >= 1 and isinstance(node.steps[0], A.Field) \
@@ -1446,7 +1466,36 @@ class JetroTables:
                 lambda s: s["__fb_e"])
             arr_df = df.agg(arr.alias("__arr"))
         tc = TC(F.col("__arr"), T.ArrayType(elem_dt))
-        env = Env(root=None, current=tc)
+        # table-arg builtins inside the collapsed pipeline (zip($.u),
+        # append($.u.map(x)), ...) need `$` bound: collect each
+        # REFERENCED table (same size ceiling) onto the one-row frame
+        # and expose them as a struct root
+        refs = sorted(self._table_refs(steps))
+        root_tc = None
+        if refs:
+            root_fields = []
+            for name in refs:
+                tdf = self.tables[name]
+                if limit:
+                    t_est = plan_size_estimate(tdf)
+                    if t_est is not None and t_est > limit:
+                        raise CompileError(
+                            f"table {name!r} referenced inside a document "
+                            f"fallback is estimated at {t_est >> 20} MiB — "
+                            "refusing the single-task collect (raise "
+                            "JETRO_FALLBACK_MAX_BYTES to override)")
+                trow = tdf.agg(F.collect_list(
+                    F.struct(*tdf.columns)).alias(f"__tbl_{name}"))
+                arr_df = arr_df.crossJoin(trow)
+                root_fields.append(T.StructField(
+                    f"__tbl_{name}",
+                    T.ArrayType(T.StructType(tdf.schema.fields)), True))
+            root_tc = TC(
+                F.struct(*[F.col(f"__tbl_{n}").alias(n) for n in refs]),
+                T.StructType([
+                    T.StructField(n, f.dataType, True)
+                    for n, f in zip(refs, root_fields)]))
+        env = Env(root=root_tc, current=tc)
         for step in steps:
             tc = self.c.step(tc, step, env)
         # scalar pipelines keep their projected column name through the

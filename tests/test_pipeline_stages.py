@@ -231,3 +231,31 @@ def test_comparator_sort_lowers_naturally(spark, seq_tables):
     with pytest.raises(CompileError, match="comparator sort"):
         JetroTables(spark, seq_tables).query(
             "$.s.sort((a, b) => a.v - b.v)")
+
+
+def test_fallback_binds_table_refs(spark, seq_tables):
+    """zip($.u...) inside the collapsed doc pipeline: `$` resolves to
+    the COLLECTED tables (same ceiling), matching doc-mode semantics."""
+    u = spark.createDataFrame([(0, "x"), (1, "y")], "i long, lbl string")
+    jt = JetroTables(spark, {**seq_tables, "u": u})
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = jt.query(
+            "$.s.sort(k).take(2).map(k).zip($.u.sort(i).map(lbl))")
+        rows = [tuple(r) for r in out.collect()]
+    doc = Jetro.from_value(spark, {
+        "s": [{"k": i, "v": v}
+              for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])],
+        "u": [{"i": 0, "lbl": "x"}, {"i": 1, "lbl": "y"}]})
+    want = doc.collect("$.s.sort(k).take(2).map(k).zip($.u.sort(i).map(lbl))")
+    assert [list(r) for r in rows] == want
+
+
+def test_fallback_refuses_large_table_ref(spark, monkeypatch):
+    from jetro_spark.jql.compiler import CompileError
+    monkeypatch.setenv("JETRO_FALLBACK_MAX_BYTES", "1000")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    jt = JetroTables(spark, {"s": s, "lineitem": li})
+    with pytest.raises(CompileError, match="referenced inside a document"):
+        with pytest.warns(UserWarning, match="no relational lowering"):
+            jt.query("$.s.sort(k).map(v).zip($.lineitem.map(l_quantity))")

@@ -122,3 +122,28 @@ def test_write_parquet_clustered_stats(spark, tables, tmp_path):
     for f in glob.glob(out + "/part-*.parquet"):
         col = pq.read_table(f, columns=["ok"])["ok"].to_pylist()
         assert col == sorted(col)
+
+
+def test_partitioned_read_prunes_directories(spark, tables, tmp_path):
+    """A filter on the hive-partition column must reach the scan as a
+    PartitionFilter (whole directories skipped) — the layout contract
+    write_parquet(partition_by=...) promises."""
+    from jetro_spark.jql.engine import JetroTables
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "orders_by_status")
+    t = JetroTables(spark, tables)
+    t.write_parquet("$.orders.map({k: o_orderkey, st: o_orderstatus, "
+                    "total: o_totalprice})", p, partition_by=["st"])
+    rd = spark.read.parquet(p).filter(F.col("st") == "O")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must be IN the partition filters (pruning),
+    # not a post-scan data Filter
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "st" in m.group(1)
+    # and values come back right
+    n_o = rd.count()
+    want = tables["orders"].filter(F.col("o_orderstatus") == "O").count()
+    assert n_o == want
