@@ -33,6 +33,16 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                            keys=["l_returnflag"])
 
 
+def q_group_quantiles_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as group_quantiles, different PLAN: the keyed
+    distributed prefix spreads each l_returnflag group over many
+    partitions (the 100 TB low-cardinality-keys path) — oracled against
+    the identical SQL to prove plan != answer."""
+    return group_quantiles(_li(spark, sf_dir), "l_extendedprice",
+                           [0.25, 0.5, 0.75, 0.99],
+                           keys=["l_returnflag"], spread_keys=True)
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(_li(spark, sf_dir), "l_extendedprice",
                      lo=0.0, hi=110_000.0, bins=22)
@@ -83,6 +93,7 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "group_quantiles": q_group_quantiles,
+    "group_quantiles_spread": q_group_quantiles_spread,
     "histogram": q_histogram,
     "profile_table": q_profile_table,
     "key_skew": q_key_skew,
@@ -122,6 +133,7 @@ def _profile_col_sql(col: str) -> str:
 
 ORACLES = {
     "group_quantiles": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
+    "group_quantiles_spread": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
     "histogram": """
         WITH b AS (
           SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 21)

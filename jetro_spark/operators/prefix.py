@@ -22,6 +22,14 @@ Cost: one range shuffle + one broadcast, instead of one
 shuffle-everything-to-one-task. Ties in the order key stay inside one
 partition (RangePartitioner never splits equal keys), so callers that
 guarantee a unique order key get a fully deterministic prefix.
+
+The KEYED variant (``keys=[...]``) solves the other straggler: a
+``Window.partitionBy(key)`` with few distinct keys is one task per key
+regardless of cluster size. Range-partitioning on (keys, order) spreads
+each key group across many partitions; the per-(partition, key) offset
+table is still metadata-sized (≤ P × keys-touching-that-partition rows)
+and its prefix window partitions by the keys, so no un-partitioned
+window exists in the keyed plan at all.
 """
 
 from __future__ import annotations
@@ -35,32 +43,44 @@ def distributed_prefix(
     order: list[str | Column],
     value: Column,
     *,
+    keys: list[str] | None = None,
     out: str = "__prefix",
     inclusive: bool = False,
     total: str | None = None,
 ) -> DataFrame:
-    """Add ``out`` = global running sum of ``value`` over ``order``
-    (exclusive by default: the sum of strict predecessors, 0 for the
-    first row). With ``total`` set, also attach the grand total as a
-    constant column of that name (broadcast of a 1-row aggregate).
+    """Add ``out`` = running sum of ``value`` over ``order`` — globally,
+    or per key group when ``keys`` is given — without any
+    single-task-per-group window (exclusive by default: the sum of
+    strict predecessors, 0 for the first row). With ``total`` set, also
+    attach the (per-group) grand total as a column of that name.
     """
+    kcols = [F.col(k) for k in (keys or [])]
+    knames = list(keys or [])
     ocols = [F.col(o) if isinstance(o, str) else o for o in order]
-    d = df.repartitionByRange(*ocols).withColumn(
+    d = df.repartitionByRange(*kcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
-    wl = (Window.partitionBy("__pid").orderBy(*ocols)
+    wl = (Window.partitionBy("__pid", *knames).orderBy(*ocols)
           .rowsBetween(Window.unboundedPreceding,
                        Window.currentRow if inclusive else -1))
     d = d.withColumn("__local",
                      F.coalesce(F.sum(value).over(wl), F.lit(0)))
-    totals = d.groupBy("__pid").agg(F.sum(value).alias("__t"))
-    wo = (Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1))
+    totals = d.groupBy("__pid", *knames).agg(F.sum(value).alias("__t"))
+    wo = (Window.partitionBy(*knames).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+          if knames else
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0)))
-    d = (d.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+    d = (d.join(F.broadcast(offs.select("__pid", *knames, "__off")),
+                ["__pid", *knames])
          .withColumn(out, F.col("__off") + F.col("__local"))
          .drop("__pid", "__local", "__off"))
     if total is not None:
-        grand = offs.agg(F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
-        d = d.crossJoin(F.broadcast(grand))
+        if knames:
+            grand = offs.groupBy(*knames).agg(
+                F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
+            d = d.join(F.broadcast(grand), knames)
+        else:
+            grand = offs.agg(F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
+            d = d.crossJoin(F.broadcast(grand))
     return d

@@ -33,18 +33,31 @@ def group_quantiles(
     *,
     keys: list[str] | None = None,
     tiebreak: str | Column | None = None,
+    spread_keys: bool = False,
 ) -> DataFrame:
     """One row per key group with a column per requested quantile
     (``q{percent}``), discrete definition (see module docstring).
     Nulls are excluded from the ranking. ``tiebreak`` orders equal
     values deterministically (defaults to the value alone — equal values
-    are interchangeable for a quantile, so ties never change results)."""
+    are interchangeable for a quantile, so ties never change results).
+
+    ``spread_keys=True`` switches the keyed rank to the keyed
+    distributed prefix (operators/prefix): same values, but each key
+    group spreads across many partitions instead of one task per key —
+    use it when keys are LOW-cardinality over BIG data (a 3-value
+    status column at 100 TB makes the default per-key window a 3-task
+    straggler). With many small groups the default per-key window is
+    the better plan (one shuffle, no offset join)."""
     keys = keys or []
     order = [F.col(value_col).asc()]
     if tiebreak is not None:
         order.append((F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc())
     d = df.filter(F.col(value_col).isNotNull())
-    if keys:
+    if keys and spread_keys:
+        from jetro_spark.operators.prefix import distributed_prefix
+        d = distributed_prefix(d, order, F.lit(1), keys=keys,
+                               out="__rn", total="__n")
+    elif keys:
         w = Window.partitionBy(*keys).orderBy(*order)
         d = (d.withColumn("__rn", F.row_number().over(w) - 1)
              .withColumn("__n", F.count(F.lit(1)).over(

@@ -110,3 +110,33 @@ def test_check_constraints(spark):
     ).collect()}
     # null v counts as a violation (unevaluable != passing)
     assert out == {"v_positive": 2, "k_small": 0, "unique(k)": 2}
+
+
+def test_group_quantiles_spread_matches_window_path(spark):
+    """Keyed distributed prefix (low-cardinality scale path) must give
+    byte-identical quantiles to the per-key window default."""
+    from pyspark.sql import functions as F
+    from jetro_spark.operators.profiling import group_quantiles
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 1001).cast("double").alias("v"))
+    a = group_quantiles(df, "v", [0.1, 0.5, 0.9], keys=["g"])
+    b = group_quantiles(df, "v", [0.1, 0.5, 0.9], keys=["g"],
+                        spread_keys=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_keyed_distributed_prefix_rank(spark):
+    from pyspark.sql import functions as F
+    from jetro_spark.operators.prefix import distributed_prefix
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    out = distributed_prefix(df, ["v"], F.lit(1), keys=["g"],
+                             out="rn", total="n")
+    rows = out.collect()
+    assert all(r["n"] == 500 for r in rows)
+    for g in (0, 1):
+        grp = sorted((r["v"], r["rn"]) for r in rows if r["g"] == g)
+        assert [rn for _, rn in grp] == list(range(500))
