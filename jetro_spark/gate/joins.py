@@ -183,7 +183,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o, c = _t(spark, sf_dir, "orders", "customer")
-    base = tempfile.mkdtemp(prefix="jetro_gate_buckets_")
+    # stable per-sf location + overwrite mode: re-runs REUSE the
+    # directory instead of leaking a fresh mkdtemp per invocation
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"jetro_gate_buckets_{os.path.basename(sf_dir.rstrip('/'))}")
     write_bucketed(o.filter(F.col("o_totalprice") > 400000)
                    .select("o_orderkey", "o_custkey", "o_totalprice"),
                    "gate_b_orders", ["o_custkey"], 8,

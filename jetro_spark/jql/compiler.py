@@ -1278,6 +1278,19 @@ class Compiler:
 
         return TC(nodes(tc.col, tc.dtype), T.ArrayType(T.VariantType()))
 
+    def _has_descend_hits(self, dt: T.DataType, name: str) -> bool:
+        """Schema-only: does the subtree contain a `name` field (or a
+        variant, which may at runtime)? Mirrors what _descend_col
+        returning non-None means, without building any probe Columns —
+        calling _descend_col for the test doubled the compile walk at
+        every array nesting level."""
+        if isinstance(dt, T.StructType):
+            return any(f.name == name or self._has_descend_hits(f.dataType, name)
+                       for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return self._has_descend_hits(dt.elementType, name)
+        return isinstance(dt, T.VariantType)
+
     def _collect_leaf_types(self, dt: T.DataType, name: str, out: list) -> None:
         if isinstance(dt, T.StructType):
             for f in dt.fields:
@@ -1316,8 +1329,7 @@ class Compiler:
             return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
         if isinstance(dt, T.ArrayType):
             ed = dt.elementType
-            sub_builder = self._descend_col(_probe(ed), ed, name, out)
-            if sub_builder is None:
+            if not self._has_descend_hits(ed, name):
                 return None
             # last-level extraction: array<struct> whose ONLY hits are
             # the elements' direct `name` field → GetArrayStructFields
@@ -1327,9 +1339,8 @@ class Compiler:
             if (isinstance(ed, T.StructType)
                     and not isinstance(out, T.VariantType)
                     and any(f.name == name for f in ed.fields)
-                    and all(self._descend_col(_probe(f.dataType),
-                                              f.dataType, name, out) is None
-                            for f in ed.fields)):
+                    and not any(self._has_descend_hits(f.dataType, name)
+                                for f in ed.fields)):
                 return col.getField(name).cast(
                     T.ArrayType(out).simpleString())
             return F.flatten(F.transform(
@@ -1426,6 +1437,17 @@ class Compiler:
 
         cast_shape = shape_of(cast_to)
 
+        def wants_subtree(d: T.DataType) -> bool:
+            """Schema-only: would rec(d) produce any pieces? (linear —
+            never builds probe Columns, unlike calling rec itself, which
+            would double the compile walk at every nesting level)"""
+            if isinstance(d, T.StructType):
+                return want(d) or any(wants_subtree(f.dataType)
+                                      for f in d.fields)
+            if isinstance(d, T.ArrayType):
+                return wants_subtree(d.elementType)
+            return False
+
         def filterable(ed: T.DataType) -> bool:
             """Array elements that ARE the (only-shaped) candidate, with
             no deeper candidates inside: matching elements pass through
@@ -1435,8 +1457,8 @@ class Compiler:
             ~3x the whole query."""
             return (isinstance(ed, T.StructType) and want(ed)
                     and shape_of(ed) == cast_shape
-                    and all(rec(_probe(f.dataType), f.dataType) is None
-                            for f in ed.fields))
+                    and not any(wants_subtree(f.dataType)
+                                for f in ed.fields))
 
         def rec(c: Column, d: T.DataType) -> Column | None:
             pieces: list[Column] = []
@@ -1460,7 +1482,7 @@ class Compiler:
                     else:
                         pieces.append(F.filter(
                             c, lambda e: match_fn(e, ed)))
-                elif rec(_probe(ed), ed) is not None:
+                elif wants_subtree(ed):
                     pieces.append(F.flatten(F.transform(
                         c, lambda e: F.coalesce(rec(e, ed), empty))))
             if not pieces:

@@ -165,6 +165,16 @@ def _apply_lambda(spark: SparkSession, lam: A.Node, value):
     return to_python(sub.df.select(tc.col.alias("value")).first()["value"])
 
 
+def _vis_cols(df: DataFrame) -> list[str]:
+    """Visible (non-``__ord``) columns — the pipeline's data columns."""
+    return [c for c in df.columns if not c.startswith("__ord")]
+
+
+def _order_by(order: list) -> list[Column]:
+    """[(Column, desc)] sort spec → orderBy arguments."""
+    return [c.desc() if d else c.asc() for c, d in order]
+
+
 def _analyzed_select(df: DataFrame, col: Column) -> DataFrame:
     """select() with analyzer failures surfaced as CompileError.
 
@@ -741,7 +751,7 @@ class JetroTables:
             # (`x => x > 40`) reach Spark's analyzer and fail controlled,
             # exactly like doc mode; field access still compiles to
             # top-level F.col via the row=True branch (pushdown-friendly)
-            vis2 = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis2 = _vis_cols(df)
             if self._scalar and len(vis2) == 1:
                 return TC(F.col(vis2[0]), df.schema[vis2[0]].dataType)
             return TC(F.struct(*[F.col(c2) for c2 in vis2]),
@@ -844,9 +854,8 @@ class JetroTables:
             if order is None:
                 return None
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            w = Window.orderBy(*_order_by(order))
+            vis = _vis_cols(df)
             hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
             # scalar pipelines keep the bare element as `value` (doc-mode
             # semantics: value IS the element); only object rows wrap
@@ -868,20 +877,19 @@ class JetroTables:
                 return lowered
             return None
         if name == "chunk":
-            self._scalar = True
             # groups of n consecutive rows → one row per chunk holding
             # the group as an array (ops/collection.rs chunk). The
             # per-chunk collect_list is bounded by the user's n — unlike
             # group_collect there is no unbounded-group OOM surface.
             if order is None or not args:
                 return None
+            self._scalar = True
             n = _lit_int(args[0].value)
             if n <= 0:
                 raise CompileError("chunk size must be positive")
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            w = Window.orderBy(*_order_by(order))
+            vis = _vis_cols(df)
             elem = (F.col(vis[0]) if len(vis) == 1
                     else F.struct(*[F.col(c2) for c2 in vis]))
             rn = F.row_number().over(w) - 1
@@ -896,19 +904,18 @@ class JetroTables:
             self._order = [(F.col("__ord0"), False)]  # chunk sequence order
             return out
         if name == "pairwise":
-            self._scalar = True
             # overlapping [prev, cur] pairs over the pipeline order
             # (ops/collection.rs:556): lag window, first row dropped.
             # Order keys ride along as __ord columns (the _select_carry
             # convention) since the projection replaces the data columns.
             if order is None:
                 return None
+            self._scalar = True
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
+            w = Window.orderBy(*_order_by(order))
             for i, (col, _desc) in enumerate(order):
                 df = df.withColumn(f"__ord{i}", col)
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             extras = [F.col(f"__ord{i}") for i in range(len(order))]
             cur = (F.col(vis[0]) if len(vis) == 1
                    else F.struct(*[F.col(c2) for c2 in vis]))
@@ -934,8 +941,7 @@ class JetroTables:
             if order is None:
                 return None
             from pyspark.sql.window import Window
-            w = (Window.orderBy(*[c2.desc() if d else c2.asc()
-                                  for c2, d in order])
+            w = (Window.orderBy(*_order_by(order))
                  .rowsBetween(Window.unboundedPreceding, 0))
             node = args[0].value
             if isinstance(node, A.Lambda):
@@ -1034,7 +1040,7 @@ class JetroTables:
             # distributed file sink.
             from jetro_spark.jql.compiler import _csv_cell
             sep = "," if name == "to_csv" else "\t"
-            cols = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            cols = _vis_cols(df)
             line = F.concat_ws(sep, *[
                 _csv_cell(F.col(c2), df.schema[c2].dataType, sep)
                 for c2 in cols])
@@ -1052,14 +1058,14 @@ class JetroTables:
             # drop null elements (ops/collection.rs:23); object rows are
             # non-null structs, so multi-column inputs pass through
             self._order = order
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) == 1 and self._scalar:
                 return df.filter(F.col(vis[0]).isNotNull())
             return df
         if name == "flatten":
             # array-of-arrays rows → element rows: explode IS the
             # relational flatten; deeper levels flatten row-locally first
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) != 1 or not self._scalar:
                 return None
             col2, dt = F.col(vis[0]), df.schema[vis[0]].dataType
@@ -1073,21 +1079,22 @@ class JetroTables:
             el = dt.elementType
             out = df.select(F.explode(col2).alias("__e"))
             if isinstance(el, T.StructType):
+                self._scalar = False
                 return out.select("__e.*")
+            self._scalar = True
             return out.select(F.col("__e").alias(vis[0]))
         if name in ("find_first", "find_one"):
             # element-or-nothing: same empty-rowset convention as `first`
             self._order = order
             return df.filter(pred(args[0].value)).limit(1)
         if name == "find_index":
-            self._scalar = True
             # 0-based index of first match over the pipeline order, -1
             # when absent (ops/array.rs:293); unordered → doc fallback
             if order is None:
                 return None
+            self._scalar = True
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
+            w = Window.orderBy(*_order_by(order))
             ok = pred(args[0].value)
             d2 = df.select((F.row_number().over(w) - 1).alias("__fi_rn"),
                            ok.alias("__fi_ok"))
@@ -1096,7 +1103,7 @@ class JetroTables:
                 .cast("long").alias("value"))
         if name in ("includes", "contains"):
             # membership over the rowset → one-pass bool_or aggregation
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) != 1 or not self._scalar:
                 return None
             self._scalar = True
@@ -1108,12 +1115,11 @@ class JetroTables:
             # order, -1 when absent (ops/array.rs index)
             if order is None:
                 return None
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) != 1 or not self._scalar:
                 return None
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
+            w = Window.orderBy(*_order_by(order))
             self._scalar = True
             v = c.compile(args[0].value, env).col
             d2 = df.select((F.row_number().over(w) - 1).alias("__ix_rn"),
@@ -1124,7 +1130,7 @@ class JetroTables:
         if name == "join":
             # string join sink: one-pass collect + array_join; the rn tag
             # keeps the pipeline order through the unordered agg
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) != 1 or not self._scalar:
                 return None
             self._scalar = True
@@ -1132,8 +1138,7 @@ class JetroTables:
             elem = F.col(vis[0])
             if order is not None:
                 from pyspark.sql.window import Window
-                w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                     for c2, d in order])
+                w = Window.orderBy(*_order_by(order))
                 tagged = df.select(F.row_number().over(w).alias("__j_rn"),
                                    elem.alias("__j_e"))
                 arr = F.transform(
@@ -1145,19 +1150,18 @@ class JetroTables:
                 lambda s: s["__j_e"])
             return df.agg(F.array_join(arr, sep).alias("value"))
         if name == "window":
-            self._scalar = True
             # sliding windows of n consecutive rows over the pipeline
             # order (ops/collection.rs window): per-row frame collect,
             # short tails dropped — bounded by the user's n like chunk
             if order is None or not args:
                 return None
+            self._scalar = True
             n = _lit_int(args[0].value)
             if n <= 0:
                 raise CompileError("window size must be positive")
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            w = Window.orderBy(*_order_by(order))
+            vis = _vis_cols(df)
             elem = (F.col(vis[0]) if len(vis) == 1
                     else F.struct(*[F.col(c2) for c2 in vis]))
             # struct wrapper: collect_list drops bare nulls, doc windows
@@ -1176,14 +1180,13 @@ class JetroTables:
             # {pass: [...], fail: [...]} → one-pass agg with map-side
             # partials; preserves pipeline order via the rn tag
             ok = pred(args[0].value)
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             elem = (F.col(vis[0]) if len(vis) == 1
                     else F.struct(*[F.col(c2) for c2 in vis]))
             m = F.coalesce(ok, F.lit(False))
             if order is not None:
                 from pyspark.sql.window import Window
-                w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                     for c2, d in order])
+                w = Window.orderBy(*_order_by(order))
                 tagged = df.select(F.row_number().over(w).alias("__p_rn"),
                                    m.alias("__p_m"), elem.alias("__p_e"))
                 arr = F.array_sort(
@@ -1202,7 +1205,7 @@ class JetroTables:
             # (doc semantics, ops/array.rs:841-863), shape applied to the
             # per-key collected array — parallel by key, unlike the doc
             # fallback's whole-table collect
-            vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+            vis = _vis_cols(df)
             if len(vis) == 1:
                 elem: Column = F.col(vis[0])
                 elem_dt: T.DataType = df.schema[vis[0]].dataType
@@ -1266,7 +1269,7 @@ class JetroTables:
             if not isinstance(itc.dtype, (T.NumericType, T.NullType)):
                 return None
             init, init_dt, have_init = itc.col, itc.dtype, True
-        vis = [c2 for c2 in df.columns if not c2.startswith("__ord")]
+        vis = _vis_cols(df)
         if isinstance(term, A.Ident) and term.name == x_name:
             # bare element: the pipeline's single scalar column
             if len(vis) != 1:
@@ -1291,8 +1294,7 @@ class JetroTables:
             init = init.cast("double")
             term_col = term_col.cast("double")
         from pyspark.sql.window import Window
-        w = (Window.orderBy(*[c2.desc() if d else c2.asc()
-                              for c2, d in order])
+        w = (Window.orderBy(*_order_by(order))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
         out = df.select((init + F.sum(term_col).over(w)).alias("value"),
@@ -1320,7 +1322,7 @@ class JetroTables:
             raise CompileError(
                 f"{name}: a relational pipeline has no intrinsic row "
                 "order; add a .sort(...) before positional analytics")
-        data = [c for c in df.columns if not c.startswith("__ord")]
+        data = _vis_cols(df)
         if len(data) != 1:
             raise CompileError(
                 f"{name}: expected a single projected column "
@@ -1439,7 +1441,7 @@ class JetroTables:
         warnings.warn(
             "jql: stage has no relational lowering; collapsing to a "
             "single-task document pipeline", stacklevel=2)
-        vis = [c for c in df.columns if not c.startswith("__ord")]
+        vis = _vis_cols(df)
         scalar = self._scalar and len(vis) == 1
         if scalar:
             elem = F.col(vis[0])
@@ -1450,8 +1452,7 @@ class JetroTables:
                 [f for f in df.schema.fields if f.name in vis])
         if order:
             from pyspark.sql.window import Window
-            w = Window.orderBy(*[c2.desc() if d else c2.asc()
-                                 for c2, d in order])
+            w = Window.orderBy(*_order_by(order))
             tagged = df.select(F.row_number().over(w).alias("__fb_rn"),
                                elem.alias("__fb_e"))
             arr = F.transform(

@@ -24,6 +24,8 @@ gracefully to ``None`` so callers can fall back to the RDD-backed path.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 try:  # py4j ships with classic pyspark; absent under pure Spark Connect
@@ -171,6 +173,7 @@ class WarmQuery:
 # this rule — excluded during warm compile so the optimized plan keeps
 # the (simplified) expression tree instead of the pre-computed answer.
 _FOLD_RULE = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+_WARM_COMPILE_LOCK = threading.Lock()
 
 
 def compile_warm(df: DataFrame) -> WarmQuery | None:
@@ -188,17 +191,23 @@ def compile_warm(df: DataFrame) -> WarmQuery | None:
     try:
         spark, jvm, jspark = _jvm_bits(df)
         key = "spark.sql.optimizer.excludedRules"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, _FOLD_RULE if not prev else f"{prev},{_FOLD_RULE}")
-        try:
-            jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                jspark, df._jdf.logicalPlan())  # type: ignore[attr-defined]
-            opt = jdf.queryExecution().optimizedPlan()
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+        # the conf is session-global: serialize the set/optimize/restore
+        # so concurrent compile_warm calls can't restore a stale value
+        # (leaving the fold rule permanently excluded) or re-enable the
+        # rule mid-optimize for each other
+        with _WARM_COMPILE_LOCK:
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key,
+                           _FOLD_RULE if not prev else f"{prev},{_FOLD_RULE}")
+            try:
+                jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    jspark, df._jdf.logicalPlan())  # type: ignore[attr-defined]
+                opt = jdf.queryExecution().optimizedPlan()
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
         if opt.nodeName() != "Project":
             return None
         child = opt.children().head()

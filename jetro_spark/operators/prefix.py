@@ -71,15 +71,27 @@ def distributed_prefix(
           Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0)))
-    d = (d.join(F.broadcast(offs.select("__pid", *knames, "__off")),
-                ["__pid", *knames])
+    # name-list joins use null-UNSAFE equality — a NULL key group would
+    # silently drop every row; join null-safe and re-project
+    o = F.broadcast(offs.select(F.col("__pid").alias("__o_pid"),
+                                *[F.col(k).alias(f"__o_{k}") for k in knames],
+                                "__off"))
+    cond = F.col("__pid") == F.col("__o_pid")
+    for k in knames:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+    d = (d.join(o, cond)
          .withColumn(out, F.col("__off") + F.col("__local"))
-         .drop("__pid", "__local", "__off"))
+         .drop("__pid", "__local", "__off", "__o_pid",
+               *[f"__o_{k}" for k in knames]))
     if total is not None:
         if knames:
-            grand = offs.groupBy(*knames).agg(
+            grand = F.broadcast(offs.groupBy(*knames).agg(
                 F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
-            d = d.join(F.broadcast(grand), knames)
+                .select(*[F.col(k).alias(f"__g_{k}") for k in knames], total))
+            gcond = F.lit(True)
+            for k in knames:
+                gcond = gcond & F.col(k).eqNullSafe(F.col(f"__g_{k}"))
+            d = d.join(grand, gcond).drop(*[f"__g_{k}" for k in knames])
         else:
             grand = offs.agg(F.coalesce(F.sum("__t"), F.lit(0)).alias(total))
             d = d.crossJoin(F.broadcast(grand))

@@ -259,3 +259,40 @@ def test_fallback_refuses_large_table_ref(spark, monkeypatch):
     with pytest.raises(CompileError, match="referenced inside a document"):
         with pytest.warns(UserWarning, match="no relational lowering"):
             jt.query("$.s.sort(k).map(v).zip($.lineitem.map(l_quantity))")
+
+
+# --------------------- round-5 review regressions (_scalar flag, nulls)
+
+
+def test_unordered_find_index_keeps_object_shape(spark, seq_tables):
+    """find_index/window/chunk/pairwise must NOT flip the scalar flag
+    before their order-guard sends an object pipeline to the fallback —
+    the collapsed env needs the struct element for x.v."""
+    jt = JetroTables(spark, seq_tables)
+    with pytest.warns(UserWarning, match="no relational lowering"):
+        out = jt.query("$.s.map({v: v}).find_index(x => x.v > 4)")
+        assert [r[0] for r in out.collect()] in ([4], [2])  # any order: first v>4
+
+
+def test_flatten_struct_elements_reset_scalar(spark, seq_tables):
+    """flatten exploding array<struct> produces OBJECT rows; includes()
+    after it must see a struct element (error like doc mode), never
+    compare the single field as a bare scalar."""
+    from jetro_spark.jql.compiler import CompileError
+    jt = JetroTables(spark, seq_tables)
+    doc = Jetro.from_value(spark, {"s": [
+        {"k": i, "v": v}
+        for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])]})
+    expr = "$.s.map(x => [{a: x.v}]).flatten().includes(5.0)"
+    doc_err = rel_err = False
+    try:
+        doc.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            JetroTables(spark, seq_tables).query(expr).collect()
+    except CompileError:
+        rel_err = True
+    assert doc_err == rel_err, "mode divergence on struct includes"

@@ -140,3 +140,20 @@ def test_keyed_distributed_prefix_rank(spark):
     for g in (0, 1):
         grp = sorted((r["v"], r["rn"]) for r in rows if r["g"] == g)
         assert [rn for _, rn in grp] == list(range(500))
+
+
+def test_keyed_distributed_prefix_keeps_null_key_groups(spark):
+    """Null keys must survive the offset/total joins (null-safe
+    equality) — the quantile contract says spread_keys only changes
+    the PLAN."""
+    from pyspark.sql import functions as F
+    from jetro_spark.operators.profiling import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0), (None, 4.0), (None, 6.0)],
+        "g string, v double")
+    a = group_quantiles(df, "v", [0.5], keys=["g"])
+    b = group_quantiles(df, "v", [0.5], keys=["g"], spread_keys=True)
+    sa = sorted(map(tuple, a.collect()), key=str)
+    sb = sorted(map(tuple, b.collect()), key=str)
+    assert sa == sb and len(sa) == 2
