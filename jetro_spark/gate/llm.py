@@ -606,3 +606,86 @@ ORACLES["mm_frames"] = """
     FROM documents
 """
 # simhash_pairs intentionally absent from ORACLES (rows-only check).
+
+
+# --- context-length chunking (llm/chunking.py) -------------------------------
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget windows with overlap: max 64 tokens, stride 16 —
+    one row per chunk, row-local expressions only (no shuffle)."""
+    from jetro_spark.llm.chunking import split_by_tokens
+
+    return split_by_tokens(_docs(spark, sf_dir), "text", id_col="doc_id",
+                           max_tokens=64, stride=16)
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+
+_RAW_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
+ORACLES["doc_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id AS id, {_RAW_TOKS} AS t FROM documents
+    ), g AS (
+        SELECT id, t, greatest(len(t) - 16 - 1, 0) AS last
+        FROM toks
+    ), s AS (
+        SELECT id, t,
+               unnest(generate_series(0, last - (last % 48), 48)) AS start
+        FROM g
+    ), sliced AS (
+        SELECT id, CAST(start // 48 AS BIGINT) AS chunk_id,
+               list_slice(t, start + 1, start + 64) AS piece
+        FROM s
+    )
+    SELECT id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM sliced WHERE len(piece) >= 1
+"""
+
+
+# --- deterministic corpus mixture (llm/sampling.mixture_interleave) ----------
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpora from the documents table (by source id), rates 0.5
+    and 2.25 — subsample + repeat epochs, hash-derived and engine-
+    replayable."""
+    from jetro_spark.llm.sampling import mixture_interleave
+
+    d = _docs(spark, sf_dir)
+    srcnum = F.substring("source", 4, 10).cast("int")
+    lo = d.filter(srcnum < 10).select("doc_id", "source")
+    hi = d.filter(srcnum >= 10).select("doc_id", "source")
+    out = mixture_interleave({"low": (lo, 0.5), "high": (hi, 2.25)},
+                             "doc_id", seed=42)
+    return out.select("doc_id", "source", "mix_source",
+                      F.col("epoch").cast("long").alias("epoch"))
+
+
+QUERIES["doc_mixture"] = q_mixture
+
+
+def _frac_of(tag_sql: str, seed: int) -> str:
+    """First-8-hex-chars(md5(tag:seed)) / 16^8, decoded digit-by-digit
+    (same trick as the sampling oracles in gate/timeseries.py)."""
+    return f"""(CAST(list_sum([(strpos('0123456789abcdef',
+        substr(substr(md5({tag_sql} || ':{seed}'), 1, 8), i, 1)) - 1)
+        * 16**(8-i) for i in generate_series(1, 8)]) AS BIGINT)
+        / 4294967296.0)"""
+
+
+_MIX_TAG_LO = "doc_id::VARCHAR || '#' || epoch::VARCHAR || '#low'"
+_MIX_TAG_HI = "doc_id::VARCHAR || '#' || epoch::VARCHAR || '#high'"
+ORACLES["doc_mixture"] = f"""
+    WITH lo AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, 0)) AS epoch
+        FROM documents WHERE CAST(substr(source, 4) AS INT) < 10
+    ), hi AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, 2)) AS epoch
+        FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10
+    )
+    SELECT doc_id, source, 'low' AS mix_source, CAST(epoch AS BIGINT) AS epoch
+    FROM lo WHERE {_frac_of(_MIX_TAG_LO, 42)} < 0.5
+    UNION ALL
+    SELECT doc_id, source, 'high' AS mix_source, CAST(epoch AS BIGINT) AS epoch
+    FROM hi WHERE epoch < 2 OR {_frac_of(_MIX_TAG_HI, 42)} < 0.25
+"""

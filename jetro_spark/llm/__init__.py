@@ -13,10 +13,12 @@ from jetro_spark.llm.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from jetro_spark.llm.chunking import split_by_tokens
 from jetro_spark.llm.packing import pack_by_cumsum, pack_greedy
 from jetro_spark.llm.sampling import (
     hash_sample,
     hash_split,
+    mixture_interleave,
     stratified_hash_sample,
 )
 from jetro_spark.llm.similarity import (
@@ -27,6 +29,8 @@ from jetro_spark.llm.similarity import (
 )
 
 __all__ = [
+    "split_by_tokens",
+    "mixture_interleave",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -90,3 +90,55 @@ def stratified_hash_sample(
     for value, f in sorted(fractions.items()):
         thresh = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(thresh)
     return df.filter(frac < thresh)
+
+
+def mixture_interleave(
+    sources: dict[str, tuple[DataFrame, float]],
+    key: str | Column,
+    *,
+    seed: int = 42,
+    source_col: str = "mix_source",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic corpus mixture with per-source sampling RATES.
+
+    A pretraining mix weights corpora differently — rate 0.3 subsamples
+    a source to 30%, rate 2.5 repeats it twice plus a 50% subsample of a
+    third epoch (small high-quality corpora are commonly repeated).
+    Selection is hash-derived from (key, epoch, source-name, seed): the
+    mix is bit-reproducible across runs/engines/cluster sizes and
+    replayable as SQL, like every sampler in this module.
+
+    Output = union of the tagged survivors (schemas aligned by name,
+    missing columns null), with ``epoch_col`` (0-based repeat index) and
+    ``source_col`` carrying provenance. Row-local only — the epoch
+    fan-out is a generator (no shuffle); at 100 TB each source stays an
+    independent scan with its filter pushed down.
+    """
+    if not sources:
+        raise ValueError("need at least one source")
+    parts = []
+    for name, (df, rate) in sources.items():
+        if rate <= 0:
+            raise ValueError(f"rate for {name!r} must be positive")
+        full = int(rate)
+        frac = rate - full
+        n_epochs = full + (1 if frac > 0 else 0)
+        k = F.col(key) if isinstance(key, str) else key
+        d = df.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
+            .alias(epoch_col))
+        tag = F.concat(k.cast("string"), F.lit("#"),
+                       F.col(epoch_col).cast("string"),
+                       F.lit(f"#{name}"))
+        keep = (F.col(epoch_col) < F.lit(full)) \
+            if frac == 0 else \
+            ((F.col(epoch_col) < F.lit(full))
+             | (hash_fraction(tag, seed) < F.lit(frac)))
+        parts.append(d.filter(keep)
+                     .withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

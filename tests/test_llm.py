@@ -276,3 +276,66 @@ def test_label_centroids(spark):
            SIM.label_centroids(df).collect()}
     assert got[0] == [2.0, 4.0]
     assert got[1] == [10.0, 0.0]
+
+
+def test_split_by_tokens_windows(spark):
+    from jetro_spark.llm.chunking import split_by_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = split_by_tokens(df, "text", id_col="doc_id",
+                          max_tokens=8, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: step 4, stop once the end is covered: [0:8], [4:10]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [8, 6]
+    assert c1[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert c1[1]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    # no chunk made only of already-covered tokens
+    assert len(c1) == 2
+    # doc 2 fits in one window; empty/null docs produce nothing
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_split_by_tokens_no_overlap_covers_everything(spark):
+    from jetro_spark.llm.chunking import split_by_tokens
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 13) % 29)))
+         for i in range(20)], "doc_id long, text string")
+    out = split_by_tokens(df, "text", id_col="doc_id",
+                          max_tokens=7, stride=0)
+    # stride 0: chunks partition the token stream exactly
+    got = (out.groupBy("id").agg(F.sum("n_tokens").alias("n")).collect())
+    want = {r["doc_id"]: 1 + (r["doc_id"] * 13) % 29 for r in df.collect()}
+    assert {r["id"]: r["n"] for r in got} == want
+
+
+def test_mixture_interleave_rates(spark):
+    from jetro_spark.llm.sampling import mixture_interleave
+
+    a = spark.range(0, 4000).select(F.col("id").alias("doc_id"),
+                                    F.lit("A").alias("text"))
+    b = spark.range(0, 4000).select(F.col("id").alias("doc_id"),
+                                    F.lit("B").alias("text"))
+    out = mixture_interleave({"a": (a, 2.5), "b": (b, 0.25)}, "doc_id")
+    counts = {r["mix_source"]: r["n"] for r in
+              out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()}
+    # a: 2 full epochs + ~50% of a third; b: ~25% of one epoch
+    assert 4000 * 2.4 < counts["a"] < 4000 * 2.6
+    assert 4000 * 0.2 < counts["b"] < 4000 * 0.3
+    # determinism: same call, same rows
+    again = mixture_interleave({"a": (a, 2.5), "b": (b, 0.25)}, "doc_id")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # epochs 0 and 1 of `a` are complete
+    by_epoch = {(r["mix_source"], r["epoch"]): r["n"] for r in
+                out.groupBy("mix_source", "epoch")
+                .agg(F.count("*").alias("n")).collect()}
+    assert by_epoch[("a", 0)] == 4000 and by_epoch[("a", 1)] == 4000
