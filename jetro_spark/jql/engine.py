@@ -1149,6 +1149,57 @@ class JetroTables:
                 F.collect_list(F.struct(elem.alias("__j_e"))),
                 lambda s: s["__j_e"])
             return df.agg(F.array_join(arr, sep).alias("value"))
+        if name in ("indices_where", "indices_of", "last_index_of"):
+            # position queries over the pipeline order → one-pass agg of
+            # tagged row numbers (indices_where/_of: sorted index array;
+            # last_index_of: max index, -1 absent — ops/array.rs)
+            if order is None:
+                return None
+            vis = _vis_cols(df)
+            if name != "indices_where" and (len(vis) != 1
+                                            or not self._scalar):
+                return None
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*_order_by(order))
+            if name == "indices_where":
+                ok = pred(args[0].value)
+            else:
+                v = c.compile(args[0].value, env).col
+                ok = F.col(vis[0]) == v
+            self._scalar = True
+            d2 = df.select((F.row_number().over(w) - 1).cast("long")
+                           .alias("__iw_rn"), ok.alias("__iw_ok"))
+            hits = d2.filter(F.col("__iw_ok"))
+            if name == "last_index_of":
+                return hits.agg(F.coalesce(F.max("__iw_rn"), F.lit(-1))
+                                .cast("long").alias("value"))
+            # array result → rows (the fallback's explode convention)
+            return (hits.agg(F.array_sort(F.collect_list("__iw_rn"))
+                             .alias("__v"))
+                    .select(F.explode_outer("__v").alias("value")))
+        if name == "to_json":
+            # whole-pipeline JSON sink: ordered collect + to_json — the
+            # same one-row driver-cliff class as join(sep); use
+            # write_csv/write_parquet for table-scale exports
+            vis = _vis_cols(df)
+            elem = (F.col(vis[0]) if len(vis) == 1 and self._scalar
+                    else F.struct(*[F.col(c2) for c2 in vis]))
+            if order is not None:
+                from pyspark.sql.window import Window
+                w = Window.orderBy(*_order_by(order))
+                tagged = df.select(F.row_number().over(w).alias("__tj_rn"),
+                                   elem.alias("__tj_e"))
+                arr = F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__tj_rn", "__tj_e"))),
+                    lambda s2: s2["__tj_e"])
+            else:
+                tagged = df.select(elem.alias("__tj_e"))
+                arr = F.transform(
+                    F.collect_list(F.struct(F.col("__tj_e"))),
+                    lambda s2: s2["__tj_e"])
+            self._scalar = True
+            return tagged.agg(F.to_json(arr).alias("value"))
         if name == "window":
             # sliding windows of n consecutive rows over the pipeline
             # order (ops/collection.rs window): per-row frame collect,

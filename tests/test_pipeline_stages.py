@@ -296,3 +296,20 @@ def test_flatten_struct_elements_reset_scalar(spark, seq_tables):
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, "mode divergence on struct includes"
+
+
+@pytest.mark.parametrize("expr,want,cols", [
+    # indices over the pipeline order (rows, fallback-explode shape)
+    ("$.s.sort(k).indices_where(v > 4)", [(4,), (5,)], ["value"]),
+    ("$.s.sort(k).map(v).indices_of(1.0)", [(1,), (3,)], ["value"]),
+    ("$.s.sort(k).map(v).last_index_of(1.0)", [(3,)], ["value"]),
+    ("$.s.sort(k).map(v).last_index_of(7.0)", [(-1,)], ["value"]),
+    # to_json sink: ordered whole-pipeline JSON string
+    ("$.s.sort(k).take(2).map({k: k}).to_json()",
+     [('[{"k":0},{"k":1}]',)], ["value"]),
+    ("$.s.sort(-v).take(2).map(v).to_json()", [("[9.0,5.0]",)], ["value"]),
+])
+def test_round5b_native_lowering(spark, seq_tables, expr, want, cols):
+    vals, got_cols = rel(spark, seq_tables, expr)
+    assert vals == want
+    assert got_cols == cols
