@@ -53,6 +53,11 @@ HEADLINE = [
     "histogram",
     "check_constraints",
     "stream_interval_join",
+    # r05 additions: context-length chunking, corpus mixture, composed
+    # end-to-end corpus-prep pipeline
+    "doc_chunks",
+    "doc_mixture",
+    "pipeline_demo",
     # jetro-expression-string queries through the JQL relational compiler
     "jql_filter_map",
     "jql_sort_take",

@@ -69,7 +69,7 @@ _TIER1 = [
     # LLM-pipeline operators
     "dedup_exact", "dedup_lsh", "dedup_cluster", "ann_topk",
     "ann_ivf_trained", "label_centroids", "mm_decode", "text_stats",
-    "quality_filters", "hash_split", "pack_cumsum",
+    "quality_filters", "pipeline_demo", "pack_cumsum",
     # HOFs / streaming / doc-suite
     "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
     "doc_bl_q10",

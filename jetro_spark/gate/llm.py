@@ -689,3 +689,68 @@ ORACLES["doc_mixture"] = f"""
     SELECT doc_id, source, 'high' AS mix_source, CAST(epoch AS BIGINT) AS epoch
     FROM hi WHERE epoch < 2 OR {_frac_of(_MIX_TAG_HI, 42)} < 0.25
 """
+
+
+# --- end-to-end pipeline composition -----------------------------------------
+def q_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep path a real pretraining job runs:
+    quality filter → exact dedup (keep lowest doc_id per normalized
+    text) → context-length chunking → deterministic train/val split →
+    per-split stats. Every stage is one of this repo's operators; the
+    oracle replays the whole chain as SQL CTEs, proving the operators
+    COMPOSE, not just pass in isolation."""
+    from jetro_spark.llm.chunking import split_by_tokens
+    from jetro_spark.llm.dedup import exact_dedup
+    from jetro_spark.llm.sampling import hash_split
+
+    d = _docs(spark, sf_dir).filter(
+        (F.col("n_chars") >= 80) & (F.col("lang").isin("en", "de", "fr")))
+    d = exact_dedup(d, "text", order="doc_id")
+    chunks = split_by_tokens(d, "text", id_col="doc_id",
+                             max_tokens=64, stride=0)
+    split = hash_split(
+        chunks, F.concat(F.col("id").cast("string"), F.lit("#"),
+                         F.col("chunk_id").cast("string")),
+        {"train": 0.9, "val": 0.1}, seed=7)
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.count_distinct("id").alias("n_docs")))
+
+
+QUERIES["pipeline_demo"] = q_pipeline_demo
+
+_PD_FRAC = _frac_of("id::VARCHAR || '#' || chunk_id::VARCHAR", 7)
+ORACLES["pipeline_demo"] = f"""
+    WITH filtered AS (
+        SELECT doc_id, text FROM documents
+        WHERE n_chars >= 80 AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY {_NORM}
+                                      ORDER BY doc_id) AS rn
+            FROM filtered) WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> len(x) > 0) AS t
+        FROM deduped
+    ), s AS (
+        SELECT id, t,
+               unnest(generate_series(
+                   0, greatest(len(t) - 1, 0)
+                      - (greatest(len(t) - 1, 0) % 64), 64)) AS start
+        FROM toks
+    ), chunks AS (
+        SELECT id, CAST(start // 64 AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(t, start + 1, start + 64)) AS BIGINT)
+                   AS n_tokens
+        FROM s WHERE len(list_slice(t, start + 1, start + 64)) >= 1
+    )
+    SELECT CASE WHEN {_PD_FRAC} < 0.9 THEN 'train' ELSE 'val' END AS split,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+    FROM chunks GROUP BY 1
+"""
