@@ -732,9 +732,7 @@ ORACLES["pipeline_demo"] = f"""
                                       ORDER BY doc_id) AS rn
             FROM filtered) WHERE rn = 1
     ), toks AS (
-        SELECT doc_id AS id,
-               list_filter(string_split_regex(trim(text), '\\s+'),
-                           x -> len(x) > 0) AS t
+        SELECT doc_id AS id, {_RAW_TOKS} AS t
         FROM deduped
     ), s AS (
         SELECT id, t,

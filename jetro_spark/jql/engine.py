@@ -175,6 +175,28 @@ def _order_by(order: list) -> list[Column]:
     return [c.desc() if d else c.asc() for c, d in order]
 
 
+def _collected_elems(df: DataFrame, elem: Column, order: list | None):
+    """(tagged_df, array_expr): the pipeline's elements as ONE array,
+    pipeline order preserved via a row_number tag when an order is live.
+    The struct wrapper matters in both branches: bare collect_list drops
+    null elements, doc arrays keep them. Shared by the join/to_json
+    sinks and the doc fallback's collect."""
+    if order is not None:
+        from pyspark.sql.window import Window
+        w = Window.orderBy(*_order_by(order))
+        tagged = df.select(F.row_number().over(w).alias("__oc_rn"),
+                           elem.alias("__oc_e"))
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("__oc_rn", "__oc_e"))),
+            lambda s: s["__oc_e"])
+    else:
+        tagged = df
+        arr = F.transform(
+            F.collect_list(F.struct(elem.alias("__oc_e"))),
+            lambda s: s["__oc_e"])
+    return tagged, arr
+
+
 def _analyzed_select(df: DataFrame, col: Column) -> DataFrame:
     """select() with analyzer failures surfaced as CompileError.
 
@@ -1135,20 +1157,8 @@ class JetroTables:
                 return None
             self._scalar = True
             sep = _lit_str(args[0].value) if args else ""
-            elem = F.col(vis[0])
-            if order is not None:
-                from pyspark.sql.window import Window
-                w = Window.orderBy(*_order_by(order))
-                tagged = df.select(F.row_number().over(w).alias("__j_rn"),
-                                   elem.alias("__j_e"))
-                arr = F.transform(
-                    F.array_sort(F.collect_list(F.struct("__j_rn", "__j_e"))),
-                    lambda s: s["__j_e"])
-                return tagged.agg(F.array_join(arr, sep).alias("value"))
-            arr = F.transform(
-                F.collect_list(F.struct(elem.alias("__j_e"))),
-                lambda s: s["__j_e"])
-            return df.agg(F.array_join(arr, sep).alias("value"))
+            tagged, arr = _collected_elems(df, F.col(vis[0]), order)
+            return tagged.agg(F.array_join(arr, sep).alias("value"))
         if name in ("indices_where", "indices_of", "last_index_of"):
             # position queries over the pipeline order → one-pass agg of
             # tagged row numbers (indices_where/_of: sorted index array;
@@ -1165,7 +1175,8 @@ class JetroTables:
                 ok = pred(args[0].value)
             else:
                 v = c.compile(args[0].value, env).col
-                ok = F.col(vis[0]) == v
+                # eqNullSafe: doc-mode AR.indices_of finds null values
+                ok = F.col(vis[0]).eqNullSafe(v)
             self._scalar = True
             d2 = df.select((F.row_number().over(w) - 1).cast("long")
                            .alias("__iw_rn"), ok.alias("__iw_ok"))
@@ -1184,20 +1195,7 @@ class JetroTables:
             vis = _vis_cols(df)
             elem = (F.col(vis[0]) if len(vis) == 1 and self._scalar
                     else F.struct(*[F.col(c2) for c2 in vis]))
-            if order is not None:
-                from pyspark.sql.window import Window
-                w = Window.orderBy(*_order_by(order))
-                tagged = df.select(F.row_number().over(w).alias("__tj_rn"),
-                                   elem.alias("__tj_e"))
-                arr = F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct("__tj_rn", "__tj_e"))),
-                    lambda s2: s2["__tj_e"])
-            else:
-                tagged = df.select(elem.alias("__tj_e"))
-                arr = F.transform(
-                    F.collect_list(F.struct(F.col("__tj_e"))),
-                    lambda s2: s2["__tj_e"])
+            tagged, arr = _collected_elems(df, elem, order)
             self._scalar = True
             return tagged.agg(F.to_json(arr).alias("value"))
         if name == "window":
@@ -1501,22 +1499,8 @@ class JetroTables:
             elem = F.struct(*[F.col(c) for c in vis])
             elem_dt = T.StructType(
                 [f for f in df.schema.fields if f.name in vis])
-        if order:
-            from pyspark.sql.window import Window
-            w = Window.orderBy(*_order_by(order))
-            tagged = df.select(F.row_number().over(w).alias("__fb_rn"),
-                               elem.alias("__fb_e"))
-            arr = F.transform(
-                F.array_sort(F.collect_list(F.struct("__fb_rn", "__fb_e"))),
-                lambda s: s["__fb_e"])
-            arr_df = tagged.agg(arr.alias("__arr"))
-        else:
-            # struct wrapper: collect_list drops bare nulls, doc arrays
-            # keep them ([1, null, 2].compact() must see the null)
-            arr = F.transform(
-                F.collect_list(F.struct(elem.alias("__fb_e"))),
-                lambda s: s["__fb_e"])
-            arr_df = df.agg(arr.alias("__arr"))
+        tagged, arr = _collected_elems(df, elem, order or None)
+        arr_df = tagged.agg(arr.alias("__arr"))
         tc = TC(F.col("__arr"), T.ArrayType(elem_dt))
         # table-arg builtins inside the collapsed pipeline (zip($.u),
         # append($.u.map(x)), ...) need `$` bound: collect each

@@ -5,8 +5,8 @@ corpus and sequence packing (llm/packing.py) in a pretraining pipeline.
 Everything is a row-local expression (tokenize → window starts →
 slice → rejoin): no shuffle, no UDF, predicate-pushdown friendly, and
 exactly replayable in any engine with regex splitting and list slicing
-(the DuckDB oracle does `regexp_extract_all` + `list_slice` +
-`array_to_string`).
+(the DuckDB oracle does `string_split_regex` + `list_filter` +
+`list_slice` + `array_to_string`).
 
 Design notes:
 - Chunks are windows over the TOKEN sequence; the chunk text is the

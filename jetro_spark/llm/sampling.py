@@ -117,6 +117,12 @@ def mixture_interleave(
     """
     if not sources:
         raise ValueError("need at least one source")
+    for name, (df, _r) in sources.items():
+        clash = {epoch_col, source_col} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"source {name!r} already has column(s) {sorted(clash)} — "
+                "pass different epoch_col/source_col names")
     parts = []
     for name, (df, rate) in sources.items():
         if rate <= 0:

@@ -339,3 +339,12 @@ def test_mixture_interleave_rates(spark):
                 out.groupBy("mix_source", "epoch")
                 .agg(F.count("*").alias("n")).collect()}
     assert by_epoch[("a", 0)] == 4000 and by_epoch[("a", 1)] == 4000
+
+
+def test_mixture_interleave_rejects_column_clash(spark):
+    from jetro_spark.llm.sampling import mixture_interleave
+
+    d = spark.range(3).select(F.col("id").alias("doc_id"),
+                              F.lit(0).alias("epoch"))
+    with pytest.raises(ValueError, match="epoch"):
+        mixture_interleave({"a": (d, 1.0)}, "doc_id")

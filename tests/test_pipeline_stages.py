@@ -313,3 +313,16 @@ def test_round5b_native_lowering(spark, seq_tables, expr, want, cols):
     vals, got_cols = rel(spark, seq_tables, expr)
     assert vals == want
     assert got_cols == cols
+
+
+def test_indices_of_null_matches_doc_mode(spark):
+    """eqNullSafe: doc-mode indices_of finds null values; the relational
+    lowering must agree (review regression)."""
+    df = spark.createDataFrame([(0, 1.0), (1, None), (2, 1.0)],
+                               "k long, v double")
+    jt = JetroTables(spark, {"s": df})
+    doc = Jetro.from_value(spark, {"s": [
+        {"k": 0, "v": 1.0}, {"k": 1, "v": None}, {"k": 2, "v": 1.0}]})
+    assert doc.collect("$.s.sort(k).map(v).last_index_of(1.0)") == 2
+    got = jt.query("$.s.sort(k).map(v).last_index_of(1.0)").collect()
+    assert got[0]["value"] == 2
