@@ -58,6 +58,9 @@ HEADLINE = [
     "doc_chunks",
     "doc_mixture",
     "pipeline_demo",
+    # multi-document engine: one compiled plan over a whole DataFrame of
+    # JSON documents (the JetroEngine-at-scale story)
+    "jql_docs",
     # jetro-expression-string queries through the JQL relational compiler
     "jql_filter_map",
     "jql_sort_take",

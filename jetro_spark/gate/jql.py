@@ -41,6 +41,23 @@ def q_jql_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("value.*")
 
 
+def q_jql_docs_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide immutable patch (§2.11 at table scale): ONE compiled
+    patch program applied to every document in parallel — guarded field
+    add + in-place modify, the JetroEngine chain-write story without a
+    per-doc driver loop."""
+    o = load_tables(spark, sf_dir, register=False)["orders"]
+    js = o.select(F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"))).alias("js"))
+    jd = JetroDocs.from_json_strings(spark, js, "js")
+    out = jd.frame(
+        "patch $ {flagged: $.total > 300000.0, total: $.total / 100.0}")
+    return out.select("value.*").select(
+        "id", F.round("total", 4).alias("total"), "status", "flagged")
+
+
 def q_jql_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-mode pivot/implode/explode builtins (ops/array.rs:550-618,
     ops/collection.rs:497-553) over per-order documents: pivot is
@@ -181,6 +198,7 @@ QUERIES = {
         " if o.o_custkey == c.c_custkey and o.o_totalprice > 400000]"),
     # multi-document engine: per-row documents, one compiled plan
     "jql_docs": q_jql_docs,
+    "jql_docs_patch": q_jql_docs_patch,
     # relational let: table-rooted binding = named sub-plan; scalar
     # binding folds into row scopes
     "jql_let": _q(
@@ -372,6 +390,13 @@ ORACLES = {
     "jql_let": """
         SELECT o_orderkey AS okey, o_totalprice AS tot
         FROM orders WHERE o_totalprice > 200000
+    """,
+    "jql_docs_patch": """
+        SELECT o_orderkey AS id,
+               round(o_totalprice / 100.0, 4) AS total,
+               o_orderstatus AS status,
+               o_totalprice > 300000.0 AS flagged
+        FROM orders
     """,
     "jql_docs": """
         SELECT o_orderkey AS id, lower(o_orderstatus) AS flag,

@@ -54,6 +54,16 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "l_shipdate"])
 
 
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile mode: approx_count_distinct per column (one
+    pass, no expand). No exact SQL replica exists for the HLL estimate —
+    verified by the tolerance oracle (gate/tolerance.py: each column's
+    estimate within 5% of DuckDB's exact distinct, other stats exact)."""
+    return profile_table(_li(spark, sf_dir),
+                         ["l_orderkey", "l_quantity", "l_returnflag",
+                          "l_shipdate"], approx=True)
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, register=False)["orders"]
     return key_skew(o, "o_orderpriority", top=5).select(
@@ -96,6 +106,7 @@ QUERIES = {
     "group_quantiles_spread": q_group_quantiles_spread,
     "histogram": q_histogram,
     "profile_table": q_profile_table,
+    "profile_approx": q_profile_approx,
     "key_skew": q_key_skew,
     "sessionize": q_sessionize,
     "check_constraints": q_check_constraints,

@@ -64,6 +64,23 @@ def _check_hll(spark, con, sf_dir, srows, scols):
     return None
 
 
+def _check_profile_approx(spark, con, sf_dir, srows, scols):
+    """profile_table(approx=True): every column's HLL distinct within 5%
+    of DuckDB's exact distinct; all other stats must match exactly."""
+    for r in srows:
+        col = r["column"]
+        exact_n, exact_null, exact_distinct = con.sql(
+            f"SELECT count({col}), count(*) - count({col}), "
+            f"count(DISTINCT {col}) FROM lineitem").fetchall()[0]
+        if r["n"] != exact_n + exact_null or r["n_null"] != exact_null:
+            return f"{col}: count/null mismatch {r['n']}/{r['n_null']}"
+        rel = abs(r["n_distinct"] - exact_distinct) / max(exact_distinct, 1)
+        if rel > 0.05:
+            return (f"{col}: approx distinct {r['n_distinct']} vs exact "
+                    f"{exact_distinct}: relative error {rel:.4f} > 0.05")
+    return None
+
+
 def _check_ivf_recall(spark, con, sf_dir, srows, scols):
     truth = {(r[0], r[1]) for r in con.sql(_EXACT_TOP10).fetchall()}
     got = {(r["qid"], r["nid"]) for r in srows}
@@ -102,6 +119,8 @@ def _check_simhash_complete(spark, con, sf_dir, srows, scols, cap=200):
 TOLERANCE = {
     "approx_count_distinct": ("HLL within 5% of exact distinct",
                               _check_hll),
+    "profile_approx": ("per-column HLL distinct within 5% of exact",
+                       _check_profile_approx),
     "ann_ivf_trained": ("recall@10 >= 0.9 vs exact cosine top-10",
                         _check_ivf_recall),
     "simhash_pairs": ("band completeness == exhaustive Hamming on slice",

@@ -161,14 +161,19 @@ def profile_table(
     cols: list[str] | None = None,
     *,
     approx: bool = False,
+    rsd: float = 0.01,
 ) -> DataFrame:
     """Long-format per-column profile: (column, n, n_null, n_distinct,
     min_str, max_str). min/max are stringified so heterogeneous column
     types fit one output schema (profile output is for humans/monitors,
     not further math). ``approx=True`` swaps exact distinct for
-    approx_count_distinct — the 100 TB mode (no expand, one pass)."""
+    approx_count_distinct — the 100 TB mode (no expand, one pass).
+    ``rsd`` is the HLL relative standard deviation (default 1%, tighter
+    than Spark's 5% default: a profile job runs once, the extra sketch
+    memory is irrelevant next to a mis-read distinct count)."""
     cols = cols or df.columns
-    distinct = (F.approx_count_distinct if approx else F.countDistinct)
+    distinct = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
+                else F.countDistinct)
     profiles = []
     for c in cols:
         col = F.col(c)

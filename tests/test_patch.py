@@ -323,3 +323,21 @@ def test_chain_dynamic_index_set(J):
 def test_patch_dynamic_index(J):
     assert J({"xs": [10, 20, 30], "i": 1}, "patch $ { xs[$.i]: 77 }") == \
         {"xs": [10, 77, 30], "i": 1}
+
+
+def test_patch_over_jetro_docs_corpus(spark):
+    """One compiled patch program over a DataFrame of documents —
+    guarded add, modify, and DELETE per document, in parallel."""
+    from pyspark.sql import functions as F
+    from jetro_spark.jql.engine import JetroDocs
+
+    js = spark.createDataFrame(
+        [(f'{{"id": {i}, "total": {i * 100}.0, "tmp": "x"}}',)
+         for i in range(1, 6)], "js string")
+    jd = JetroDocs.from_json_strings(spark, js, "js")
+    out = jd.frame(
+        'patch $ {big: $.total >= 300.0, total: $.total * 2.0, tmp: DELETE}')
+    rows = sorted(out.select("value.*").collect(), key=lambda r: r["id"])
+    assert "tmp" not in rows[0].__fields__
+    assert [r["total"] for r in rows] == [200.0, 400.0, 600.0, 800.0, 1000.0]
+    assert [r["big"] for r in rows] == [False, False, True, True, True]
