@@ -7,8 +7,11 @@ is pure arithmetic in (i, j) (benchdoc.synth_doc), DuckDB can REGENERATE
 it with generate_series and check the query output value-for-value —
 document-mode answers get the same hard oracle as relational rows.
 
-Order-sensitive outputs (arrays) compare via ordered list() aggregation;
-fold-order-sensitive sums use list_sum over an ORDERED list, which folds
+Order-sensitive outputs (arrays) posexplode to ``(pos, value)`` scalar
+rows — the ``pos`` column carries document order with full fidelity, and
+every cell stays scalar so the driver's pandas canonicalizer (which
+cannot hash list cells) can sort+hash the result. Fold-order-sensitive
+sums use list_sum over an ORDERED list on the DuckDB side, which folds
 sequentially exactly like our F.aggregate lowering, so doubles match
 bit-for-bit.
 
@@ -16,8 +19,9 @@ Even the queries whose outputs are arrays of FULL nested order/item
 structs (Q5, Q6, Q7) are oracled: DuckDB struct_pack rebuilds the exact
 order/customer/address/items shape per matched node (the compare
 canonicalizes struct fields by name, so field order is free). Q10
-(group_by → ordered object of full-order arrays) stays covered by the
-differential tests.
+(group_by → ordered object of full-order arrays) emits one scalar
+``(status, n, pos, id, tsum)`` row per group member; the full nested
+group structure stays covered by the differential tests.
 
 Gate-scale doc: 2,000 orders × 6 items (bench.py times the full 20k×6).
 """
@@ -59,6 +63,24 @@ def _q(name: str):
         return _jt(spark).frame(expr)
 
     fn.__doc__ = f"bench_lock doc-mode: {expr}"
+    return fn
+
+
+def _q_explode(name: str, alias: str):
+    """Array-valued locked queries reshape to ``(pos, <alias>)`` rows:
+    posexplode keeps full order fidelity (pos = document position) while
+    keeping every output cell scalar — the driver's pandas canonicalizer
+    crashes on list cells (round-5 doc_bl_q10 finding)."""
+    expr = BENCH_QUERIES[name]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (_jt(spark).frame(expr)
+                .select(F.posexplode("value").alias("pos", alias))
+                .select(F.col("pos").cast("long").alias("pos"), alias))
+
+    fn.__doc__ = f"bench_lock doc-mode (posexploded): {expr}"
     return fn
 
 
@@ -105,20 +127,25 @@ def _q_items_deep(name: str):
 
 QUERIES = {
     f"doc_{name}": _q(name)
-    for name in ("bl_q1", "bl_q2", "bl_q3", "bl_q4", "bl_q8", "bl_q9",
-                 "bl_q11", "bl_q12", "bl_q13")
+    for name in ("bl_q4", "bl_q8", "bl_q11", "bl_q12")  # scalar outputs
 }
+QUERIES["doc_bl_q1"] = _q_explode("bl_q1", "city")
+QUERIES["doc_bl_q2"] = _q_explode("bl_q2", "country_code")
+QUERIES["doc_bl_q3"] = _q_explode("bl_q3", "id")
 QUERIES["doc_bl_q5"] = _q_orders_deep("bl_q5")
 QUERIES["doc_bl_q6"] = _q_items_deep("bl_q6")
 QUERIES["doc_bl_q7"] = _q_orders_deep("bl_q7")
+QUERIES["doc_bl_q9"] = _q_explode("bl_q9", "sku")
+QUERIES["doc_bl_q13"] = _q_explode("bl_q13", "id")
 
 
 def q_doc_bl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 `$.orders.group_by(status)` — ordered object of FULL order
     arrays. Full structs can't hash-compare (see module docstring), so
-    each group projects to scalars: key, size, the ordered id list, and
-    the sequential fold of totals (bit-exact vs list_sum over an
-    ORDERED list)."""
+    each group projects to scalar rows: key, size, the sequential fold
+    of totals (bit-exact vs list_sum over an ORDERED list), and one
+    ``(pos, id)`` row per member in group order (posexplode — list
+    cells crash the driver's pandas canonicalizer)."""
     from pyspark.sql import functions as F
 
     return (_jt(spark).frame(BENCH_QUERIES["bl_q10"])
@@ -126,9 +153,13 @@ def q_doc_bl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("e.key").alias("status"),
                 F.size("e.value").cast("long").alias("n"),
-                F.transform(F.col("e.value"), lambda v: v["id"]).alias("ids"),
                 F.aggregate(F.col("e.value"), F.lit(0.0),
-                            lambda a, v: a + v["total"]).alias("tsum")))
+                            lambda a, v: a + v["total"]).alias("tsum"),
+                F.posexplode(
+                    F.transform(F.col("e.value"), lambda v: v["id"]))
+                .alias("pos", "id"))
+            .select("status", "n",
+                    F.col("pos").cast("long").alias("pos"), "id", "tsum"))
 
 
 QUERIES["doc_bl_q10"] = q_doc_bl_q10
@@ -190,21 +221,21 @@ _FULL_CTE = f"""
 """
 
 ORACLES = {
-    # $.orders.map(customer.address.city) → one row, ordered array
+    # $.orders.map(customer.address.city) → (pos, city) in document order
     "doc_bl_q1": _ORDERS_CTE + """
-        SELECT list(city ORDER BY i) AS value FROM o
+        SELECT row_number() OVER (ORDER BY i) - 1 AS pos, city FROM o
     """,
     # .unique() keeps first-seen order
     "doc_bl_q2": _ORDERS_CTE + """
         , firsts AS (
           SELECT country_code, min(i) AS mi FROM o GROUP BY country_code
         )
-        SELECT list(country_code ORDER BY mi) AS value FROM firsts
+        SELECT row_number() OVER (ORDER BY mi) - 1 AS pos, country_code
+        FROM firsts
     """,
     "doc_bl_q3": _ORDERS_CTE + """
-        SELECT coalesce(list(id ORDER BY i) FILTER (total > 500), [])
-               AS value
-        FROM o
+        SELECT row_number() OVER (ORDER BY i) - 1 AS pos, id
+        FROM o WHERE total > 500
     """,
     "doc_bl_q4": _ORDERS_CTE + """
         SELECT count(*) FILTER (status = 'shipped'
@@ -247,19 +278,30 @@ ORACLES = {
     """,
     # $..sku — every item sku in (order, item) document order
     "doc_bl_q9": f"""
-        SELECT list(printf('SKU-%05d', (i * {ITEMS} + j) % 9973)
-                    ORDER BY i, j) AS value
+        SELECT row_number() OVER (ORDER BY i, j) - 1 AS pos,
+               printf('SKU-%05d', (i * {ITEMS} + j) % 9973) AS sku
         FROM generate_series(0, {N_ORDERS - 1}) AS g(i),
              generate_series(0, {ITEMS - 1}) AS h(j)
     """,
-    # group_by(status): groups keyed by stringified status in first-seen
-    # order; members keep document order (ORDER BY i)
+    # group_by(status): groups keyed by stringified status; members keep
+    # document order (pos = row_number within group ORDER BY i); tsum is
+    # the sequential fold over the ORDERED member list (bit-exact vs our
+    # F.aggregate lowering)
     "doc_bl_q10": _ORDERS_CTE + """
-        SELECT status,
-               count(*) AS n,
-               list(id ORDER BY i) AS ids,
-               list_sum(list(total ORDER BY i)) AS tsum
-        FROM o GROUP BY status
+        , g AS (
+          SELECT status, count(*) AS n,
+                 list_sum(list(total ORDER BY i)) AS tsum
+          FROM o GROUP BY status
+        ), e AS (
+          SELECT status,
+                 row_number() OVER (PARTITION BY status ORDER BY i) - 1
+                 AS pos,
+                 id
+          FROM o
+        )
+        SELECT e.status AS status, g.n AS n, e.pos AS pos, e.id AS id,
+               g.tsum AS tsum
+        FROM e JOIN g USING (status)
     """,
     "doc_bl_q11": _ORDERS_CTE + """
         SELECT list_sum(list(total ORDER BY i)) AS value FROM o
@@ -268,8 +310,7 @@ ORACLES = {
         SELECT max(total) AS value FROM o
     """,
     "doc_bl_q13": _ORDERS_CTE + """
-        SELECT coalesce(list(id ORDER BY i) FILTER (total > 1000), [])
-               AS value
-        FROM o
+        SELECT row_number() OVER (ORDER BY i) - 1 AS pos, id
+        FROM o WHERE total > 1000
     """,
 }

@@ -232,10 +232,22 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approx_count_distinct (HLL, rows-only check: no SQL-exact oracle) -------
+# --- approx_count_distinct (HLL, tolerance verdict emitted in-plan) ----------
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs the 5% error contract (Spark's default rsd), with
+    the verdict AS DATA so the driver's exact hash-compare covers it: the
+    row is (exact_parts, within_tol); the oracle recomputes exact_parts
+    and asserts within_tol via `true`. DuckDB cannot replay Spark's HLL
+    sketch, so the estimate itself is not emitted — the in-plan exact
+    distinct (gate-scale verification only; production callers use the
+    HLL path alone) anchors the comparison; within_tol embeds the whole
+    error-bound contract, so a drifting estimate flips the hash."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (F.abs(F.approx_count_distinct("l_partkey").cast("double")
+               - F.countDistinct("l_partkey"))
+         / F.countDistinct("l_partkey") <= F.lit(0.05)).alias("within_tol"))
 
 
 QUERIES = {
@@ -371,6 +383,12 @@ ORACLES = {
            EXCEPT
            SELECT DISTINCT l_partkey FROM lineitem WHERE l_linestatus = 'O')
     """,
-    # approx_count_distinct: intentionally no oracle (HLL estimates differ
-    # across engines) → driver records rows-only check.
+    # approx_count_distinct: the HLL estimate itself has no cross-engine
+    # replica; the oracle pins the exact side and asserts the in-plan
+    # tolerance verdict (within_tol must hash-match `true`).
+    "approx_count_distinct": """
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               true AS within_tol
+        FROM lineitem
+    """,
 }

@@ -1,14 +1,12 @@
 """Tolerance oracles for gate rows with no EXACT SQL counterpart.
 
-Three rows cannot be value-hash-compared against DuckDB:
+Two rows cannot be value-hash-compared against DuckDB:
 
-- ``approx_count_distinct`` — Spark's HLL estimate has no DuckDB
-  replica. The verifiable contract is the HLL error bound: the estimate
-  must sit within 5% of DuckDB's EXACT distinct count (Spark's default
-  rsd is 5%; observed error on this data is far smaller).
-- ``ann_ivf_trained`` — k-means training cannot be replayed in SQL. The
-  verifiable contract is retrieval quality: recall@10 against DuckDB's
-  exact cosine top-10 must be >= 0.9 (the production ANN bar).
+- ``profile_approx`` — per-column HLL distinct counts have no DuckDB
+  replica. The verifiable contract is the HLL error bound: every
+  estimate within 5% of DuckDB's EXACT distinct count (Spark's default
+  rsd is 5%; observed error on this data is far smaller), all other
+  stats exact.
 - ``simhash_pairs`` — signatures build on Spark's Murmur3 ``hash``,
   which DuckDB cannot reproduce, so there is no cross-engine leg at all.
   The verifiable contract is band COMPLETENESS: with 4 bands of 8 bits
@@ -17,6 +15,13 @@ Three rows cannot be value-hash-compared against DuckDB:
   banded candidates must equal an exhaustive all-pairs Hamming scan
   EXACTLY (recall 1.0). Signature semantics themselves are covered by
   the python-replay test (tests/test_llm.py::test_simhash_pairs).
+
+(``approx_count_distinct`` and ``ann_ivf_trained`` graduated from this
+module in round 6: their tolerance verdicts are now computed IN-PLAN and
+emitted as hashable ``within_tol`` rows with exact-side anchors, so the
+driver's standard hash-compare covers them — see the gate row
+docstrings. The recall contract additionally has a pytest leg,
+tests/test_llm.py::test_train_centroids_deterministic_and_recall.)
 
 Used by scripts/check_oracle.py: rows listed here are VERIFIED (pass
 with a tolerance note) rather than rows-only. The driver's own gate
@@ -30,39 +35,6 @@ None`` (None = pass, str = failure description).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-
-_EXACT_TOP10 = """
-    WITH pairs AS (
-      SELECT q.vec_id AS qid, c.vec_id AS nid,
-             list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
-                       for i in generate_series(1, len(q.embedding))])
-             / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
-                               for i in generate_series(1, len(q.embedding))]))
-                * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
-                                 for i in generate_series(1, len(c.embedding))])))
-             AS score
-      FROM embeddings q, embeddings c
-      WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
-    ), ranked AS (
-      SELECT qid, nid,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY score DESC, nid ASC) AS rank
-      FROM pairs
-    )
-    SELECT qid, nid FROM ranked WHERE rank <= 10
-"""
-
-
-def _check_hll(spark, con, sf_dir, srows, scols):
-    exact = con.sql(
-        "SELECT count(DISTINCT l_partkey) FROM lineitem").fetchall()[0][0]
-    approx = srows[0]["approx_parts"]
-    rel_err = abs(approx - exact) / exact
-    if rel_err > 0.05:
-        return (f"HLL estimate {approx} vs exact {exact}: "
-                f"relative error {rel_err:.4f} > 0.05")
-    return None
-
 
 def _check_profile_approx(spark, con, sf_dir, srows, scols):
     """profile_table(approx=True): every column's HLL distinct within 5%
@@ -78,15 +50,6 @@ def _check_profile_approx(spark, con, sf_dir, srows, scols):
         if rel > 0.05:
             return (f"{col}: approx distinct {r['n_distinct']} vs exact "
                     f"{exact_distinct}: relative error {rel:.4f} > 0.05")
-    return None
-
-
-def _check_ivf_recall(spark, con, sf_dir, srows, scols):
-    truth = {(r[0], r[1]) for r in con.sql(_EXACT_TOP10).fetchall()}
-    got = {(r["qid"], r["nid"]) for r in srows}
-    recall = len(got & truth) / len(truth)
-    if recall < 0.9:
-        return f"recall@10 {recall:.3f} < 0.9 ({len(truth)} truth pairs)"
     return None
 
 
@@ -117,12 +80,8 @@ def _check_simhash_complete(spark, con, sf_dir, srows, scols, cap=200):
 
 
 TOLERANCE = {
-    "approx_count_distinct": ("HLL within 5% of exact distinct",
-                              _check_hll),
     "profile_approx": ("per-column HLL distinct within 5% of exact",
                        _check_profile_approx),
-    "ann_ivf_trained": ("recall@10 >= 0.9 vs exact cosine top-10",
-                        _check_ivf_recall),
     "simhash_pairs": ("band completeness == exhaustive Hamming on slice",
                       _check_simhash_complete),
 }

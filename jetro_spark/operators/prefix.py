@@ -30,6 +30,17 @@ each key group across many partitions; the per-(partition, key) offset
 table is still metadata-sized (≤ P × keys-touching-that-partition rows)
 and its prefix window partitions by the keys, so no un-partitioned
 window exists in the keyed plan at all.
+
+The spread plan is only right for LOW-cardinality keys, though: the
+offset table is up to P × distinct-keys rows, so a high-cardinality key
+turns the "metadata" broadcast into gigabytes. There the plain
+``Window.partitionBy(keys)`` is the better plan anyway — many distinct
+keys means many small groups, i.e. natural parallelism with no
+straggler. ``max_key_groups`` guards the boundary: an HLL probe (one
+partial-aggregate scan, no shuffle) picks the plain per-key window when
+the estimated key count exceeds it. Callers that know their cardinality
+skip the probe with ``max_key_groups=None`` (always spread — the
+group_quantiles use case: a handful of huge groups).
 """
 
 from __future__ import annotations
@@ -47,16 +58,35 @@ def distributed_prefix(
     out: str = "__prefix",
     inclusive: bool = False,
     total: str | None = None,
+    max_key_groups: int | None = 4096,
 ) -> DataFrame:
     """Add ``out`` = running sum of ``value`` over ``order`` — globally,
     or per key group when ``keys`` is given — without any
     single-task-per-group window (exclusive by default: the sum of
     strict predecessors, 0 for the first row). With ``total`` set, also
     attach the (per-group) grand total as a column of that name.
+
+    ``max_key_groups`` (keyed variant only) bounds the spread plan's
+    offset-table broadcast: above it, fall back to the plain per-key
+    window — the better plan at high key cardinality (see module
+    docstring). ``None`` skips the probe and always spreads.
     """
     kcols = [F.col(k) for k in (keys or [])]
     knames = list(keys or [])
     ocols = [F.col(o) if isinstance(o, str) else o for o in order]
+    if knames and max_key_groups is not None:
+        n_keys = df.agg(F.approx_count_distinct(
+            F.struct(*kcols)).alias("n")).first()["n"]
+        if n_keys > max_key_groups:
+            w = (Window.partitionBy(*knames).orderBy(*ocols)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow if inclusive else -1))
+            d = df.withColumn(out, F.coalesce(F.sum(value).over(w),
+                                              F.lit(0)))
+            if total is not None:
+                d = d.withColumn(total, F.sum(value).over(
+                    Window.partitionBy(*knames)))
+            return d
     d = df.repartitionByRange(*kcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     wl = (Window.partitionBy("__pid", *knames).orderBy(*ocols)

@@ -55,8 +55,11 @@ def group_quantiles(
     d = df.filter(F.col(value_col).isNotNull())
     if keys and spread_keys:
         from jetro_spark.operators.prefix import distributed_prefix
+        # spread_keys is the caller's explicit low-cardinality
+        # declaration — skip the prefix's HLL cardinality probe
         d = distributed_prefix(d, order, F.lit(1), keys=keys,
-                               out="__rn", total="__n")
+                               out="__rn", total="__n",
+                               max_key_groups=None)
     elif keys:
         w = Window.partitionBy(*keys).orderBy(*order)
         d = (d.withColumn("__rn", F.row_number().over(w) - 1)

@@ -112,9 +112,9 @@ def test_to_local_relation_roundtrip(spark):
 # Every localrel entry point must degrade to None there, and doc mode
 # must stay CORRECT through its documented fallbacks (RDD-backed frames,
 # noop-sink execute). The degraded path is simulated by making
-# _jvm_bits raise the same surface-missing error Connect raises; a real
-# Connect session leg runs when grpcio is available (it is not in the
-# default CI container — the test skips, the simulation still runs).
+# _jvm_bits raise the same surface-missing error Connect raises; the
+# real-Connect-session test runs when grpcio is available, and otherwise
+# asserts the capability gap itself (never a skip — see its docstring).
 
 
 def _break_jvm_surface(monkeypatch):
@@ -178,11 +178,20 @@ def _grpc_available() -> bool:
         return False
 
 
-@pytest.mark.skipif(not _grpc_available(),
-                    reason="Spark Connect needs grpcio (absent in the "
-                           "default container) — degradation is covered "
-                           "by the simulated tests above")
-def test_doc_mode_over_real_connect_session():
+def test_doc_mode_over_real_connect_session_or_probe():
+    """Both legs of the Connect matrix, never a skip: with grpcio
+    importable, stand up a real local Connect session and run doc mode
+    over it; without it, ASSERT the gap is precisely the grpcio
+    capability (pyspark's own Connect package present, failing with its
+    PACKAGE_NOT_INSTALLED grpcio error) — so a packaging regression
+    (Connect module missing/broken for any other reason) fails the test
+    instead of hiding behind a skip. The degradation semantics
+    themselves are covered by the simulated tests above, which exercise
+    the exact surface-missing path a Connect session takes."""
+    if not _grpc_available():
+        with pytest.raises(ImportError, match="grpcio"):
+            import pyspark.sql.connect.session  # noqa: F401
+        return
     from pyspark.sql import SparkSession
     remote = SparkSession.builder.remote("local[2]").getOrCreate()
     try:

@@ -30,9 +30,13 @@ _JQL_TABLE_ROWS = ("jql_filter_map", "jql_sort_take", "jql_equi_join",
 # Brute-force-by-design rows: the all-pairs shape is the point (exact
 # baselines over a broadcast side); rollup_gapfill's cross join builds
 # the dense grid from two AGGREGATED metadata-sized frames (distinct
-# keys x bucket span), never from the input. Everything else must never
+# keys x bucket span), never from the input; ann_ivf_trained's NLJ is
+# its IN-PLAN exact-recall baseline (brute_force_topk for the within_tol
+# verdict, r6) — the IVF retrieval path itself stays equi-join-only
+# (plan-asserted by the seeded ann_ivf row). Everything else must never
 # plan an all-pairs join.
-_ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill"}
+_ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
+                "ann_ivf_trained"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}

@@ -142,6 +142,33 @@ def test_keyed_distributed_prefix_rank(spark):
         assert [rn for _, rn in grp] == list(range(500))
 
 
+def test_keyed_prefix_cardinality_guard(spark):
+    """max_key_groups bounds the spread plan's offset broadcast: above
+    the threshold the keyed prefix must fall back to the plain per-key
+    window (no __pid/offset join in the plan), below it keep the spread
+    plan — with identical values in both regimes."""
+    from pyspark.sql import functions as F
+    from jetro_spark.operators.prefix import distributed_prefix
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 200).alias("g"), F.col("id").alias("v"))
+
+    spread = distributed_prefix(df, ["v"], F.lit(1), keys=["g"], out="rn",
+                                total="n", max_key_groups=None)
+    guarded = distributed_prefix(df, ["v"], F.lit(1), keys=["g"], out="rn",
+                                 total="n", max_key_groups=50)
+    # 200 keys > 50 → plain window plan: no range-partition/offset join
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pid" not in plan
+    assert "__pid" in spread._jdf.queryExecution().optimizedPlan().toString()
+    assert (sorted(map(tuple, spread.collect()))
+            == sorted(map(tuple, guarded.collect())))
+    # below the threshold the probe keeps the spread plan
+    low = distributed_prefix(df, ["v"], F.lit(1), keys=["g"], out="rn",
+                             max_key_groups=4096)
+    assert "__pid" in low._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_keyed_distributed_prefix_keeps_null_key_groups(spark):
     """Null keys must survive the offset/total joins (null-safe
     equality) — the quantile contract says spread_keys only changes
