@@ -52,24 +52,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts", "value")
-    # asof_join's determinism contract requires right rows unique per
-    # (on, time): with duplicate (user_id, ts) both Spark's window pick
-    # and DuckDB's native ASOF pick are arbitrary and may disagree.
-    # Enforce it here with a deterministic rule (min event_id wins, its
-    # payload via min_by) so the oracle comparison can never become
-    # tie-dependent on a future testdata generation.
+    # asof_join's determinism contract: with duplicate (user_id, ts)
+    # both a bare window pick and DuckDB's native ASOF pick are
+    # arbitrary and may disagree. right_tiebreak="event_id" resolves
+    # ties to the min event_id INSIDE the window sort (one extra sort
+    # key — no pre-aggregation shuffle, which is what regressed the r5
+    # bench number), equivalent to the oracle's arg_min dedup.
     purchases = ev.filter(F.col("event_type") == "purchase") \
-        .groupBy("user_id", "ts") \
-        .agg(F.min("event_id").alias("p_event_id"),
-             F.min_by("value", "event_id").alias("p_value"))
+        .select("event_id", "user_id", "ts", "value")
     j = asof_join(clicks, purchases, on=["user_id"],
-                  left_time="ts", right_time="ts")
+                  left_time="ts", right_time="ts",
+                  right_tiebreak="event_id")
     return j.select(
         "event_id", "user_id",
         _us(F.col("ts")).alias("click_us"),
-        F.col("r_p_event_id").alias("p_event_id"),
+        F.col("r_event_id").alias("p_event_id"),
         _us(F.col("r_ts")).alias("purchase_us"),
-        F.round("r_p_value", 4).alias("p_value"),
+        F.round("r_value", 4).alias("p_value"),
     )
 
 
@@ -80,12 +79,12 @@ def q_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
     # deterministic tie rule — see q_asof_join
     purchases = ev.filter(F.col("event_type") == "purchase") \
-        .groupBy("user_id", "ts") \
-        .agg(F.min("event_id").alias("p_event_id"))
+        .select("event_id", "user_id", "ts")
     j = asof_join(clicks, purchases, on=["user_id"],
-                  left_time="ts", right_time="ts", how="left")
+                  left_time="ts", right_time="ts", how="left",
+                  right_tiebreak="event_id")
     return j.select("event_id", "user_id",
-                    F.col("r_p_event_id").alias("p_event_id"))
+                    F.col("r_event_id").alias("p_event_id"))
 
 
 # --- as-of forward + tolerance: next signup within 12h of each error --------
@@ -95,16 +94,16 @@ def q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
     # deterministic tie rule — see q_asof_join
     signups = ev.filter(F.col("event_type") == "signup") \
-        .groupBy("user_id", "ts") \
-        .agg(F.min("event_id").alias("s_event_id"))
+        .select("event_id", "user_id", "ts")
     j = asof_join(errors, signups, on=["user_id"],
                   left_time="ts", right_time="ts", direction="forward",
-                  tolerance=F.expr("INTERVAL 12 HOURS"))
+                  tolerance=F.expr("INTERVAL 12 HOURS"),
+                  right_tiebreak="event_id")
     # floor-divide on BOTH sides: Spark's double→long cast truncates while
     # DuckDB's rounds, so never cast a fractional quotient
     return j.select(
         "event_id", "user_id",
-        F.col("r_s_event_id").alias("s_event_id"),
+        F.col("r_event_id").alias("s_event_id"),
         F.floor((_us(F.col("r_ts")) - _us(F.col("ts"))) / F.lit(1_000_000))
         .cast("long").alias("gap_sec"),
     )

@@ -121,6 +121,7 @@ def asof_join(
     tolerance: Column | int | float | None = None,
     right_prefix: str = "r_",
     how: str = "inner",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single closest right row sharing
     the ``on`` keys — at-or-before (``backward``, the default), at-or-after
@@ -134,10 +135,14 @@ def asof_join(
     matches farther than the bound. ``how='left'`` keeps unmatched left
     rows with null right fields; ``'inner'`` drops them.
 
-    Determinism: right rows must be unique per (on, right_time) — with
-    duplicates the winner among equal timestamps is partition-order
-    dependent (same contract as the reference's right-wins equi_join
-    merge, which keeps whichever duplicate arrives last).
+    Determinism: right rows must be unique per (on, right_time), OR
+    ``right_tiebreak`` must name a right column unique within duplicate
+    timestamps — the row with the MINIMUM tiebreak value wins then
+    (implemented as one extra window sort key: no pre-aggregation, no
+    extra shuffle). Without either, the winner among equal timestamps is
+    partition-order dependent (same contract as the reference's
+    right-wins equi_join merge, which keeps whichever duplicate arrives
+    last).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest: {direction}")
@@ -161,6 +166,13 @@ def asof_join(
         # BOTH directions, so "at-or-before"/"at-or-after" include equality.
         order = [F.col("__t").desc() if desc else F.col("__t").asc(),
                  F.col("__side").asc()]
+        if right_tiebreak is not None:
+            # last() picks the final row of the frame, so DESCENDING
+            # tiebreak makes the minimum win among duplicate timestamps;
+            # nulls_first so a null tiebreak can never win (left rows'
+            # null __r makes their tiebreak null — ordering among left
+            # rows is irrelevant, each frame ends at the row itself)
+            order.append(F.col(f"__r.{right_tiebreak}").desc_nulls_first())
         w = (Window.partitionBy(*on).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return F.last("__r", ignorenulls=True).over(w)

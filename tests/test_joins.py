@@ -73,6 +73,33 @@ def test_asof_nearest_tie_backward(spark, quotes):
     assert _rows(out, "sym", "t", "r_t") == [("A", 25, 20)]
 
 
+def test_asof_right_tiebreak_min_wins(spark):
+    """Duplicate right (on, time) rows: right_tiebreak resolves to the
+    MINIMUM tiebreak value, equivalent to pre-deduping the right side
+    with groupBy + min/min_by but without the extra shuffle — in every
+    direction, and regardless of input partition order."""
+    left = spark.createDataFrame(
+        [("A", 20), ("A", 25)], "sym string, t long")
+    right = spark.createDataFrame(
+        [("A", 20, 7, 1.7), ("A", 20, 3, 1.3), ("A", 20, 9, 1.9),
+         ("A", 30, 5, 2.5), ("A", 30, 2, 2.2)],
+        "sym string, t long, eid long, v double").repartition(5)
+    back = asof_join(left, right, on=["sym"], left_time="t",
+                     right_time="t", right_tiebreak="eid")
+    assert _rows(back, "sym", "t", "r_eid", "r_v") == [
+        ("A", 20, 3, 1.3), ("A", 25, 3, 1.3)]
+    fwd = asof_join(left, right, on=["sym"], left_time="t",
+                    right_time="t", direction="forward",
+                    right_tiebreak="eid")
+    assert _rows(fwd, "sym", "t", "r_eid", "r_v") == [
+        ("A", 20, 3, 1.3), ("A", 25, 2, 2.2)]
+    near = asof_join(left, right, on=["sym"], left_time="t",
+                     right_time="t", direction="nearest",
+                     right_tiebreak="eid")
+    assert _rows(near, "sym", "t", "r_eid", "r_v") == [
+        ("A", 20, 3, 1.3), ("A", 25, 3, 1.3)]
+
+
 def test_asof_tolerance(spark, trades, quotes):
     out = asof_join(trades, quotes, on=["sym"], left_time="t", right_time="t",
                     tolerance=2)
