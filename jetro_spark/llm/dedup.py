@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jetro_spark.functions.arrays import _seq0, _seq1
+from jetro_spark.functions.arrays import _seq0, _seq1, let_
 from jetro_spark.llm.text import normalize_text, ws_tokens
 from jetro_spark.operators.relational import unique_by
 
@@ -30,18 +30,24 @@ from jetro_spark.operators.relational import unique_by
 
 
 def char_shingles(c: Column, k: int = 5) -> Column:
-    """Distinct character k-grams of the normalized text."""
-    n = normalize_text(c)
-    return F.array_distinct(F.transform(
-        _seq1(F.length(n) - (k - 1)), lambda i: n.substr(i, F.lit(k))))
+    """Distinct character k-grams of the normalized text.
+
+    The normalized text is ``let_``-bound: referenced bare inside the
+    per-index lambda it would re-run the normalize regex once per
+    CHARACTER of the document (HOFs have no CSE) — a measured ~20x
+    slowdown on the dedup pipeline."""
+    return let_(normalize_text(c), lambda n: F.array_distinct(F.transform(
+        _seq1(F.length(n) - (k - 1)), lambda i: n.substr(i, F.lit(k)))))
 
 
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (space-joined)."""
-    toks = ws_tokens(normalize_text(c))
-    return F.array_distinct(F.transform(
-        _seq1(F.size(toks) - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    """Distinct word k-grams (space-joined); tokens ``let_``-bound (see
+    char_shingles)."""
+    return let_(
+        ws_tokens(normalize_text(c)),
+        lambda toks: F.array_distinct(F.transform(
+            _seq1(F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "))))
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
@@ -110,22 +116,35 @@ def minhash_lsh_pairs(
     # CRITICAL plan shape: CollapseProject will happily inline an upstream
     # projection into every downstream use — which here means the whole
     # shingle build (normalize + |text| substrs + array_distinct) would be
-    # re-evaluated inside EVERY per-seed minhash lambda (128×/row), and the
-    # 128-hash signature inside every band slice (32×/row). HOFs evaluate
-    # with no common-subexpression elimination, so that is a >100×
-    # slowdown, not a constant. The repartition()s below insert Exchanges
-    # that pin each expensive projection to be computed exactly once
-    # map-side; the self-join on bands reuses one Exchange (ReuseExchange)
-    # for both sides. Shingles are hashed to array<long> first so the
-    # 128 × |shingles| inner loop hashes fixed-width longs, not strings.
+    # re-evaluated inside EVERY downstream consumer, and the 128-hash
+    # signature inside every band slice (32×/row). The repartition()s
+    # below insert Exchanges that pin each expensive projection to be
+    # computed exactly once map-side; the self-join on bands reuses one
+    # Exchange (ReuseExchange) for both sides. Shingles are hashed to
+    # array<long> first so the signature hashes fixed-width longs, not
+    # strings.
     docs = df.select(
         F.col(id_col).alias("id"),
         F.transform(char_shingles(F.col(text_col), k),
                     lambda s: F.xxhash64(s)).alias("sh"),
     ).filter(F.size("sh") > 0).repartition("id")
-    sigs = docs.select(
-        "id", minhash_signature(F.col("sh"), n_hashes).alias("sig"),
-    ).repartition("id")
+    # The signature is NOT the HOF form (minhash_signature): nested
+    # array lambdas evaluate interpreted (ArrayTransform/ArrayMin are
+    # CodegenFallback), costing n_hashes × |shingles| interpreted calls
+    # per row — the dominant cost of the whole pipeline. Exploding the
+    # shingles and taking the per-seed min as n_hashes hash-aggregate
+    # expressions computes the IDENTICAL values inside whole-stage
+    # codegen with map-side partial combine; docs is already
+    # hash-partitioned by id, so the groupBy adds no exchange. The
+    # trailing repartition shuffles only one 1 KB signature row per doc
+    # and pins the aggregate so every band consumer reuses it.
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"__m{seed}")
+            for seed in range(n_hashes)]
+    sigs = (docs.select("id", F.explode("sh").alias("h"))
+            .groupBy("id").agg(*mins)
+            .select("id", F.array(*[f"__m{s}" for s in range(n_hashes)])
+                    .alias("sig"))
+            .repartition("id"))
     bands_df = sigs.select(
         "id", F.posexplode(band_hashes(F.col("sig"), bands, rows))
         .alias("band", "bhash"))
@@ -182,26 +201,35 @@ def simhash(c: Column, bits: int = 32) -> Column:
     of ``bits``), then one ``transform`` turns majority bits into the
     packed signature. Bit *i* of a (possibly negative, two's-complement)
     hash is ``pmod(floor(h / 2^i), 2)`` — arithmetic shiftright is floor
-    division, so this matches ``shiftright(h, i) & 1`` for int i."""
-    toks = ws_tokens(normalize_text(c))
-    hashes = F.transform(toks, lambda t: F.hash(t))
+    division, so this matches ``shiftright(h, i) & 1`` for int i.
+
+    The token-hash array is ``let_``-bound: the majority test references
+    its size inside a per-bit lambda, which would otherwise re-tokenize
+    the document once per signature bit (see char_shingles)."""
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    counts = F.aggregate(
-        hashes, zero,
-        lambda acc, h: F.transform(
-            acc,
-            lambda x, i: x + F.pmod(
-                F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double")))
-                .cast("long"),
-                F.lit(2))))
-    n = F.size(hashes)
-    weighted = F.transform(
-        counts,
-        lambda cnt, i: F.when(
-            cnt * 2 > n,
-            F.pow(F.lit(2.0), i.cast("double")).cast("long"))
-        .otherwise(F.lit(0).cast("long")))
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def _pack(hashes: Column) -> Column:
+        counts = F.aggregate(
+            hashes, zero,
+            lambda acc, h: F.transform(
+                acc,
+                lambda x, i: x + F.pmod(
+                    F.floor(h.cast("double")
+                            / F.pow(F.lit(2.0), i.cast("double")))
+                    .cast("long"),
+                    F.lit(2))))
+        n = F.size(hashes)
+        weighted = F.transform(
+            counts,
+            lambda cnt, i: F.when(
+                cnt * 2 > n,
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(weighted, F.lit(0).cast("long"),
+                           lambda a, x: a + x)
+
+    return let_(F.transform(ws_tokens(normalize_text(c)),
+                            lambda t: F.hash(t)), _pack)
 
 
 def hamming64(a: Column, b: Column) -> Column:

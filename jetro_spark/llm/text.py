@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from jetro_spark.functions.arrays import let_
+
 # ------------------------------------------------------------- tokenize
 
 # GPT-style pre-tokenizer approximation: word pieces, numbers, or single
@@ -64,16 +66,23 @@ def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are stopwords — near zero flags keyword
     spam / non-language content."""
     sw = stopwords or STOPWORDS_EN
-    toks = ws_tokens(normalize_text(c))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
-    return F.when(F.size(toks) > 0,
-                  hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    # let_-bound: every bare reference to the token expression re-runs
+    # tokenize+normalize (no CSE across Column expression copies)
+    return let_(
+        ws_tokens(normalize_text(c)),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*sw))).cast("double")
+            / F.size(toks)).otherwise(F.lit(0.0)))
 
 
 def mean_word_len(c: Column) -> Column:
-    toks = ws_tokens(c)
-    total = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    return let_(
+        ws_tokens(c),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+            / F.size(toks)).otherwise(F.lit(0.0)))
 
 
 def quality_score(c: Column) -> Column:
@@ -116,16 +125,25 @@ def lang_id(c: Column, langs: list[str] | None = None) -> Column:
     (undetermined). N-gram-free heuristic: function-word counting is the
     classic cheap lang-ID and is fully expression-based."""
     langs = langs or list(LANG_MARKERS)
-    hits = [(lg, lang_hits(c, lg)) for lg in langs]
-    best = None
-    best_hits = None
-    for lg, h in reversed(hits):  # earlier languages win ties → fold from the right
-        if best is None:
-            best, best_hits = F.lit(lg), h
-        else:
-            best = F.when(h >= best_hits, F.lit(lg)).otherwise(best)
-            best_hits = F.when(h >= best_hits, h).otherwise(best_hits)
-    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+    def _argmax(toks: Column) -> Column:
+        # the when-fold duplicates each hit expression several times;
+        # with toks let_-bound each copy is a cheap filter over the
+        # bound array, not a re-tokenize
+        hits = [(lg, F.size(F.filter(
+            toks, lambda t: t.isin(*LANG_MARKERS[lg]))).cast("long"))
+            for lg in langs]
+        best = None
+        best_hits = None
+        for lg, h in reversed(hits):  # earlier langs win ties → fold from right
+            if best is None:
+                best, best_hits = F.lit(lg), h
+            else:
+                best = F.when(h >= best_hits, F.lit(lg)).otherwise(best)
+                best_hits = F.when(h >= best_hits, h).otherwise(best_hits)
+        return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+    return let_(ws_tokens(normalize_text(c)), _argmax)
 
 
 # -------------------------------------------------------- fingerprints
@@ -151,17 +169,22 @@ def dup_ngram_ratio(c: Column, n: int = 3) -> Column:
     the Gopher-style repetition signal (high ratio = template/boilerplate
     text). 0.0 when fewer than n tokens. Expression-only: usable as a
     pushed-down quality filter at scan time."""
-    toks = ws_tokens(normalize_text(c))
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    grams = F.when(k > 0, F.slice(grams, 1, k)).otherwise(
-        F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return (F.when(total > 0, (total - distinct) / total)
+    def _ratio(toks: Column) -> Column:
+        # toks let_-bound: the per-i slice lambda would otherwise
+        # re-tokenize once per n-gram (per-ELEMENT recompute)
+        k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return let_(
+            F.when(k > 0, F.slice(grams, 1, k)).otherwise(
+                F.array().cast("array<string>")),
+            lambda g: F.when(
+                F.size(g) > 0,
+                (F.size(g) - F.size(F.array_distinct(g))) / F.size(g))
             .otherwise(F.lit(0.0)).cast("double"))
+
+    return let_(ws_tokens(normalize_text(c)), _ratio)
 
 
 # email / phone-number shapes — redaction-count signals, not validators
