@@ -73,43 +73,58 @@ def take(arr: Column, n: int) -> Column:
 
 
 def skip(arr: Column, n: int) -> Column:
-    """Reference: mod.rs:129."""
-    return F.slice(arr, n + 1, F.greatest(F.size(arr) - n, F.lit(0)))
+    """Reference: mod.rs:129. Input let_-bound (slice + size)."""
+    return let_(arr, lambda a: F.slice(
+        a, n + 1, F.greatest(F.size(a) - n, F.lit(0))))
 
 
 def take_while(arr: Column, pred: Lambda) -> Column:
     """Longest truthy prefix. Reference: ops/array.rs:865-926.
 
     No direct HOF: compute the first failing index via aggregate over
-    (element, still-true) state, then slice."""
-    idx = F.aggregate(
-        arr,
-        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
-        lambda acc, x: F.struct(
-            F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)), acc["n"] + 1)
-            .otherwise(acc["n"])
-            .alias("n"),
-            (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
-        ),
-        lambda acc: acc["n"],
-    )
-    return F.slice(arr, 1, idx)
+    (element, still-true) state, then slice. Input let_-bound: it is
+    referenced by both the aggregate and the slice, and in a chained
+    pipeline each bare reference re-evaluates the whole upstream
+    expression (HOFs have no CSE)."""
+
+    def _body(a: Column) -> Column:
+        idx = F.aggregate(
+            a,
+            F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+            lambda acc, x: F.struct(
+                F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)),
+                       acc["n"] + 1)
+                .otherwise(acc["n"])
+                .alias("n"),
+                (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
+            ),
+            lambda acc: acc["n"],
+        )
+        return F.slice(a, 1, idx)
+
+    return let_(arr, _body)
 
 
 def drop_while(arr: Column, pred: Lambda) -> Column:
-    """Drop the longest truthy prefix. Reference: ops/array.rs:865-926."""
-    idx = F.aggregate(
-        arr,
-        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
-        lambda acc, x: F.struct(
-            F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)), acc["n"] + 1)
-            .otherwise(acc["n"])
-            .alias("n"),
-            (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
-        ),
-        lambda acc: acc["n"],
-    )
-    return F.slice(arr, idx + 1, F.greatest(F.size(arr) - idx, F.lit(0)))
+    """Drop the longest truthy prefix. Reference: ops/array.rs:865-926.
+    Input let_-bound (see take_while)."""
+
+    def _body(a: Column) -> Column:
+        idx = F.aggregate(
+            a,
+            F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+            lambda acc, x: F.struct(
+                F.when(acc["go"] & F.coalesce(pred(x), F.lit(False)),
+                       acc["n"] + 1)
+                .otherwise(acc["n"])
+                .alias("n"),
+                (acc["go"] & F.coalesce(pred(x), F.lit(False))).alias("go"),
+            ),
+            lambda acc: acc["n"],
+        )
+        return F.slice(a, idx + 1, F.greatest(F.size(a) - idx, F.lit(0)))
+
+    return let_(arr, _body)
 
 
 def find_first(arr: Column, pred: Lambda) -> Column:
@@ -119,14 +134,15 @@ def find_first(arr: Column, pred: Lambda) -> Column:
 
 
 def find_index(arr: Column, pred: Lambda) -> Column:
-    """0-based index of first match, -1 if none. Reference: ops/array.rs:293."""
+    """0-based index of first match, -1 if none. Reference: ops/array.rs:293.
+    Input let_-bound (referenced by zip_with AND its size)."""
     hit = elem_at(
         F.filter(
-            F.zip_with(
-                arr,
-                _seq0(F.size(arr)),
+            let_(arr, lambda a: F.zip_with(
+                a,
+                _seq0(F.size(a)),
                 lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
-            ),
+            )),
             lambda s: s["m"],
         ),
         F.lit(1),
@@ -135,14 +151,15 @@ def find_index(arr: Column, pred: Lambda) -> Column:
 
 
 def indices_where(arr: Column, pred: Lambda) -> Column:
-    """All 0-based match indices. Reference: ops/array.rs:293-340."""
+    """All 0-based match indices. Reference: ops/array.rs:293-340.
+    Input let_-bound (see find_index)."""
     return F.transform(
         F.filter(
-            F.zip_with(
-                arr,
-                _seq0(F.size(arr)),
+            let_(arr, lambda a: F.zip_with(
+                a,
+                _seq0(F.size(a)),
                 lambda x, i: F.struct(i.alias("i"), F.coalesce(pred(x), F.lit(False)).alias("m")),
-            ),
+            )),
             lambda s: s["m"],
         ),
         lambda s: s["i"].cast("long"),
@@ -185,18 +202,30 @@ def unique(arr: Column) -> Column:
 
 
 def unique_by(arr: Column, key: Lambda) -> Column:
-    """Keep first element per key. Reference: ops/array.rs:273-292."""
-    with_idx = F.zip_with(
-        arr, _seq0(F.size(arr)), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
-    )
-    keep = F.filter(
-        with_idx,
-        lambda s: F.size(
-            F.filter(with_idx, lambda t: (t["i"] < s["i"]) & key(t["v"]).eqNullSafe(key(s["v"])))
-        )
-        == 0,
-    )
-    return F.transform(keep, lambda s: s["v"])
+    """Keep first element per key. Reference: ops/array.rs:273-292.
+
+    The indexed array is let_-bound: it is referenced INSIDE the
+    per-element keep lambda, which without binding re-evaluates the
+    whole upstream pipeline once per element (O(n) re-evals on top of
+    the O(n²) earlier-duplicate scan)."""
+
+    def _keep(with_idx: Column) -> Column:
+        return F.transform(
+            F.filter(
+                with_idx,
+                lambda s: F.size(
+                    F.filter(with_idx,
+                             lambda t: (t["i"] < s["i"])
+                             & key(t["v"]).eqNullSafe(key(s["v"])))
+                ) == 0,
+            ),
+            lambda s: s["v"])
+
+    return let_(
+        let_(arr, lambda a: F.zip_with(
+            a, _seq0(F.size(a)),
+            lambda x, i: F.struct(x.alias("v"), i.alias("i")))),
+        _keep)
 
 
 def compact(arr: Column) -> Column:  # ops/collection.rs:23
@@ -215,7 +244,10 @@ def first(arr: Column, n: int | None = None) -> Column:
     Reference: ops/collection.rs:344-377."""
     if n is None:
         return elem_at(arr, 1)
-    return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, 1, F.greatest(F.size(arr) + n, F.lit(0)))
+    if n >= 0:
+        return F.slice(arr, 1, n)
+    return let_(arr, lambda a: F.slice(
+        a, 1, F.greatest(F.size(a) + n, F.lit(0))))
 
 
 def last(arr: Column, n: int | None = None) -> Column:
@@ -223,8 +255,10 @@ def last(arr: Column, n: int | None = None) -> Column:
     if n is None:
         return elem_at(arr, -1)
     if n >= 0:
-        return F.slice(arr, F.greatest(F.size(arr) - n + 1, F.lit(1)), n)
-    return F.slice(arr, F.lit(1 - n), F.greatest(F.size(arr) + n, F.lit(0)))
+        return let_(arr, lambda a: F.slice(
+            a, F.greatest(F.size(a) - n + 1, F.lit(1)), n))
+    return let_(arr, lambda a: F.slice(
+        a, F.lit(1 - n), F.greatest(F.size(a) + n, F.lit(0))))
 
 
 def nth(arr: Column, i: int) -> Column:
@@ -254,62 +288,75 @@ def remove(arr: Column, pred: Lambda) -> Column:
 
 
 def enumerate_(arr: Column) -> Column:
-    """→ [{index, value}]. Reference: ops/collection.rs:409."""
-    return F.zip_with(
-        _seq0(F.size(arr)),
-        arr,
+    """→ [{index, value}]. Reference: ops/collection.rs:409.
+    Input let_-bound (zip_with input + size)."""
+    return let_(arr, lambda a: F.zip_with(
+        _seq0(F.size(a)),
+        a,
         lambda i, x: F.struct(i.cast("long").alias("index"), x.alias("value")),
-    )
+    ))
 
 
 def pairwise(arr: Column) -> Column:
-    """Overlapping pairs. Reference: ops/collection.rs:556."""
-    return F.zip_with(
-        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
-        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-        lambda a, b: F.array(a, b),
-    )
+    """Overlapping pairs. Reference: ops/collection.rs:556.
+    Input let_-bound (two slices + two sizes)."""
+    return let_(arr, lambda a: F.zip_with(
+        F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        lambda x, y: F.array(x, y),
+    ))
 
 
 def window(arr: Column, n: int) -> Column:
-    """Sliding windows of size n. Reference: ops/collection.rs:556-595."""
-    return F.transform(_seq1(F.size(arr) - n + 1), lambda i: F.slice(arr, i, n))
+    """Sliding windows of size n. Reference: ops/collection.rs:556-595.
+    Input let_-bound: the per-position slice lambda would otherwise
+    re-evaluate the whole upstream pipeline once per WINDOW."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a) - n + 1), lambda i: F.slice(a, i, n)))
 
 
 def chunk(arr: Column, n: int) -> Column:
-    """Fixed chunks (last may be short; alias batch). Reference: ops/string.rs:85."""
-    n_chunks = F.ceil(F.size(arr) / F.lit(n)).cast("int")
-    return F.transform(_seq0(n_chunks), lambda i: F.slice(arr, i * n + 1, n))
+    """Fixed chunks (last may be short; alias batch). Reference:
+    ops/string.rs:85. Input let_-bound (see window)."""
+    return let_(arr, lambda a: F.transform(
+        _seq0(F.ceil(F.size(a) / F.lit(n)).cast("int")),
+        lambda i: F.slice(a, i * n + 1, n)))
 
 
 def accumulate(arr: Column, fn: Callable[[Column, Column], Column], init: Column | None = None) -> Column:
     """Running fold producing intermediate array. Reference: mod.rs:160-161.
 
     Implemented as prefix-slices folded with aggregate (O(n²) on tiny
-    in-document arrays; relational mode uses a running window instead)."""
+    in-document arrays; relational mode uses a running window instead).
+    Input let_-bound: the per-prefix slice would otherwise re-evaluate
+    the upstream pipeline once per PREFIX on top of the O(n²) fold."""
     seed = init
-    return F.transform(
-        _seq1(F.size(arr)),
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
         lambda i: F.aggregate(
-            F.slice(arr, 1, i),
+            F.slice(a, 1, i),
             seed if seed is not None else F.lit(0).cast("double"),
             fn,
         ),
-    )
+    ))
 
 
 def partition(arr: Column, pred: Lambda) -> Column:
-    """→ {pass, fail}. Reference: ops/array.rs:928-946."""
-    return F.struct(
-        filter_(arr, pred).alias("pass"),
-        F.filter(arr, lambda x: ~F.coalesce(pred(x), F.lit(False))).alias("fail"),
-    )
+    """→ {pass, fail}. Reference: ops/array.rs:928-946.
+    Input let_-bound (two independent filters)."""
+    return let_(arr, lambda a: F.struct(
+        filter_(a, pred).alias("pass"),
+        F.filter(a, lambda x: ~F.coalesce(pred(x), F.lit(False))).alias("fail"),
+    ))
 
 
 def zip_(a: Column, b: Column) -> Column:
-    """Pairwise zip, truncating to shorter. Reference: ops/array.rs:388-433."""
-    n = F.least(F.size(a), F.size(b))
-    return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y))
+    """Pairwise zip, truncating to shorter. Reference: ops/array.rs:388-433.
+    Both inputs let_-bound (each referenced by a slice and two sizes)."""
+    return let_(a, lambda aa: let_(b, lambda bb: F.zip_with(
+        F.slice(aa, 1, F.least(F.size(aa), F.size(bb))),
+        F.slice(bb, 1, F.least(F.size(aa), F.size(bb))),
+        lambda x, y: F.array(x, y))))
 
 
 def zip_longest(a: Column, b: Column) -> Column:
@@ -357,10 +404,11 @@ def index(arr: Column, v: Column) -> Column:
 
 def indices_of(arr: Column, v: Column) -> Column:
     """ALL 0-based indices where the value appears.
-    Reference: ops/collection.rs:481-492 indices_of_apply."""
-    return F.filter(
-        _seq0(F.size(arr)),
-        lambda i: F.get(arr, i).eqNullSafe(v)).cast("array<long>")
+    Reference: ops/collection.rs:481-492 indices_of_apply.
+    Input let_-bound (per-index F.get would re-evaluate upstream)."""
+    return let_(arr, lambda a: F.filter(
+        _seq0(F.size(a)),
+        lambda i: F.get(a, i).eqNullSafe(v)).cast("array<long>"))
 
 
 # -------------------------------------------------------------- aggregates
@@ -376,9 +424,12 @@ def sum_(arr: Column, fn: Lambda | None = None) -> Column:
 
 
 def avg(arr: Column, fn: Lambda | None = None) -> Column:
-    """avg([]) = null. Reference: pipeline.rs:320-329."""
-    vals = F.array_compact(F.transform(arr, fn) if fn else arr)
-    return F.when(F.size(vals) > 0, sum_(vals) / F.size(vals)).otherwise(F.lit(None))
+    """avg([]) = null. Reference: pipeline.rs:320-329.
+    Compacted values let_-bound (referenced by sum and twice by size)."""
+    return let_(
+        F.array_compact(F.transform(arr, fn) if fn else arr),
+        lambda vals: F.when(F.size(vals) > 0,
+                            sum_(vals) / F.size(vals)).otherwise(F.lit(None)))
 
 
 def min_(arr: Column, fn: Lambda | None = None) -> Column:
@@ -423,43 +474,45 @@ def max_by(arr: Column, key: Lambda) -> Column:
 def group_by(arr: Column, key: Lambda) -> Column:
     """{key_str: [items]} as insertion-ordered array<struct<key,value>>
     keyed by STRINGIFIED key, first-seen order.
-    Reference: ops/array.rs:947-965, util.rs:216-226."""
-    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
-    return F.transform(
-        keys,
+    Reference: ops/array.rs:947-965, util.rs:216-226.
+    Input let_-bound: it is referenced inside the per-KEY lambda (the
+    member filter), which would otherwise re-evaluate the upstream
+    pipeline once per distinct key."""
+    return let_(arr, lambda a: F.transform(
+        unique(F.transform(a, lambda x: key(x).cast("string"))),
         lambda k: F.struct(
             k.alias("key"),
-            F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)).alias("value"),
+            F.filter(a, lambda x: key(x).cast("string").eqNullSafe(k)).alias("value"),
         ),
-    )
+    ))
 
 
 def count_by(arr: Column, key: Lambda) -> Column:
-    """{key_str: n}. Reference: ops/array.rs:966-987."""
-    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
-    return F.transform(
-        keys,
+    """{key_str: n}. Reference: ops/array.rs:966-987.
+    Input let_-bound (see group_by)."""
+    return let_(arr, lambda a: F.transform(
+        unique(F.transform(a, lambda x: key(x).cast("string"))),
         lambda k: F.struct(
             k.alias("key"),
-            F.size(F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)))
+            F.size(F.filter(a, lambda x: key(x).cast("string").eqNullSafe(k)))
             .cast("long")
             .alias("value"),
         ),
-    )
+    ))
 
 
 def index_by(arr: Column, key: Lambda) -> Column:
-    """{key_str: item} last-wins. Reference: ops/array.rs:988-1004."""
-    keys = unique(F.transform(arr, lambda x: key(x).cast("string")))
-    return F.transform(
-        keys,
+    """{key_str: item} last-wins. Reference: ops/array.rs:988-1004.
+    Input let_-bound (see group_by)."""
+    return let_(arr, lambda a: F.transform(
+        unique(F.transform(a, lambda x: key(x).cast("string"))),
         lambda k: F.struct(
             k.alias("key"),
             F.element_at(
-                F.filter(arr, lambda x: key(x).cast("string").eqNullSafe(k)), -1
+                F.filter(a, lambda x: key(x).cast("string").eqNullSafe(k)), -1
             ).alias("value"),
         ),
-    )
+    ))
 
 
 # --------------------------------------------------- positional analytics
@@ -467,28 +520,28 @@ def index_by(arr: Column, key: Lambda) -> Column:
 
 
 def lag(arr: Column, n: int = 1) -> Column:
-    """Shift right with null fill. Reference: ops/collection.rs:227-249."""
-    return F.transform(
-        _seq1(F.size(arr)),
-        lambda i: F.when(i > n, F.element_at(arr, i - n)).otherwise(F.lit(None)),
-    )
+    """Shift right with null fill. Reference: ops/collection.rs:227-249.
+    Input let_-bound (per-index element_at would re-evaluate upstream)."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
+        lambda i: F.when(i > n, F.element_at(a, i - n)).otherwise(F.lit(None)),
+    ))
 
 
 def lead(arr: Column, n: int = 1) -> Column:
-    """Shift left with null fill. Reference: ops/collection.rs:227-249."""
-    return F.transform(
-        _seq1(F.size(arr)),
-        lambda i: F.when(i + n <= F.size(arr), F.element_at(arr, i + n)).otherwise(F.lit(None)),
-    )
+    """Shift left with null fill. Reference: ops/collection.rs:227-249.
+    Input let_-bound (see lag)."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
+        lambda i: F.when(i + n <= F.size(a), F.element_at(a, i + n)).otherwise(F.lit(None)),
+    ))
 
 
 def rolling(arr: Column, n: int, agg: str) -> Column:
     """rolling_{sum,avg,min,max}(n): first n-1 outputs null; null elements
     are SKIPPED (avg divides by the non-null count; all-null window → null).
-    Reference: ops/collection.rs:124-226."""
-    def win(i: Column) -> Column:
-        return F.slice(arr, i - n + 1, n)
-
+    Reference: ops/collection.rs:124-226.
+    Input let_-bound (per-position slice would re-evaluate upstream)."""
     def reduce(w: Column) -> Column:
         cw = F.array_compact(w)
         k = F.size(cw)
@@ -508,65 +561,86 @@ def rolling(arr: Column, n: int, agg: str) -> Column:
             return F.array_max(w)
         raise ValueError(agg)
 
-    return F.transform(
-        _seq1(F.size(arr)),
-        lambda i: F.when(i >= n, reduce(win(i))).otherwise(F.lit(None)),
-    )
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
+        lambda i: F.when(i >= n,
+                         reduce(F.slice(a, i - n + 1, n))).otherwise(F.lit(None)),
+    ))
 
 
 def cum_max(arr: Column) -> Column:
-    """Reference: ops/collection.rs:278-321."""
-    return F.transform(_seq1(F.size(arr)), lambda i: F.array_max(F.slice(arr, 1, i)))
+    """Reference: ops/collection.rs:278-321. Input let_-bound (see rolling)."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)), lambda i: F.array_max(F.slice(a, 1, i))))
 
 
 def cum_min(arr: Column) -> Column:
-    return F.transform(_seq1(F.size(arr)), lambda i: F.array_min(F.slice(arr, 1, i)))
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)), lambda i: F.array_min(F.slice(a, 1, i))))
 
 
 def diff_window(arr: Column) -> Column:
-    """First differences; first output null. Reference: ops/collection.rs:250."""
-    return F.transform(
-        _seq1(F.size(arr)),
-        lambda i: F.when(i > 1, F.element_at(arr, i) - F.element_at(arr, i - 1)).otherwise(
+    """First differences; first output null. Reference: ops/collection.rs:250.
+    Input let_-bound (see lag)."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
+        lambda i: F.when(i > 1, F.element_at(a, i) - F.element_at(a, i - 1)).otherwise(
             F.lit(None)
         ),
-    )
+    ))
 
 
 def pct_change(arr: Column) -> Column:
     """Reference: ops/collection.rs:264-277. Unlike the `/` operator
     (which errors on zero, vm/exec.rs:866-873), pct_change guards
-    `p != 0.0` → null — hence try_divide, not bare ANSI division."""
-    return F.transform(
-        _seq1(F.size(arr)),
+    `p != 0.0` → null — hence try_divide, not bare ANSI division.
+    Input let_-bound (see lag)."""
+    return let_(arr, lambda a: F.transform(
+        _seq1(F.size(a)),
         lambda i: F.when(
             i > 1,
             F.try_divide(
-                (F.element_at(arr, i) - F.element_at(arr, i - 1)).cast("double"),
-                F.element_at(arr, i - 1).cast("double"),
+                (F.element_at(a, i) - F.element_at(a, i - 1)).cast("double"),
+                F.element_at(a, i - 1).cast("double"),
             ),
         ).otherwise(F.lit(None)),
-    )
+    ))
 
 
 def zscore(arr: Column) -> Column:
     """(x - mean) / population-stddev over the non-null elements; sd == 0
     gives 0.0 for numeric positions; null elements stay null; an array
     with no numerics is all null. Reference: ops/collection.rs:321-343
-    (zscore_apply: var divides by n, not n-1)."""
-    nums = F.array_compact(arr)
-    n = F.size(nums)  # try_divide: n == 0 (no numerics) must not ANSI-throw
-    mean = F.try_divide(
-        F.aggregate(nums, F.lit(0.0), lambda a, x: a + x.cast("double")), n)
-    var = F.try_divide(
-        F.aggregate(
-            nums, F.lit(0.0),
-            lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean),
-        ), n)
-    sd = F.sqrt(var)
-    return F.transform(
-        arr,
-        lambda x: F.when(x.isNull() | (n == 0), F.lit(None).cast("double"))
-        .when(sd > 0, (x.cast("double") - mean) / sd)
-        .otherwise(F.lit(0.0)),
-    )
+    (zscore_apply: var divides by n, not n-1).
+
+    Everything is let_-bound: without binding, ``mean`` (itself an O(n)
+    aggregate) sat inside the variance fold's per-element lambda and
+    ``sd`` (O(n²) then) inside the final per-element transform — O(n³)
+    evaluation of what is mathematically one pass."""
+    def _z(a: Column) -> Column:
+        def with_nums(nums: Column) -> Column:
+            n = F.size(nums)  # n == 0 (no numerics) must not ANSI-throw
+            mean_e = F.try_divide(
+                F.aggregate(nums, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")), n)
+
+            def with_mean(mean: Column) -> Column:
+                sd_e = F.sqrt(F.try_divide(
+                    F.aggregate(
+                        nums, F.lit(0.0),
+                        lambda acc, x: acc + (x.cast("double") - mean)
+                        * (x.cast("double") - mean),
+                    ), n))
+                return let_(sd_e, lambda sd: F.transform(
+                    a,
+                    lambda x: F.when(x.isNull() | (n == 0),
+                                     F.lit(None).cast("double"))
+                    .when(sd > 0, (x.cast("double") - mean) / sd)
+                    .otherwise(F.lit(0.0)),
+                ))
+
+            return let_(mean_e, with_mean)
+
+        return let_(F.array_compact(a), with_nums)
+
+    return let_(arr, _z)
