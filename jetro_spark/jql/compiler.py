@@ -1984,9 +1984,10 @@ def m_zip(self, recv, args, env):
         # mixed-type pairs ([1, "x"]) can't be a homogeneous Spark
         # array; emit struct<__p0, __p1> — to_python renders it as a
         # 2-list (zip_arrays regression)
-        n_ = F.least(F.size(recv.col), F.size(other.col))
-        col = F.zip_with(F.slice(recv.col, 1, n_), F.slice(other.col, 1, n_),
-                         lambda x, y: F.struct(x.alias("__p0"), y.alias("__p1")))
+        col = AR.let_(recv.col, lambda a: AR.let_(other.col, lambda b: F.zip_with(
+            F.slice(a, 1, F.least(F.size(a), F.size(b))),
+            F.slice(b, 1, F.least(F.size(a), F.size(b))),
+            lambda x, y: F.struct(x.alias("__p0"), y.alias("__p1")))))
         return TC(col, T.ArrayType(T.StructType([
             T.StructField("__p0", ea or T.NullType(), True),
             T.StructField("__p1", eb or T.NullType(), True)])))
@@ -2223,17 +2224,17 @@ def m_implode_doc(self, recv, args, env):
     new_el = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in rest]
         + [T.StructField(field, T.ArrayType(vdt), True)])
-    arr = recv.col
     if not rest:
         col = F.array(F.struct(
-            F.transform(arr, lambda it: it.getField(field)).alias(field)))
+            F.transform(recv.col, lambda it: it.getField(field)).alias(field)))
         return TC(col, T.ArrayType(new_el))
-    rests = F.array_distinct(F.transform(arr, lambda it: it.dropFields(field)))
-    col = F.transform(
-        rests,
+    # input let_-bound: referenced inside the per-group member filter
+    # (would re-evaluate a chained upstream once per group — HOF no-CSE)
+    col = AR.let_(recv.col, lambda arr: F.transform(
+        F.array_distinct(F.transform(arr, lambda it: it.dropFields(field))),
         lambda r: r.withField(field, F.transform(
             F.filter(arr, lambda it: it.dropFields(field).eqNullSafe(r)),
-            lambda it: it.getField(field))))
+            lambda it: it.getField(field)))))
     return TC(col, T.ArrayType(new_el))
 
 
@@ -2253,37 +2254,46 @@ def m_pivot_doc(self, recv, args, env):
             return (lambda x: F.lit(None)), T.NullType()
         return self._lam(a, env, el)
 
-    arr = recv.col
+    # input (and each row-group slice) let_-bound: both sit inside
+    # per-key lambdas and would re-evaluate a chained upstream once per
+    # key (nested: per row-key × col-key) — HOF no-CSE
     if len(args) >= 3:
         rf, _ = arg_fn(0)
         cf, _ = arg_fn(1)
         vf, vdt = arg_fn(2)
 
-        def inner_obj(rk):
-            sub = F.filter(arr, lambda x: rf(x).cast("string").eqNullSafe(rk))
-            ckeys = F.array_distinct(
-                F.transform(sub, lambda x: cf(x).cast("string")))
-            return F.transform(ckeys, lambda ck: F.struct(
-                ck.alias("key"),
-                vf(F.element_at(
-                    F.filter(sub,
-                             lambda x: cf(x).cast("string").eqNullSafe(ck)),
-                    -1)).alias("value")))
+        def _three(arr):
+            def inner_obj(rk):
+                return AR.let_(
+                    F.filter(arr,
+                             lambda x: rf(x).cast("string").eqNullSafe(rk)),
+                    lambda sub: F.transform(
+                        F.array_distinct(
+                            F.transform(sub, lambda x: cf(x).cast("string"))),
+                        lambda ck: F.struct(
+                            ck.alias("key"),
+                            vf(F.element_at(
+                                F.filter(sub, lambda x: cf(x).cast("string")
+                                         .eqNullSafe(ck)),
+                                -1)).alias("value"))))
 
-        rkeys = F.array_distinct(F.transform(arr, lambda x: rf(x).cast("string")))
-        col = F.transform(rkeys, lambda rk: F.struct(
-            rk.alias("key"), inner_obj(rk).alias("value")))
-        return TC(col, _objrepr_dt(_objrepr_dt(vdt)))
+            rkeys = F.array_distinct(
+                F.transform(arr, lambda x: rf(x).cast("string")))
+            return F.transform(rkeys, lambda rk: F.struct(
+                rk.alias("key"), inner_obj(rk).alias("value")))
+
+        return TC(AR.let_(recv.col, _three), _objrepr_dt(_objrepr_dt(vdt)))
     if len(args) < 2:
         raise CompileError("pivot: requires key arg and value arg")
     kf, _ = arg_fn(0)
     vf, vdt = arg_fn(1)
-    keys = F.array_distinct(F.transform(arr, lambda x: kf(x).cast("string")))
-    col = F.transform(keys, lambda k: F.struct(
-        k.alias("key"),
-        vf(F.element_at(
-            F.filter(arr, lambda x: kf(x).cast("string").eqNullSafe(k)),
-            -1)).alias("value")))
+    col = AR.let_(recv.col, lambda arr: F.transform(
+        F.array_distinct(F.transform(arr, lambda x: kf(x).cast("string"))),
+        lambda k: F.struct(
+            k.alias("key"),
+            vf(F.element_at(
+                F.filter(arr, lambda x: kf(x).cast("string").eqNullSafe(k)),
+                -1)).alias("value"))))
     return TC(col, _objrepr_dt(vdt))
 
 
