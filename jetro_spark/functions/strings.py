@@ -238,36 +238,48 @@ def replace_all(c: Column, old: str, new: str) -> Column:
 
 
 # -------------------------------------------------------------------- regex
-# ⚠ Dialect delta: the reference uses Rust `regex` (no lookaround, no
-# backreferences) while Spark uses Java `Pattern` (a superset for these
-# features) — every pattern valid in the reference is valid here.
+# ⚠ Dialect: the reference takes Rust `regex` patterns (no lookaround,
+# no backreferences) while Spark evaluates Java `Pattern`. Every re_*
+# builtin routes the pattern through redialect.rust_to_java, which
+# rewrites the constructs that are valid Rust but invalid or
+# differently-behaved Java ((?P<name>, POSIX classes, `.` vs \r, `$`
+# vs final newline, literal [ in classes); the non-rewritable deltas
+# (\w Unicode breadth, \p{} names, (?m)$ on \r\n, class -- / ~~) are
+# enumerated by redialect.dialect_warnings and pinned by
+# tests/test_redialect.py against live Spark behavior.
+
+
+def _rx(pattern: str) -> str:
+    from jetro_spark.functions.redialect import rust_to_java
+
+    return rust_to_java(pattern)
 
 
 def re_match(c: Column, pattern: str) -> Column:  # regex.rs:11
-    return c.rlike(pattern)
+    return c.rlike(_rx(pattern))
 
 
 def re_match_first(c: Column, pattern: str) -> Column:
     """First match or null. Reference: regex.rs:27."""
-    ext = F.regexp_extract(c, f"({pattern})", 1)
+    ext = F.regexp_extract(c, f"({_rx(pattern)})", 1)
     return F.when(ext == "", F.lit(None)).otherwise(ext)
 
 
 def re_match_all(c: Column, pattern: str) -> Column:  # regex.rs:47
-    return F.regexp_extract_all(c, F.lit(f"({pattern})"), F.lit(1))
+    return F.regexp_extract_all(c, F.lit(f"({_rx(pattern)})"), F.lit(1))
 
 
 def re_captures(c: Column, pattern: str, group: int = 1) -> Column:  # regex.rs:67
-    ext = F.regexp_extract(c, pattern, group)
+    ext = F.regexp_extract(c, _rx(pattern), group)
     return F.when(ext == "", F.lit(None)).otherwise(ext)
 
 
 def re_captures_all(c: Column, pattern: str, group: int = 1) -> Column:  # regex.rs:96
-    return F.regexp_extract_all(c, F.lit(pattern), F.lit(group))
+    return F.regexp_extract_all(c, F.lit(_rx(pattern)), F.lit(group))
 
 
 def re_split(c: Column, pattern: str) -> Column:  # regex.rs:162
-    return F.split(c, pattern)
+    return F.split(c, _rx(pattern))
 
 
 def re_replace(c: Column, pattern: str, new: str) -> Column:
@@ -279,6 +291,7 @@ def re_replace(c: Column, pattern: str, new: str) -> Column:
     substring re-anchored with the original pattern (non-capturing wrap
     keeps group numbering). Handles multiline inputs and patterns with
     capture groups — unlike a prefix-group rewrite."""
+    pattern = _rx(pattern)
     pos = F.regexp_instr(c, F.lit(pattern))  # 1-based start, 0 when no match
     m = F.regexp_substr(c, F.lit(pattern))  # first matched substring
     head = F.substring(c, 1, (pos - 1).cast("int"))
@@ -288,17 +301,17 @@ def re_replace(c: Column, pattern: str, new: str) -> Column:
 
 
 def re_replace_all(c: Column, pattern: str, new: str) -> Column:  # regex.rs:141
-    return F.regexp_replace(c, pattern, new)
+    return F.regexp_replace(c, _rx(pattern), new)
 
 
 def contains_any(c: Column, patterns: list[str]) -> Column:  # regex.rs:179
-    return c.rlike("|".join(f"(?:{p})" for p in patterns))
+    return c.rlike("|".join(f"(?:{_rx(p)})" for p in patterns))
 
 
 def contains_all(c: Column, patterns: list[str]) -> Column:  # regex.rs:187-193
     out = None
     for p in patterns:
-        t = c.rlike(p)
+        t = c.rlike(_rx(p))
         out = t if out is None else (out & t)
     return out if out is not None else F.lit(True)
 
@@ -306,16 +319,19 @@ def contains_all(c: Column, patterns: list[str]) -> Column:  # regex.rs:187-193
 # --------------------------------------------------------------- predicates
 
 
+# \z not $: Java $ also matches before a FINAL newline, so "123\n"
+# would count as numeric — the reference's Rust $ (end of haystack)
+# does not (redialect module, delta 4)
 def is_blank(c: Column) -> Column:  # mod.rs:306
-    return c.rlike(r"^\s*$")
+    return c.rlike(r"^\s*\z")
 
 
 def is_numeric(c: Column) -> Column:  # mod.rs:308
-    return c.rlike(r"^[0-9]+$")
+    return c.rlike(r"^[0-9]+\z")
 
 
 def is_alpha(c: Column) -> Column:  # mod.rs:310
-    return c.rlike(r"^[A-Za-z]+$")
+    return c.rlike(r"^[A-Za-z]+\z")
 
 
 def is_ascii(c: Column) -> Column:  # mod.rs:312
