@@ -57,11 +57,11 @@ def q_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     df = with_diff(ev, "value", order="event_id", partition=["user_id"], alias="dv")
     df = with_pct_change(df, "value", order="event_id", partition=["user_id"], alias="pct")
-    return df.select(
-        "event_id", "user_id",
-        F.round("dv", 4).alias("dv"),
-        F.round("pct", 6).alias("pct"),
-    )
+    # dv/pct are SINGLE IEEE ops on parquet doubles — bit-identical in
+    # any engine, so they compare raw. Rounding would only reintroduce
+    # the Spark-HALF_UP-vs-DuckDB-float divergence on half-way values
+    # (hit at sf0.1). Aggregate-derived doubles (win_zscore) still round.
+    return df.select("event_id", "user_id", "dv", "pct")
 
 
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,8 +133,8 @@ ORACLES = {
     """,
     "win_diff_pct": """
         SELECT event_id, user_id,
-               round(value - lag(value) OVER w, 4) AS dv,
-               round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct
+               value - lag(value) OVER w AS dv,
+               (value - lag(value) OVER w) / lag(value) OVER w AS pct
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
     "win_zscore": """

@@ -37,7 +37,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero vector has norm 0 and bare division ANSI-throws;
+    # NULL (undefined similarity) matches DuckDB's divide-by-zero result
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -58,8 +60,9 @@ def brute_force_topk(
          .withColumn("__nn", l2_norm(F.col("nvec"))))
     scored = (q.crossJoin(c)
               .filter(F.col("qid") != F.col("nid"))
-              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
-                          / (F.col("__qn") * F.col("__nn"))))
+              .withColumn("score", F.try_divide(
+                  dot(F.col("qvec"), F.col("nvec")),
+                  F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -271,8 +274,9 @@ def ivf_topk(
           .withColumn("__nn", l2_norm(F.col("nvec"))))
     # per-side norms: 1 interpreted fold per candidate pair, not 3
     scored = (pair_ids.join(qv, "qid").join(cv, "nid")
-              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
-                          / (F.col("__qn") * F.col("__nn"))))
+              .withColumn("score", F.try_divide(
+                  dot(F.col("qvec"), F.col("nvec")),
+                  F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -312,8 +316,9 @@ def hyperplane_lsh_topk(
           .withColumn("__nn", l2_norm(F.col("nvec"))))
     # per-side norms: 1 interpreted fold per candidate pair, not 3
     scored = (pair_ids.join(qv, "qid").join(cv, "nid")
-              .withColumn("score", dot(F.col("qvec"), F.col("nvec"))
-                          / (F.col("__qn") * F.col("__nn"))))
+              .withColumn("score", F.try_divide(
+                  dot(F.col("qvec"), F.col("nvec")),
+                  F.col("__qn") * F.col("__nn"))))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

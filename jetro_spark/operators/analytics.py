@@ -71,12 +71,15 @@ def with_diff(df: DataFrame, col: str, *, order: str,
 
 def with_pct_change(df: DataFrame, col: str, *, order: str,
                     partition: list[str] | None = None, alias: str | None = None) -> DataFrame:
-    """Reference: collection.rs:264-277."""
+    """Reference: collection.rs:264-277. try_divide, not `/`: the
+    reference guards prev == 0 → null (the doc-mode builtin already
+    does), and bare division ANSI-throws on a zero previous value —
+    caught at sf0.1 where the events table actually contains one."""
     w = _win(partition, order)
     prev = F.lag(col, 1).over(w)
     return df.withColumn(
         alias or f"{col}_pct_change",
-        (F.col(col) - prev).cast("double") / prev.cast("double"),
+        F.try_divide((F.col(col) - prev).cast("double"), prev.cast("double")),
     )
 
 
@@ -95,4 +98,7 @@ def with_zscore(df: DataFrame, col: str, *, partition: list[str] | None = None,
         w = Window.partitionBy()
     mean = F.avg(col).over(w)
     sd = F.stddev_samp(col).over(w)
-    return df.withColumn(alias or f"{col}_zscore", (F.col(col) - mean) / sd)
+    # try_divide: an all-equal partition has sd = 0 and bare division
+    # ANSI-throws; NULL matches the SQL oracle's divide-by-zero result
+    return df.withColumn(alias or f"{col}_zscore",
+                         F.try_divide(F.col(col) - mean, sd))
