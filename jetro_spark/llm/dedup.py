@@ -70,10 +70,10 @@ def minhash_signature(shingle_hashes: Column, n_hashes: int = 128) -> Column:
     is much cheaper than re-hashing a string; it also lets the caller
     materialize the (string-processed) shingle set exactly once.
     Empty shingle set → nulls (filtered upstream)."""
-    return F.transform(
+    return let_(shingle_hashes, lambda sh: F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda seed: F.array_min(
-            F.transform(shingle_hashes, lambda h: F.xxhash64(h, seed))))
+            F.transform(sh, lambda h: F.xxhash64(h, seed)))))
 
 
 def band_hashes(sig: Column, bands: int = 32, rows: int = 4) -> Column:
