@@ -15,7 +15,9 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from jetro_spark.functions.core import elem_at
+from jetro_spark.functions.core import elem_at, let_  # noqa: F401 (let_
+# re-exported: most callers import it from here; it lives in core so the
+# index/slice shims can use it without a cycle)
 
 Lambda = Callable[[Column], Column]
 
@@ -32,20 +34,6 @@ def _seq1(n: Column) -> Column:
 def _seq0(n: Column) -> Column:
     """0..n-1 ascending, ``[]`` when n <= 0 (see :func:`_seq1`)."""
     return F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), lambda i: i < n)
-
-
-def let_(value: Column, body: Lambda) -> Column:
-    """Bind ``value`` ONCE as a lambda variable and evaluate ``body`` on
-    it: ``transform(array(value), body)[0]``.
-
-    HOF lambdas have no common-subexpression elimination — an outer
-    Column expression referenced inside a per-element lambda is
-    RE-EVALUATED for every element (e.g. a normalize+regex pipeline
-    inside a per-shingle lambda ran |text| times per row: a measured
-    ~20x slowdown on the dedup path). Wrapping the expensive expression
-    in ``let_`` turns those references into a bound variable, evaluated
-    exactly once per row."""
-    return F.transform(F.array(value), body)[0]
 
 
 # ------------------------------------------------------- filter/map streams

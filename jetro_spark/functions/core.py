@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def let_(value: Column, body) -> Column:
+    """Bind ``value`` ONCE as a lambda variable and evaluate ``body`` on
+    it: ``transform(array(value), body)[0]``.
+
+    HOF lambdas have no common-subexpression elimination, and neither do
+    plain expression trees that reference the same Column object twice —
+    each reference is a full copy of the subtree, re-evaluated per row
+    (or per ELEMENT when the reference sits inside a per-element
+    lambda). Binding turns those references into one evaluation. Lives
+    here (not arrays.py, which re-exports it) so the index/slice shims
+    below can use it without an import cycle."""
+    return F.transform(F.array(value), body)[0]
+
+
 def jt_truthy(col: Column, dtype: T.DataType | None = None) -> Column:
     """Jetro truthiness: null→false; bool→itself; number→!=0;
     string→non-empty; array/object→non-empty.
@@ -100,8 +114,10 @@ def elem_at(arr: Column, idx: Column | int) -> Column:
     never throws and codegen stays intact."""
     i = idx if isinstance(idx, Column) else F.lit(idx)
     i = i.cast("int")
-    n = F.size(arr)
-    return F.when((i != 0) & (F.abs(i) <= n), F.element_at(arr, i))
+    # let_: the guard's size() and the element_at both reference arr —
+    # unbound, a chained upstream would evaluate twice per row
+    return let_(arr, lambda a: F.when(
+        (i != 0) & (F.abs(i) <= F.size(a)), F.element_at(a, i)))
 
 
 def jt_element_at(arr: Column, idx: int) -> Column:
@@ -120,18 +136,23 @@ def jt_element_at_dyn(arr: Column, idx: Column) -> Column:
 def jt_slice(arr: Column, start: int | None, stop: int | None) -> Column:
     """Python-style half-open slice ``[a:b]`` with open ends and negative
     indices, over Spark's 1-based ``slice(arr, start, length)``.
-    Reference: jetro-core/src/grammar.pest:65-70, SYNTAX.md:84-97."""
-    n = F.size(arr)
+    Reference: jetro-core/src/grammar.pest:65-70, SYNTAX.md:84-97.
+    Input let_-bound (up to four size references otherwise)."""
 
-    def norm(i: int) -> Column:
-        # clamp(i < 0 ? n + i : i, 0, n)
-        c = F.lit(i) + n if i < 0 else F.lit(i)
-        return F.greatest(F.lit(0), F.least(c, n))
+    def _body(a: Column) -> Column:
+        n = F.size(a)
 
-    lo = norm(start) if start is not None else F.lit(0)
-    hi = norm(stop) if stop is not None else n
-    length = F.greatest(hi - lo, F.lit(0))
-    return F.slice(arr, lo + 1, length)
+        def norm(i: int) -> Column:
+            # clamp(i < 0 ? n + i : i, 0, n)
+            c = F.lit(i) + n if i < 0 else F.lit(i)
+            return F.greatest(F.lit(0), F.least(c, n))
+
+        lo = norm(start) if start is not None else F.lit(0)
+        hi = norm(stop) if stop is not None else n
+        length = F.greatest(hi - lo, F.lit(0))
+        return F.slice(a, lo + 1, length)
+
+    return let_(arr, _body)
 
 
 def jt_fuzzy_match(a: Column, b: Column) -> Column:
