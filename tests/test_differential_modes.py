@@ -92,7 +92,12 @@ def _rel_result(out_df):
     return out
 
 
-@settings(max_examples=60, deadline=None,
+import os as _os
+
+_N_DIFF = int(_os.environ.get("JETRO_FUZZ_EXAMPLES", "60"))
+
+
+@settings(max_examples=_N_DIFF, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=3), st.lists(_SCALAR_MID, max_size=1),
        _SINK)
@@ -140,7 +145,7 @@ def _table(spark):
         [(r["k"], r["v"], r["g"]) for r in ROWS], "k long, v double, g string")
 
 
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=2), _KEYED_SINK)
 def test_keyed_reducers_agree(spark, mids, sink):

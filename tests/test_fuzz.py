@@ -34,7 +34,11 @@ CONTROLLED = (LexError, ParseError, CompileError)
 pytestmark = pytest.mark.skipif(not HAVE_HYPOTHESIS,
                                 reason="hypothesis not installed")
 
-_FUZZ = settings(max_examples=300, deadline=None,
+# JETRO_FUZZ_EXAMPLES scales the budget for soak runs (CI default 300)
+import os as _os
+
+_N = int(_os.environ.get("JETRO_FUZZ_EXAMPLES", "300"))
+_FUZZ = settings(max_examples=_N, deadline=None,
                  suppress_health_check=[HealthCheck.too_slow])
 
 # Bounded length keeps worst-case parser recursion far from Python's
