@@ -25,6 +25,26 @@ def one(spark, col):
 # ------------------------------------------------------------- core shims
 
 
+def test_let_binding(spark):
+    """let_ must be value-transparent for every input kind: scalars,
+    arrays, structs, and NULLs of each (null propagates into the body
+    exactly as the unbound expression would see it)."""
+    from jetro_spark.functions.core import let_
+
+    assert one(spark, let_(F.lit(21), lambda x: x * 2)) == 42
+    assert one(spark, let_(F.lit(None).cast("long"),
+                           lambda x: x * 2)) is None
+    assert one(spark, let_(F.array(F.lit(1), F.lit(2)),
+                           lambda a: F.size(a) + F.element_at(a, 1))) == 3
+    assert one(spark, let_(F.lit(None).cast("array<long>"),
+                           lambda a: F.size(a))) in (None, -1)
+    got = one(spark, let_(F.struct(F.lit(7).alias("k")), lambda s: s["k"]))
+    assert got == 7
+    # nested lets bind independently
+    assert one(spark, let_(F.lit(2), lambda a: let_(
+        F.lit(3), lambda b: a * b))) == 6
+
+
 def test_truthiness(spark):
     # reference: jc/util.rs:63-74
     assert one(spark, jt_truthy(F.lit(None).cast("string"), T.StringType())) is False

@@ -130,11 +130,15 @@ def test_no_single_partition_windows_over_data(plans):
 
 
 def test_asof_join_is_single_window_not_join(plans):
-    # the union+window formulation must NOT contain any join operator
+    # the union+window formulation must NOT contain any join operator,
+    # and tie determinism must ride the window SORT KEY, never a
+    # pre-aggregation of the right side (the r5 groupBy dedup cost an
+    # extra shuffle and +30% on the bench — r6 regression guard)
     p = plans["asof_join"]
     assert "Window" in p
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-               "CartesianProduct", "BroadcastNestedLoopJoin"):
+               "CartesianProduct", "BroadcastNestedLoopJoin",
+               "HashAggregate", "SortAggregate", "ObjectHashAggregate"):
         assert op not in p, f"asof_join: unexpected {op}"
 
 
