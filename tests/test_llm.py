@@ -89,6 +89,26 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(6 in p for p in got)
 
 
+def test_minhash_signature_matches_agg_formulation(docs):
+    """The column-level HOF signature (minhash_signature, the per-row
+    API) and the pipeline's explode + per-seed-min hash-aggregate
+    formulation (minhash_lsh_pairs' codegen path) must produce
+    IDENTICAL signatures — they are two plans for the same math."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(D.char_shingles(F.col("text"), 5),
+                    lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    hof = {r["id"]: r["sig"] for r in sh.select(
+        "id", D.minhash_signature(F.col("sh"), 32).alias("sig")).collect()}
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
+            for s in range(32)]
+    agg = {r["id"]: [r[f"m{s}"] for s in range(32)]
+           for r in sh.select("id", F.explode("sh").alias("h"))
+           .groupBy("id").agg(*mins).collect()}
+    assert hof == agg
+
+
 def test_simhash_pairs(docs):
     pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
