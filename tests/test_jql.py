@@ -392,3 +392,25 @@ def test_jetro_docs_per_row(spark):
     assert sorted(r["uname"] for r in rows) == ["ANN", "BO", "CY"]
     # ONE compiled plan, N documents — plan cache hit on repeat
     assert jd._compile("$.id") is jd._compile("$.id")
+
+
+def test_chained_pipelines_stay_linear(spark):
+    """Canary for the HOF no-CSE hazard (r6): builtins that reference
+    their input inside a per-element lambda must let_-bind it, or a
+    chained pipeline re-evaluates its upstream per element — the
+    unbound zscore chain was O(n³) and could not finish 2,000 elements
+    in 10 MINUTES. Bound, 20,000 elements run in well under a second;
+    the 60 s ceiling leaves two orders of magnitude of machine-noise
+    margin while still failing hard on any quadratic-or-worse
+    reintroduction."""
+    import time
+
+    jt = Jetro.from_value(spark, synth_doc(20_000, 1))
+    t0 = time.time()
+    for expr in ("$.orders.map(total).zscore().last()",
+                 "$.orders.map(total).rolling_avg(20).last()",
+                 "$.orders.map(total).window(100).count()",
+                 "$.orders.map(total).accumulate((a, x) => a + x).last()",
+                 "$.orders.group_by(status).count()"):
+        jt.execute(expr)
+    assert time.time() - t0 < 60, "chained doc pipelines no longer linear"
