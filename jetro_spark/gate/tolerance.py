@@ -1,12 +1,7 @@
 """Tolerance oracles for gate rows with no EXACT SQL counterpart.
 
-Two rows cannot be value-hash-compared against DuckDB:
+ONE row cannot be value-hash-compared against DuckDB:
 
-- ``profile_approx`` — per-column HLL distinct counts have no DuckDB
-  replica. The verifiable contract is the HLL error bound: every
-  estimate within 5% of DuckDB's EXACT distinct count (Spark's default
-  rsd is 5%; observed error on this data is far smaller), all other
-  stats exact.
 - ``simhash_pairs`` — signatures build on Spark's Murmur3 ``hash``,
   which DuckDB cannot reproduce, so there is no cross-engine leg at all.
   The verifiable contract is band COMPLETENESS: with 4 bands of 8 bits
@@ -16,12 +11,12 @@ Two rows cannot be value-hash-compared against DuckDB:
   EXACTLY (recall 1.0). Signature semantics themselves are covered by
   the python-replay test (tests/test_llm.py::test_simhash_pairs).
 
-(``approx_count_distinct`` and ``ann_ivf_trained`` graduated from this
-module in round 6: their tolerance verdicts are now computed IN-PLAN and
-emitted as hashable ``within_tol`` rows with exact-side anchors, so the
-driver's standard hash-compare covers them — see the gate row
-docstrings. The recall contract additionally has a pytest leg,
-tests/test_llm.py::test_train_centroids_deterministic_and_recall.)
+(``approx_count_distinct``, ``ann_ivf_trained``, and ``profile_approx``
+graduated from this module in round 6: their tolerance verdicts are now
+computed IN-PLAN and emitted as hashable ``within_tol`` rows with
+exact-side anchors, so the driver's standard hash-compare covers them —
+see the gate row docstrings. The recall contract additionally has a
+pytest leg, test_llm.py::test_train_centroids_deterministic_and_recall.)
 
 Used by scripts/check_oracle.py: rows listed here are VERIFIED (pass
 with a tolerance note) rather than rows-only. The driver's own gate
@@ -35,23 +30,6 @@ None`` (None = pass, str = failure description).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-
-def _check_profile_approx(spark, con, sf_dir, srows, scols):
-    """profile_table(approx=True): every column's HLL distinct within 5%
-    of DuckDB's exact distinct; all other stats must match exactly."""
-    for r in srows:
-        col = r["column"]
-        exact_n, exact_null, exact_distinct = con.sql(
-            f"SELECT count({col}), count(*) - count({col}), "
-            f"count(DISTINCT {col}) FROM lineitem").fetchall()[0]
-        if r["n"] != exact_n + exact_null or r["n_null"] != exact_null:
-            return f"{col}: count/null mismatch {r['n']}/{r['n_null']}"
-        rel = abs(r["n_distinct"] - exact_distinct) / max(exact_distinct, 1)
-        if rel > 0.05:
-            return (f"{col}: approx distinct {r['n_distinct']} vs exact "
-                    f"{exact_distinct}: relative error {rel:.4f} > 0.05")
-    return None
-
 
 def _check_simhash_complete(spark, con, sf_dir, srows, scols, cap=200):
     from jetro_spark.llm.dedup import hamming64, simhash
@@ -80,8 +58,6 @@ def _check_simhash_complete(spark, con, sf_dir, srows, scols, cap=200):
 
 
 TOLERANCE = {
-    "profile_approx": ("per-column HLL distinct within 5% of exact",
-                       _check_profile_approx),
     "simhash_pairs": ("band completeness == exhaustive Hamming on slice",
                       _check_simhash_complete),
 }
