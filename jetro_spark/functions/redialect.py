@@ -4,8 +4,8 @@ The reference's regex builtins take Rust ``regex``-crate patterns
 (jetro-core/src/builtins/ops/regex.rs); Spark evaluates Java
 ``java.util.regex.Pattern``. Lookaround and backreferences don't exist
 in Rust, so every reference-legal pattern is syntactically *almost*
-Java-legal — but four concrete dialect deltas remain for patterns that
-ARE valid Rust (the round-5 audit gap):
+Java-legal — the concrete dialect deltas for patterns that ARE valid
+Rust:
 
 1. ``(?P<name>...)`` — Rust accepts both ``(?P<name>)`` and
    ``(?<name>)``; Java throws ``PatternSyntaxException`` on ``(?P<``.
@@ -21,21 +21,48 @@ ARE valid Rust (the round-5 audit gap):
    terminator. TRANSLATED: unescaped ``$`` outside classes → ``\z``
    (skipped in MULTILINE ``(?m)`` patterns, where both mean
    end-of-line; Java's CR/LF nuances there are flagged, not rewritten).
+5. ``\w \d \s`` (and ``\W \D \S``) — Unicode-wide in the Rust dialect
+   (UTS#18: ``\w`` = Alphabetic + M + Nd + Pc + Join_Control, ``\d`` =
+   Nd, ``\s`` = White_Space), ASCII in Java. TRANSLATED to the exact
+   Java ``\p``-class equivalents (Java supports the binary properties
+   ``IsAlphabetic``/``IsJoin_Control``/``IsWhite_Space`` and the
+   general categories ``M``/``Nd``/``Pc``, so the rewrite is exact,
+   not the looser ``\p{L}\p{N}`` approximation). Skipped when the
+   pattern uses Rust's ``(?-u)`` ASCII mode, where Java's native ASCII
+   semantics are already correct.
+
+Character classes NEST in both dialects with identical semantics
+(``[x[^xyz]]``, ``[0-9&&[^4]]``): an unescaped inner ``[`` opens a
+nested class and is passed through unchanged. (Round 6 wrongly escaped
+it as a literal — ``[a[b]`` is a parse error in the regex crate, not
+the set ``{a,[,b}``; the round-7 fix restores the pass-through.)
 
 DuckDB's regexp functions (RE2) agree with Rust on 3 and 4, so the
 translation also aligns the Spark legs of the oracle gate with their
-DuckDB counterparts.
+DuckDB counterparts. (RE2's perl classes are ASCII like Java's; oracle
+rows exercising ``\w``-style patterns on non-ASCII text must spell the
+DuckDB leg with explicit ``\p`` categories.)
 
 Remaining SEMANTIC deltas that cannot be mechanically rewritten are
 reported by :func:`dialect_warnings` (consumed by tests and available
 to callers):
 
-- ``\w \d \s \b`` — Unicode-wide in Rust, ASCII in Java (without
-  ``(?U)``; adding ``(?U)`` globally would also widen POSIX classes,
-  so it is NOT applied automatically).
+- ``\b`` — Java's word boundary is defined against Java's ASCII
+  ``\w`` regardless of any class rewriting; Rust's is Unicode-wide.
+  No Java spelling reproduces it (lookaround around a ``\p`` class
+  changes width semantics), so it is flagged, not rewritten.
 - ``\p{...}`` — the dialects accept different property-name sets
   (e.g. Rust ``\p{Alphabetic}`` vs Java ``\p{IsAlphabetic}``).
 - ``(?m)`` + ``$`` — Java treats ``\r\n`` sequences specially.
+- ``(?-u)`` — Rust's ASCII-mode flag; Java parses ``u`` as
+  UNICODE_CASE, a different meaning. Perl-class rewrites are skipped
+  (Java's ASCII default matches Rust's ``(?-u)`` semantics) but the
+  flag itself is flagged for caller review.
+- Scoped inline-flag groups ``(?s:...)`` — the translator treats any
+  inline flag as pattern-wide (it only ever SKIPS a rewrite, never
+  makes a wrong one), so a scoped group suppresses the ``.``/``$``
+  rewrites outside its scope too; flagged so the delta is surfaced.
+- Class set operations ``--`` / ``~~`` — Rust-only syntax.
 """
 
 from __future__ import annotations
@@ -49,40 +76,84 @@ _POSIX = {
     "ascii": r"\x00-\x7f", "word": r"\w",
 }
 
+# Rust's Unicode perl classes, spelled in Java \p properties. Exact per
+# the regex crate (UTS#18 annex C): \w = [\p{Alphabetic}\p{M}\p{Nd}
+# \p{Pc}\p{Join_Control}], \d = \p{Nd}, \s = \p{White_Space}. Java
+# exposes the binary properties as Is-prefixed names.
+_W_MEMBERS = r"\p{IsAlphabetic}\p{M}\p{Nd}\p{Pc}\p{IsJoin_Control}"
+_PERL_OUT = {  # outside a character class
+    "w": f"[{_W_MEMBERS}]", "W": f"[^{_W_MEMBERS}]",
+    "d": r"\p{Nd}", "D": r"\P{Nd}",
+    "s": r"\p{IsWhite_Space}", "S": r"\P{IsWhite_Space}",
+}
+_PERL_IN = {  # spliced into / nested inside an enclosing class
+    "w": _W_MEMBERS, "W": f"[^{_W_MEMBERS}]",
+    "d": r"\p{Nd}", "D": r"\P{Nd}",
+    "s": r"\p{IsWhite_Space}", "S": r"\P{IsWhite_Space}",
+}
+
+
+def _scan_flags(pattern: str, flag: str) -> tuple[bool, bool]:
+    r"""Escape-aware probe for inline flag groups: returns
+    ``(enabled, scoped)`` where ``enabled`` is True if ``flag`` appears
+    in the enabling half of any inline group (``(?s)``, ``(?s-m)``,
+    ``(?s:...)``) and ``scoped`` is True if that group was the scoped
+    ``(?s:...)`` form. Treating a scoped flag as pattern-wide only ever
+    SKIPS a rewrite, never makes a wrong one; the scoped case is
+    additionally surfaced by dialect_warnings. A ``(?`` preceded by an
+    unescaped backslash (e.g. ``\(?s)``) is a literal paren + optional
+    quantifier, not a flag group, and is skipped."""
+    enabled = scoped = False
+    i, n = 0, len(pattern)
+    while i < n:
+        if pattern[i] == "\\":
+            i += 2
+            continue
+        if pattern.startswith("(?", i):
+            j = i + 2
+            head_end = j
+            while head_end < n and pattern[head_end] in "imsxuU-":
+                head_end += 1
+            if head_end < n and pattern[head_end] in "):":
+                head = pattern[j:head_end].split("-", 1)[0]
+                if flag in head:
+                    enabled = True
+                    if pattern[head_end] == ":":
+                        scoped = True
+            i = head_end
+            continue
+        i += 1
+    return enabled, scoped
+
 
 def _flag_enabled(pattern: str, flag: str) -> bool:
-    """Crude but adequate probe for an inline flag group anywhere in the
-    pattern (reference queries use whole-pattern ``(?s)``/``(?m)``
-    prefixes; scoped flag groups are rare enough that treating any
-    occurrence as pattern-wide only ever SKIPS a rewrite, never makes a
-    wrong one)."""
-    i = pattern.find("(?")
-    while i != -1:
-        j = pattern.find(")", i)
-        head = pattern[i + 2:j if j != -1 else len(pattern)]
-        head = head.split(":", 1)[0]
-        if "-" in head:
-            head = head.split("-", 1)[0]
-        if flag in head and all(c in "imsxuU" for c in head):
-            return True
-        i = pattern.find("(?", i + 2)
-    return False
+    return _scan_flags(pattern, flag)[0]
 
 
-def rust_to_java(pattern: str) -> str:
-    """Translate a Rust-dialect pattern to the Java pattern with the
+def rust_to_java(pattern: str, unicode_perl: bool = True) -> str:
+    r"""Translate a Rust-dialect pattern to the Java pattern with the
     same meaning (see module docstring for exactly what is rewritten).
     Pure string scan: tracks escapes and (nested) character classes so
-    literals inside ``[...]`` and after ``\\`` are never touched."""
+    literals after ``\\`` are never touched and ``.``/``$`` rewrites
+    stay outside ``[...]``.
+
+    ``unicode_perl=False`` leaves ``\w \d \s`` at Java's ASCII
+    semantics (automatic when the pattern carries Rust's ``(?-u)``)."""
     dotall = _flag_enabled(pattern, "s")
     multiline = _flag_enabled(pattern, "m")
+    if "(?-" in pattern and "u" in pattern.split("(?-", 1)[1].split(")", 1)[0]:
+        unicode_perl = False  # Rust ASCII mode == Java's native classes
     out: list[str] = []
     i, n = 0, len(pattern)
-    depth = 0  # character-class nesting (Java classes nest; Rust's don't)
+    depth = 0  # character-class nesting (identical semantics both dialects)
     while i < n:
         ch = pattern[i]
         if ch == "\\" and i + 1 < n:
-            out.append(pattern[i:i + 2])
+            esc = pattern[i + 1]
+            if unicode_perl and esc in "wWdDsS":
+                out.append((_PERL_IN if depth else _PERL_OUT)[esc])
+            else:
+                out.append(pattern[i:i + 2])
             i += 2
             continue
         if depth and ch == "[" and pattern.startswith("[:", i):
@@ -99,23 +170,18 @@ def rust_to_java(pattern: str) -> str:
                     out.append(body)
                 i = end + 2
                 continue
-        if ch == "[" and depth:
-            # a bare [ inside a Rust class is a LITERAL; Java would open
-            # a nested class and silently drop it — escape it
-            out.append(r"\[")
-            i += 1
-            continue
         if ch == "[":
+            # opens a (possibly nested) class — both dialects nest with
+            # identical semantics, so pass through and track depth
             depth += 1
             out.append(ch)
-            # leading ] or ^] are literal members in both dialects
             i += 1
             if i < n and pattern[i] == "^":
                 out.append("^")
                 i += 1
             if i < n and pattern[i] == "]":
-                out.append(r"\]")  # literal member; Java needs the escape
-                i += 1
+                out.append(r"\]")  # leading ] is a literal member; Java
+                i += 1             # needs the escape
             continue
         if ch == "]" and depth:
             depth -= 1
@@ -147,12 +213,10 @@ def dialect_warnings(pattern: str) -> list[str]:
     import re as _re
 
     warns = []
-    # strip classes/escapes crudely for the \w\d\s\b probe: an escape is
-    # what we are looking for, so only double-backslash needs care
-    if _re.search(r"\\[wdsb]", pattern, _re.IGNORECASE):
+    if _re.search(r"(?<!\\)(\\\\)*\\b", pattern):
         warns.append(
-            r"\w/\d/\s/\b are Unicode-wide in the Rust dialect but ASCII "
-            r"in Java; add (?U) if non-ASCII text must match")
+            r"\b word boundary is anchored to Java's ASCII \w even with "
+            r"unicode_perl rewriting; Rust's is Unicode-wide")
     if _re.search(r"\\[pP]\{", pattern):
         warns.append(
             r"\p{...} property names differ between dialects; verify the "
@@ -166,4 +230,17 @@ def dialect_warnings(pattern: str) -> list[str]:
             "class set operations -- (difference) / ~~ (symmetric "
             "difference) exist only in the Rust dialect; rewrite as "
             "[X&&[^Y]] for Java")
+    if "(?-" in pattern and "u" in pattern.split("(?-", 1)[1].split(")", 1)[0]:
+        warns.append(
+            "(?-u) is Rust's ASCII-mode flag; Java parses u as "
+            "UNICODE_CASE — perl-class rewrites are skipped but strip "
+            "the flag before compiling in Java")
+    for f in ("s", "m"):
+        enabled, scoped = _scan_flags(pattern, f)
+        if enabled and scoped and (("." in pattern and f == "s")
+                                   or ("$" in pattern and f == "m")):
+            warns.append(
+                f"scoped inline flag (?{f}:...) suppresses the "
+                f"{'.' if f == 's' else '$'} rewrite across the WHOLE "
+                "pattern, not just its scope — review manually")
     return warns

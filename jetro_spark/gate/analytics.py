@@ -134,12 +134,13 @@ ORACLES = {
     "win_diff_pct": """
         SELECT event_id, user_id,
                value - lag(value) OVER w AS dv,
-               (value - lag(value) OVER w) / lag(value) OVER w AS pct
+               (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) AS pct
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
     "win_zscore": """
         SELECT event_id, user_id,
-               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+               round((value - avg(value) OVER w)
+                     / nullif(stddev_samp(value) OVER w, 0), 6) AS z
         FROM events WINDOW w AS (PARTITION BY user_id)
     """,
     "win_enumerate": """

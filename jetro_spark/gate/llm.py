@@ -215,9 +215,10 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (banded, no all-pairs) + exact
-    Hamming verify. No SQL oracle: signatures are built from Spark's
-    Murmur3 `hash`, which DuckDB cannot reproduce; pair-detection
-    semantics are covered by tests/test_llm.py::test_simhash_pairs."""
+    Hamming verify. HARD oracle since round 7: the md5-derived token
+    hash replays bit-identically in DuckDB (ORACLES entry below);
+    band completeness is additionally pinned by
+    tests/test_llm.py::test_simhash_band_completeness."""
     return D.simhash_pairs(_docs(spark, sf_dir))
 
 
@@ -344,10 +345,11 @@ ORACLES = {
           SELECT q.vec_id AS qid, c.vec_id AS nid,
                  list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
                            for i in generate_series(1, len(q.embedding))])
-                 / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
-                                   for i in generate_series(1, len(q.embedding))]))
-                    * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
-                                     for i in generate_series(1, len(c.embedding))])))
+                 / nullif(
+                     sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                                    for i in generate_series(1, len(q.embedding))]))
+                     * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                                      for i in generate_series(1, len(c.embedding))])), 0)
                  AS score
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
@@ -365,10 +367,11 @@ ORACLES = {
 _COS = """
     list_sum([{a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE
               for i in generate_series(1, len({a}.embedding))])
-    / (sqrt(list_sum([{a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE
-                      for i in generate_series(1, len({a}.embedding))]))
-       * sqrt(list_sum([{b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE
-                        for i in generate_series(1, len({b}.embedding))])))
+    / nullif(
+        sqrt(list_sum([{a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE
+                       for i in generate_series(1, len({a}.embedding))]))
+        * sqrt(list_sum([{b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE
+                         for i in generate_series(1, len({b}.embedding))])), 0)
 """
 
 _HEXPAIR = ("(strpos('0123456789abcdef', substr(hx, {p1}, 1)) - 1) * 16"
@@ -648,7 +651,36 @@ ORACLES["mm_frames"] = """
                 AS INTEGER) AS frame_idx
     FROM documents
 """
-# simhash_pairs intentionally absent from ORACLES (rows-only check).
+# simhash_pairs HARD oracle (round 7): the signature's per-token hash
+# is md5-derived (llm/dedup.py simhash), which DuckDB reproduces
+# bit-identically, so the full pipeline replays in SQL. The final
+# output is equivalently ALL pairs with hamming(sig_a, sig_b) <= 3:
+# with 4 bands of 8 bits and max_hamming=3 the pigeonhole principle
+# makes the banded candidate set COMPLETE (a deterministic guarantee,
+# not probabilistic — also pinned by the band-completeness pytest leg,
+# tests/test_llm.py::test_simhash_band_completeness).
+# Horner decode of the first 8 md5 hex chars -> unsigned 32-bit BIGINT
+_MD5_32 = "(" * 8 + " * 16 + ".join(
+    f"strpos('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
+    for p in range(1, 9)) + "::BIGINT"
+ORACLES["simhash_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), hs AS (
+      SELECT doc_id, list_transform(toks, tk -> {_MD5_32}) AS hs FROM t
+    ), sigs AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN 2 * list_sum([(h // (1::BIGINT << i)) % 2
+                                               for h in hs]) > len(hs)
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                       for i in generate_series(0, 31)])::BIGINT AS sig
+      FROM hs
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+    FROM sigs a, sigs b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # --- context-length chunking (llm/chunking.py) -------------------------------

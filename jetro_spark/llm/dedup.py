@@ -196,6 +196,13 @@ def simhash(c: Column, bits: int = 32) -> Column:
     """SimHash signature: per-bit majority vote over token hashes —
     row-local, expression-only. Near-identical texts differ in few bits.
 
+    The per-token hash is the first 8 hex chars of md5 decoded to an
+    unsigned 32-bit integer — NOT Spark's Murmur3 ``hash``: md5 is
+    bit-identical across engines, so a SQL oracle (DuckDB) can replay
+    the full signature and the gate row hash-compares exactly
+    (round 7; Murmur3 had no cross-engine leg). The value is < 2^32,
+    so the double-arithmetic bit extraction below stays exact.
+
     Single pass: one ``aggregate`` folds the token hashes into a
     ``bits``-wide ones-count array (the expression tree is independent
     of ``bits``), then one ``transform`` turns majority bits into the
@@ -229,7 +236,10 @@ def simhash(c: Column, bits: int = 32) -> Column:
                            lambda a, x: a + x)
 
     return let_(F.transform(ws_tokens(normalize_text(c)),
-                            lambda t: F.hash(t)), _pack)
+                            lambda t: F.conv(
+                                F.substring(F.md5(t), 1, 8), 16, 10)
+                            .cast("long")),
+                _pack)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -59,6 +59,7 @@ def distributed_prefix(
     inclusive: bool = False,
     total: str | None = None,
     max_key_groups: int | None = 4096,
+    key_cardinality: int | None = None,
 ) -> DataFrame:
     """Add ``out`` = running sum of ``value`` over ``order`` — globally,
     or per key group when ``keys`` is given — without any
@@ -70,13 +71,22 @@ def distributed_prefix(
     offset-table broadcast: above it, fall back to the plain per-key
     window — the better plan at high key cardinality (see module
     docstring). ``None`` skips the probe and always spreads.
+
+    ⚠ EAGER PROBE: with ``keys`` and the default ``max_key_groups``,
+    this function runs a Spark job AT CALL TIME (one
+    ``approx_count_distinct`` partial-aggregate pass over ``df``) to
+    pick the plan — for an uncached ``df`` with expensive lineage the
+    upstream plan is computed twice. Callers that know their key
+    cardinality should pass ``key_cardinality`` (uses the hint, no job)
+    or ``max_key_groups=None`` (always spread, no job); otherwise cache
+    ``df`` first if its lineage is expensive.
     """
     kcols = [F.col(k) for k in (keys or [])]
     knames = list(keys or [])
     ocols = [F.col(o) if isinstance(o, str) else o for o in order]
     if knames and max_key_groups is not None:
-        n_keys = df.agg(F.approx_count_distinct(
-            F.struct(*kcols)).alias("n")).first()["n"]
+        n_keys = key_cardinality if key_cardinality is not None else df.agg(
+            F.approx_count_distinct(F.struct(*kcols)).alias("n")).first()["n"]
         if n_keys > max_key_groups:
             w = (Window.partitionBy(*knames).orderBy(*ocols)
                  .rowsBetween(Window.unboundedPreceding,

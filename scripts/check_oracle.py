@@ -54,6 +54,13 @@ def main() -> int:
     spark = get_spark("oracle_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     con = duckdb.connect()
+    try:
+        # DuckDB >= 1.1 defaults ieee_floating_point_ops=true (float x/0
+        # -> inf/nan); pin the NULL semantics the oracles are written
+        # against. Unknown setting on the pinned 1.0.0 -> ignore.
+        con.execute("SET ieee_floating_point_ops=false")
+    except duckdb.Error:
+        pass
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):

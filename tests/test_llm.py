@@ -116,6 +116,62 @@ def test_simhash_pairs(docs):
     assert not any(6 in p and 1 in p for p in got)
 
 
+def test_simhash_matches_python_replay(docs):
+    """The signature is md5-derived (round 7) so it is engine-portable:
+    replay normalize → ws-tokenize → md5[:8] → per-bit majority in pure
+    Python and demand bit-identical signatures."""
+    import hashlib
+    import re as _re
+
+    rows = docs.select("doc_id", "text",
+                       D.simhash(F.col("text"), 32).alias("sig")).collect()
+    assert rows
+    for r in rows:
+        toks = [t for t in _re.split(r"\s+",
+                                     _re.sub(r"\s+", " ",
+                                             (r["text"] or "").strip())
+                                     .lower().strip()) if t]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+              for t in toks]
+        sig = 0
+        for i in range(32):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sig |= 1 << i
+        assert sig == r["sig"], (r["doc_id"], toks)
+
+
+def test_simhash_band_completeness(spark):
+    """Pigeonhole guarantee: with 4 bands of 8 bits and max_hamming=3,
+    every pair within 3 bits shares at least one identical band — so
+    the banded pipeline must equal an exhaustive all-pairs Hamming scan
+    EXACTLY (recall 1.0). This is the second leg of the simhash gate
+    (the first is the DuckDB full-signature replay oracle); it keeps
+    the completeness contract pinned independently of the oracle."""
+    from jetro_spark.llm.dedup import hamming64, simhash
+    from jetro_spark.session import load_tables
+
+    d = (load_tables(spark, "/root/testdata/sf0.001", register=False)
+         ["documents"]
+         .filter(F.col("doc_id") < 200)
+         .select(F.col("doc_id").alias("id"),
+                 simhash(F.col("text"), 32).alias("sig")))
+    a, b = d.alias("a"), d.alias("b")
+    exhaustive = (a.crossJoin(b)
+                  .filter(F.col("a.id") < F.col("b.id"))
+                  .withColumn("h", hamming64(F.col("a.sig"),
+                                             F.col("b.sig")))
+                  .filter(F.col("h") <= 3)
+                  .select(F.col("a.id").alias("a_id"),
+                          F.col("b.id").alias("b_id")))
+    truth = {(r["a_id"], r["b_id"]) for r in exhaustive.collect()}
+    banded = D.simhash_pairs(
+        load_tables(spark, "/root/testdata/sf0.001", register=False)
+        ["documents"].filter(F.col("doc_id") < 200))
+    got = {(r["a_id"], r["b_id"]) for r in banded.collect()}
+    assert got == truth
+
+
 def test_bottomk_sketch(spark):
     df = spark.createDataFrame([("abcdefghij",)], ["t"])
     sk = df.select(TX.bottomk_sketch(

@@ -167,6 +167,18 @@ def test_keyed_prefix_cardinality_guard(spark):
     low = distributed_prefix(df, ["v"], F.lit(1), keys=["g"], out="rn",
                              max_key_groups=4096)
     assert "__pid" in low._jdf.queryExecution().optimizedPlan().toString()
+    # a caller-supplied cardinality hint replaces the eager probe and
+    # picks the same plans (lazy: no job at construction time)
+    hinted_hi = distributed_prefix(df, ["v"], F.lit(1), keys=["g"],
+                                   out="rn", max_key_groups=50,
+                                   key_cardinality=200)
+    hinted_lo = distributed_prefix(df, ["v"], F.lit(1), keys=["g"],
+                                   out="rn", max_key_groups=4096,
+                                   key_cardinality=200)
+    assert "__pid" not in \
+        hinted_hi._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pid" in \
+        hinted_lo._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_keyed_distributed_prefix_keeps_null_key_groups(spark):

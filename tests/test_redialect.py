@@ -1,9 +1,13 @@
 """Rust→Java regex dialect audit (functions/redialect.py): every
 documented delta is pinned here — the translation legs against LIVE
 Spark evaluation, the audit legs against dialect_warnings. Closes the
-round-5 'no automated dialect audit' gap."""
+round-5 'no automated dialect audit' gap; round 7 adds the Unicode
+perl-class rewrites (\\w \\d \\s exact to the regex crate's UTS#18
+definitions) and fixes nested-character-class pass-through."""
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import functions as F
 
@@ -17,6 +21,8 @@ from jetro_spark.functions.strings import (
     re_replace_all,
 )
 
+W = r"\p{IsAlphabetic}\p{M}\p{Nd}\p{Pc}\p{IsJoin_Control}"
+
 
 def _one(spark, col):
     return spark.range(1).select(col.alias("v")).first()["v"]
@@ -27,7 +33,7 @@ def _one(spark, col):
 
 def test_named_group_spelling():
     assert rust_to_java(r"(?P<y>\d{4})-(?P<m>\d{2})") == \
-        r"(?<y>\d{4})-(?<m>\d{2})"
+        rf"(?<y>\p{{Nd}}{{4}})-(?<m>\p{{Nd}}{{2}})"
     # literal "(?P<" inside a class is untouched
     assert rust_to_java(r"[(?P<]") == r"[(?P<]"
 
@@ -46,11 +52,40 @@ def test_dot_and_dollar_translate():
     assert rust_to_java(r"[.$]") == r"[.$]"
     assert rust_to_java(r"(?s)a.c") == r"(?s)a.c"
     assert rust_to_java(r"(?m)^x$") == r"(?m)^x$"
+    # an ESCAPED paren before flag-like text is not a flag group
+    assert rust_to_java(r"\(?s)a.c") == r"\(?s)a[^\n]c"
 
 
-def test_literal_bracket_in_class_escaped():
-    # Rust: [a[b] is the set {a,[,b}; Java would nest-and-drop the [
-    assert rust_to_java(r"[a[b]") == r"[a\[b]"
+def test_nested_classes_pass_through():
+    # the regex crate supports nested classes and && intersection with
+    # Java-identical semantics — they must NOT be mangled (r6 escaped
+    # the inner '[', breaking [0-9&&[^4]]; the r7 fix)
+    assert rust_to_java(r"[0-9&&[^4]]") == r"[0-9&&[^4]]"
+    assert rust_to_java(r"[x[^xyz]]") == r"[x[^xyz]]"
+    assert rust_to_java(r"[a-z[0-9]]+") == r"[a-z[0-9]]+"
+    # . and $ inside the NESTED class still untouched
+    assert rust_to_java(r"[a[.$]]") == r"[a[.$]]"
+    # leading ] in a nested class is a literal member → escaped for Java
+    assert rust_to_java(r"[a[]b]]") == r"[a[\]b]]"
+
+
+def test_perl_classes_rewritten_to_rust_unicode():
+    assert rust_to_java(r"\d+") == r"\p{Nd}+"
+    assert rust_to_java(r"\D") == r"\P{Nd}"
+    assert rust_to_java(r"\s*") == r"\p{IsWhite_Space}*"
+    assert rust_to_java(r"\S") == r"\P{IsWhite_Space}"
+    assert rust_to_java(r"\w+") == rf"[{W}]+"
+    assert rust_to_java(r"\W") == rf"[^{W}]"
+    # inside a class: members spliced / nested-negated
+    assert rust_to_java(r"[\w-]") == rf"[{W}-]"
+    assert rust_to_java(r"[\W.]") == rf"[[^{W}].]"
+    assert rust_to_java(r"[^\d ]") == r"[^\p{Nd} ]"
+    # opt-out leaves Java ASCII semantics
+    assert rust_to_java(r"\w\d\s", unicode_perl=False) == r"\w\d\s"
+    # Rust's (?-u) ASCII mode auto-disables the rewrite
+    assert rust_to_java(r"(?-u)\w+") == r"(?-u)\w+"
+    # escaped backslash before the class letter is a literal, untouched
+    assert rust_to_java(r"\\d") == r"\\d"
 
 
 # ------------------------------------- live Spark behavior after translation
@@ -87,12 +122,65 @@ def test_replace_and_first_with_translated_patterns(spark):
     assert _one(spark, re_match_first(F.lit("a\rb"), r"a.b")) == "a\rb"
 
 
+def test_nested_class_set_difference_in_spark(spark):
+    # the ADVICE regression case: digits-except-4 must match 0-3,5-9
+    got = _one(spark, re_match_all(F.lit("1 4 7"), r"[0-9&&[^4]]"))
+    assert got == ["1", "7"]
+
+
+def test_unicode_word_matches_rust_semantics(spark):
+    """Fixtures hand-derived from the regex crate's UTS#18 definition
+    of \\w (Alphabetic + M + Nd + Pc + Join_Control) — the Rust ground
+    truth a reference user sees on non-ASCII text."""
+    # accented Latin + combining mark: é (U+00E9) and e+U+0301 both word
+    assert _one(spark, re_match_all(F.lit("héllo wörld"), r"\w+")) == \
+        ["héllo", "wörld"]
+    assert _one(spark, re_match(F.lit("é"), r"^\w+\z")) is True
+    # Arabic-Indic digits are \d and \w in Rust, not in Java ASCII
+    assert _one(spark, re_match(F.lit("٣٤"), r"^\d+\z")) is True
+    assert _one(spark, re_match(F.lit("42"), r"^\d+\z")) is True
+    # Roman numeral Ⅻ (U+216B, category Nl, Alphabetic): \w but NOT \d
+    assert _one(spark, re_match(F.lit("Ⅻ"), r"^\w\z")) is True
+    assert _one(spark, re_match(F.lit("Ⅻ"), r"^\d\z")) is False
+    # superscript ² (U+00B2, category No): NOT \w and NOT \d in Rust
+    assert _one(spark, re_match(F.lit("²"), r"^\w\z")) is False
+    assert _one(spark, re_match(F.lit("²"), r"^\d\z")) is False
+    # ZWJ (U+200D, Join_Control) is \w in Rust
+    assert _one(spark, re_match(F.lit("‍"), r"^\w\z")) is True
+    # NBSP and ideographic space are \s (White_Space) in Rust
+    assert _one(spark, re_match(F.lit(" "), r"^\s\z")) is True
+    assert _one(spark, re_match(F.lit("　"), r"^\s\z")) is True
+    assert _one(spark, re_replace_all(
+        F.lit("a b"), r"\s+", " ")) == "a b"
+    # \S / \W / \D negations agree
+    assert _one(spark, re_match(F.lit(" "), r"^\S\z")) is False
+    assert _one(spark, re_match(F.lit("é"), r"^\W\z")) is False
+    assert _one(spark, re_match(F.lit("٣"), r"^\D\z")) is False
+
+
+def test_unicode_rewrite_agrees_with_python_re_on_common_ground():
+    """Cross-check the rewrite against Python's re module (Unicode
+    mode) on fixtures where Python's and Rust's definitions coincide —
+    an independent engine implementing the same UTS#18 core."""
+    # Python re has no \p classes; the Java-target pattern is validated
+    # live in the spark test above. Here assert the PYTHON ground truth
+    # matches the Rust definition our fixtures encode (guards fixture
+    # rot) on text where the two engines' \w definitions coincide.
+    for text in ["héllo wörld", "a_b c-d", "٣٤ 42", "汉字 kanji"]:
+        assert re.findall(r"\w+", text) == text.replace("-", " ").split()
+
+
 # ------------------------------------------------------------------ audit
 
 
 def test_warnings_flag_unrewritable_deltas():
-    assert any("Unicode" in w for w in dialect_warnings(r"\w+"))
+    assert any(r"\b" in w for w in dialect_warnings(r"\bfoo\b"))
+    assert not any(r"\b" in w for w in dialect_warnings(r"\\b"))  # literal
     assert any("property" in w for w in dialect_warnings(r"\p{Greek}"))
     assert any(r"\r\n" in w for w in dialect_warnings(r"(?m)^x$"))
     assert any("--" in w for w in dialect_warnings(r"[a-z--aeiou]"))
+    assert any("(?-u)" in w for w in dialect_warnings(r"(?-u)\w+"))
+    assert any("scoped" in w for w in dialect_warnings(r"(?s:a.b)c.d"))
+    # \w \d \s are REWRITTEN now — no longer warned as unhandled
+    assert dialect_warnings(r"\w+\d\s") == []
     assert dialect_warnings(r"^[0-9]+\z") == []
