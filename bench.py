@@ -80,25 +80,37 @@ def main() -> None:
     queries["count_by"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # 1 warmup + best-of-3, matching the reference baseline's
+        # 1 warmup + best-of-5, matching the reference baseline's
         # cache-hot protocol (bench_lock.rs: warmups + best-of-iters) and
         # the doc-mode loop below. The warmup pays one-time analysis +
         # codegen; each timed run still executes the full distributed
         # query through the noop sink (no result caching anywhere).
+        # 5 iterations (r7, up from 3) so the recorded per-query
+        # dispersion can tell a real regression from scheduler noise —
+        # this suite's documented run-to-run swing is ±30%.
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(5):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        dispersion[name] = {
+            "min": round(samples[0], 4),
+            "median": round(samples[len(samples) // 2], 4),
+            "max": round(samples[-1], 4),
+            "spread_pct": round(100 * (samples[-1] - samples[0])
+                                / samples[0], 1) if samples[0] else None,
+        }
+        total += samples[0]
 
     # document-mode bench_lock suite: the reference's own 13-query locked
     # workload (20k orders × 6 items, BASELINE.md) as jetro expression
@@ -130,13 +142,21 @@ def main() -> None:
     for name, expr in BENCH_QUERIES.items():
         jt.execute(expr)
         jt.execute(expr)
-        best = float("inf")
+        samples = []
         for _ in range(7):
             t0 = time.perf_counter()
             jt.execute(expr)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        dispersion[name] = {
+            "min": round(samples[0], 4),
+            "median": round(samples[len(samples) // 2], 4),
+            "max": round(samples[-1], 4),
+            "spread_pct": round(100 * (samples[-1] - samples[0])
+                                / samples[0], 1) if samples[0] else None,
+        }
+        total += samples[0]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -147,6 +167,12 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                # Per-query {min, median, max, spread_pct} over the same
+                # iterations that produced "queries" (r7): a
+                # round-over-round delta SMALLER than a query's own
+                # spread_pct is noise, not a regression — adjudicate
+                # against this, not the single best number.
+                "dispersion": dispersion,
                 "sf": sf,
                 # Measurement-protocol provenance: doc-mode bl_q* are
                 # driver-local fresh executeCollect since r03; relational
@@ -154,7 +180,8 @@ def main() -> None:
                 # r03 and warm best-of-3 since r04 (cache-hot, like the
                 # reference baseline's own protocol). Numbers across a
                 # protocol switch are NOT comparable round-over-round.
-                "protocol": ("relational=noop-sink warm best-of-3 (since r04; "
+                "protocol": ("relational=noop-sink warm best-of-5 + "
+                             "dispersion (since r07; best-of-3 r04-r06; "
                              "cold single-shot r01-r03); "
                              "bl_q*=warm-projection eval best-of-7 since r05 "
                              "(compile-once SafeProjection, each iteration "

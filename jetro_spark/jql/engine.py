@@ -46,6 +46,7 @@ from jetro_spark.jql.parser import parse
 from jetro_spark.localrel import (
     compile_warm,
     fresh_execute,
+    local_doc_frame,
     plan_size_estimate,
     to_local_relation,
 )
@@ -224,11 +225,24 @@ class Jetro:
         wrapped = value if isinstance(value, dict) else {"__root__": value}
         self.schema: T.StructType = infer_schema(wrapped)
         self._wrapped_scalar = not isinstance(value, dict)
+        if local is None:
+            local = not checkpoint
+        if local and not checkpoint:
+            # Zero-job ingest: JSON → driver-side JVM from_json eval →
+            # LocalRelation. No createDataFrame, so no job whose task
+            # embeds the multi-MB pickled document (the TaskSetManager
+            # large-task warning this retires). Falls through to the
+            # createDataFrame path on any unsupported shape.
+            folded = local_doc_frame(spark, wrapped, self.schema)
+            if folded is not None:
+                self.df = folded
+                self.spark = spark
+                self._plan_cache = {}
+                self._warm_cache = {}
+                return
         row = _to_row(wrapped, self.schema)
         df = spark.createDataFrame(
             [(row,)], T.StructType([T.StructField("__doc", self.schema, False)]))
-        if local is None:
-            local = not checkpoint
         if local:
             # One document = one row: distribute nothing. Rebuilding the
             # frame as a JVM LocalRelation lets Catalyst's

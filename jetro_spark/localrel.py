@@ -103,6 +103,111 @@ def to_local_relation(df: DataFrame) -> DataFrame | None:
         raise
 
 
+def local_doc_frame(spark, value, schema) -> DataFrame | None:
+    """Build the one-row ``__doc`` frame as a LocalRelation WITHOUT a
+    Spark job or a data-bearing task.
+
+    ``to_local_relation`` on a ``createDataFrame`` frame must run one
+    job whose single task embeds the whole pickled document — harmless
+    semantically, but a multi-MB task (TaskSetManager warns above
+    1000 KiB) that ships the doc through the scheduler instead of the
+    driver evaluating it in place. This path keeps the document
+    driver-side end to end: serialize to JSON, plan
+    ``from_json(lit(json), schema)`` over ``SELECT 1``'s
+    OneRowRelation, and evaluate that Project's expressions directly
+    (``eval_local_project``) — the JSON parse happens in the JVM on
+    the driver thread, zero jobs, zero tasks.
+
+    FAILFAST + a null check guard fidelity: the JSON round-trip is
+    exact for the document value space (documents ARE parsed JSON), and
+    any parse surprise raises or returns null → caller falls back to
+    the createDataFrame path. Returns None when the value doesn't
+    JSON-serialize, the schema contains VariantType (from_json's
+    variant handling is not bit-pinned against our _to_row), or the
+    classic JVM surface is unavailable.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _has_variant(dt) -> bool:
+        if isinstance(dt, T.StructType):
+            return any(_has_variant(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _has_variant(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+        return dt.typeName() == "variant"
+
+    if _has_variant(schema):
+        return None
+    try:
+        js = _json.dumps(value)
+    except (TypeError, ValueError):
+        return None
+    try:
+        one = spark.sql("SELECT 1")
+        df = one.select(F.from_json(F.lit(js), schema,
+                                    {"mode": "FAILFAST"}).alias("__doc"))
+        return eval_local_project(df, reject_all_null=True)
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise
+
+
+def eval_local_project(df: DataFrame,
+                       reject_all_null: bool = False) -> DataFrame | None:
+    """Evaluate a Project over OneRowRelation/1-row-LocalRelation
+    DRIVER-SIDE (interpreted expression eval, no job) and rebuild the
+    result as a LocalRelation frame. Returns None when the plan isn't
+    that shape, the surface is missing, or (``reject_all_null``) every
+    output value evaluated to null — the from_json-sentinel for a
+    parse the FAILFAST mode didn't catch."""
+    try:
+        spark, jvm, jspark = _jvm_bits(df)
+        qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+        plan = qe.optimizedPlan()
+        if plan.nodeName() != "Project":
+            return None
+        child = plan.child()
+        if child.nodeName() == "OneRowRelation":
+            input_row = jvm.org.apache.spark.sql.catalyst.expressions \
+                .GenericInternalRow(
+                    spark._sc._gateway.new_array(jvm.java.lang.Object, 0))
+        elif child.nodeName() == "LocalRelation" and child.data().size() == 1:
+            input_row = child.data().apply(0)
+        else:
+            return None
+        pl = plan.projectList()
+        n = pl.size()
+        arr = spark._sc._gateway.new_array(jvm.java.lang.Object, n)
+        all_null = True
+        for i in range(n):
+            v = pl.apply(i).eval(input_row)
+            if v is not None:
+                all_null = False
+            arr[i] = v
+        if reject_all_null and all_null:
+            return None
+        out_row = jvm.org.apache.spark.sql.catalyst.expressions \
+            .GenericInternalRow(arr)
+        jlist = jvm.java.util.ArrayList()
+        jlist.add(out_row)
+        seq = jvm.org.apache.spark.api.python.PythonUtils.toSeq(jlist)
+        local_relation = jvm.org.apache.spark.sql.catalyst.plans.logical \
+            .LocalRelation
+        stream_none = getattr(local_relation, "apply$default$4")()
+        lr = local_relation(plan.output(), seq, False, stream_none)
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(jspark, lr)
+        return DataFrame(jdf, spark)
+    except Exception as exc:
+        if _surface_missing(exc):
+            return None
+        raise
+
+
 def plan_size_estimate(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate in bytes; None when the
     estimate is unavailable (Spark Connect: no QueryExecution handle) or
