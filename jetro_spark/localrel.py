@@ -196,6 +196,24 @@ def eval_local_project(df: DataFrame,
         jlist = jvm.java.util.ArrayList()
         jlist.add(out_row)
         seq = jvm.org.apache.spark.api.python.PythonUtils.toSeq(jlist)
+        # Convert the generic row (Jackson-built GenericInternalRow /
+        # GenericArrayData trees for from_json) to the compact UnsafeRow
+        # layout executeCollect would have produced — downstream
+        # expression eval over UnsafeArrayData is substantially faster
+        # (bl_q10 measured 72 ms unsafe vs 130 ms generic). The
+        # projection is passed as an ARGUMENT to Seq.map (a stable-class
+        # receiver) and never invoked through py4j directly — see the
+        # generated-class name-cache pitfall on WarmQuery.
+        outs = plan.output()
+        dts = spark._sc._gateway.new_array(
+            jvm.org.apache.spark.sql.types.DataType, n)
+        for i in range(n):
+            dts[i] = outs.apply(i).dataType()
+        uproj = jvm.org.apache.spark.sql.catalyst.expressions \
+            .UnsafeProjection.create(dts)
+        # strict map over a 1-row List; the projection's reused output
+        # buffer is safe at size 1 (nothing reapplies it)
+        seq = seq.map(uproj)
         local_relation = jvm.org.apache.spark.sql.catalyst.plans.logical \
             .LocalRelation
         stream_none = getattr(local_relation, "apply$default$4")()
