@@ -55,8 +55,10 @@ _TIER1 = [
     # extended joins
     "equi_join", "asof_join", "range_join", "salted_join", "join_semi",
     "bucketed_join",
-    # scalar functions
-    "string_case", "regex_ops", "parse_cast", "encoding",
+    # scalar functions ("encoding" rotated out in r7 for simhash_pairs —
+    # the newly hard-oracled row belongs in the driver-visible 50; the
+    # scalar family keeps three representatives)
+    "string_case", "regex_ops", "parse_cast",
     # window builtins
     "win_lag_lead", "win_zscore",
     # time series
@@ -67,7 +69,8 @@ _TIER1 = [
     "jql_filter_map", "jql_patch", "jql_window", "jql_comprehension",
     "jql_variant_deep", "deep_search",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_lsh", "dedup_cluster", "ann_topk",
+    "dedup_exact", "dedup_lsh", "dedup_cluster", "simhash_pairs",
+    "ann_topk",
     "ann_ivf_trained", "label_centroids", "mm_decode", "text_stats",
     "quality_filters", "pipeline_demo", "pack_cumsum",
     # HOFs / streaming / doc-suite
