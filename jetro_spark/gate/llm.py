@@ -827,3 +827,220 @@ ORACLES["pipeline_demo"] = f"""
            CAST(count(DISTINCT id) AS BIGINT) AS n_docs
     FROM chunks GROUP BY 1
 """
+
+
+# --- Gopher/C4 quality & repetition rows (llm/text.py, round 7) --------------
+# Published doc-level heuristics a corpus-prep pipeline filters on:
+# Gopher repetition signals (Rae et al. 2021 A1: duplicated / most-
+# frequent n-gram character mass, duplicate-line fractions) and quality
+# rules (word count / mean word length / symbol ratio / alpha-word
+# ratio / stopword presence), plus C4's cleaning flags (Raffel et al.
+# 2020 §2.2). All expression-only row-local maps — no shuffle; at
+# 100 TB these run at scan speed and push down as filters.
+
+
+def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition numerators over word 2-grams: characters in
+    the most frequent gram (count ties -> larger char mass) and in all
+    grams occurring >= 2 times, plus the normalized-char denominator.
+    The Spark side is a sorted-run fold (O(G log G), whole-row-local);
+    the oracle recomputes via unnest + GROUP BY."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.top_ngram_char_mass(t, 2).alias("top2_chars"),
+        TX.dup_ngram_char_mass(t, 2).alias("dup2_chars"),
+        F.length(TX.normalize_text(t)).cast("long").alias("n_chars"),
+    )
+
+
+QUERIES["rep_ngrams"] = q_rep_ngrams
+
+_GRAMS2 = ("[array_to_string(toks[i:i+1], ' ') "
+           "for i in generate_series(1, greatest(len(toks) - 1, 0))]")
+
+ORACLES["rep_ngrams"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_NORM})::BIGINT AS n_chars
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_GRAMS2}) AS gram FROM t
+    ), counts AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), ranked AS (
+      SELECT doc_id, gram, c,
+             max(c) OVER (PARTITION BY doc_id) AS maxc
+      FROM counts
+    ), agg AS (
+      SELECT doc_id,
+             max(CASE WHEN c = maxc THEN c * len(gram) END)::BIGINT
+               AS top2_chars,
+             coalesce(sum(CASE WHEN c >= 2 THEN c * len(gram) END),
+                      0)::BIGINT AS dup2_chars
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(agg.top2_chars, 0) AS top2_chars,
+           coalesce(agg.dup2_chars, 0) AS dup2_chars, t.n_chars
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
+def q_doc_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-shape signals with lines derived by splitting on the token
+    'the' (the corpus is single-line word soup; the derivation is the
+    same deterministic transform on both engines, so the line machinery
+    is exercised end to end)."""
+    d = _docs(spark, sf_dir)
+    s = TX.line_stats(F.col("text"), sep=" the ")
+    return d.select(
+        "doc_id",
+        s.getField("n_lines").alias("n_lines"),
+        s.getField("dup_line_ratio").alias("dup_line_ratio"),
+        s.getField("dup_line_char_ratio").alias("dup_line_char_ratio"),
+        s.getField("bullet_ratio").alias("bullet_ratio"),
+        s.getField("terminal_ratio").alias("terminal_ratio"),
+    )
+
+
+QUERIES["doc_line_stats"] = q_doc_line_stats
+
+_LINES = ("list_filter(list_transform(string_split_regex(trim(text), "
+          "' the '), x -> trim(x)), x -> len(x) > 0)")
+
+ORACLES["doc_line_stats"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_LINES} AS lines FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(lines) AS line FROM t
+    ), counts AS (
+      SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line
+    ), dup AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN c >= 2 THEN c * len(line) END), 0)
+               AS dup_chars,
+             sum(c * len(line)) AS tot_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.lines)::BIGINT AS n_lines,
+           CASE WHEN len(t.lines) > 0
+                THEN (len(t.lines) - len(list_distinct(t.lines)))::DOUBLE
+                     / len(t.lines) ELSE 0.0 END AS dup_line_ratio,
+           CASE WHEN coalesce(dup.tot_chars, 0) > 0
+                THEN dup.dup_chars::DOUBLE / dup.tot_chars
+                ELSE 0.0 END AS dup_line_char_ratio,
+           CASE WHEN len(t.lines) > 0
+                THEN len(list_filter(t.lines,
+                         x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+                     / len(t.lines) ELSE 0.0 END AS bullet_ratio,
+           CASE WHEN len(t.lines) > 0
+                THEN len(list_filter(t.lines,
+                         x -> regexp_matches(x, '[.!?]["'']?$')))::DOUBLE
+                     / len(t.lines) ELSE 0.0 END AS terminal_ratio
+    FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = TX.gopher_rules(F.col("text"))
+    return d.select(
+        "doc_id",
+        g.getField("n_words").alias("n_words"),
+        g.getField("mean_word_len").alias("mean_word_len"),
+        g.getField("symbol_ratio").alias("symbol_ratio"),
+        g.getField("alpha_word_ratio").alias("alpha_word_ratio"),
+        g.getField("n_stopwords").alias("n_stopwords"),
+        g.getField("passes").alias("passes"),
+    )
+
+
+QUERIES["gopher_rules"] = q_gopher_rules
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+
+ORACLES["gopher_rules"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                       / len(toks) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+                       / len(toks) ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                       / len(toks) ELSE 0.0 END AS alpha_word_ratio,
+             len(list_intersect(list_distinct(toks),
+                                [{_GOPHER_SW}]))::BIGINT AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+            AND n_stopwords >= 2) AS passes
+    FROM m
+"""
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning flags over a DERIVED punctuated corpus (the word-soup
+    documents carry no sentence punctuation, so ' value ' becomes '. '
+    and deterministic lorem-ipsum / brace markers attach by doc_id —
+    the identical transform on both engines; the flags then vary
+    genuinely across the corpus)."""
+    d = _docs(spark, sf_dir)
+    t2 = F.concat(
+        F.regexp_replace(F.col("text"), " value ", ". "),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum"))
+        .otherwise(F.lit("")))
+    c = TX.c4_rules(t2, sep=" the ")
+    return d.select(
+        "doc_id",
+        c.getField("n_sentences").alias("n_sentences"),
+        c.getField("terminal_line_ratio").alias("terminal_line_ratio"),
+        c.getField("has_lorem_ipsum").alias("has_lorem_ipsum"),
+        c.getField("has_brace").alias("has_brace"),
+        c.getField("keep").alias("keep"),
+    )
+
+
+QUERIES["c4_rules"] = q_c4_rules
+
+_C4_TXT = ("regexp_replace(text, ' value ', '. ', 'g')"
+           " || CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END"
+           " || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END")
+
+ORACLES["c4_rules"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_C4_TXT} AS txt FROM documents
+    ), l AS (
+      SELECT doc_id, txt,
+             list_filter(list_transform(
+                 string_split_regex(trim(txt), ' the '), x -> trim(x)),
+                 x -> len(x) > 0) AS lines,
+             len(list_filter(list_transform(
+                 string_split_regex(trim(txt), '[.!?]'), x -> trim(x)),
+                 x -> len(x) > 0))::BIGINT AS n_sentences
+      FROM t
+    )
+    SELECT doc_id, n_sentences,
+           CASE WHEN len(lines) > 0
+                THEN len(list_filter(lines,
+                         x -> regexp_matches(x, '[.!?]["'']?$')))::DOUBLE
+                     / len(lines) ELSE 0.0 END AS terminal_line_ratio,
+           contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(txt, '{{') AS has_brace,
+           (n_sentences >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+            AND NOT contains(txt, '{{')) AS keep
+    FROM l
+"""

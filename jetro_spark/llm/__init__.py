@@ -14,6 +14,13 @@ from jetro_spark.llm.dedup import (
     simhash_pairs,
 )
 from jetro_spark.llm.chunking import split_by_tokens
+from jetro_spark.llm.text import (
+    c4_rules,
+    dup_ngram_char_mass,
+    gopher_rules,
+    line_stats,
+    top_ngram_char_mass,
+)
 from jetro_spark.llm.packing import pack_by_cumsum, pack_greedy
 from jetro_spark.llm.sampling import (
     hash_sample,
@@ -30,6 +37,11 @@ from jetro_spark.llm.similarity import (
 
 __all__ = [
     "split_by_tokens",
+    "gopher_rules",
+    "c4_rules",
+    "line_stats",
+    "top_ngram_char_mass",
+    "dup_ngram_char_mass",
     "mixture_interleave",
     "exact_dedup",
     "minhash_lsh_pairs",

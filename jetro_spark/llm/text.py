@@ -201,6 +201,192 @@ def pii_counts(c: Column) -> Column:
     )
 
 
+def word_ngrams(c: Column, n: int) -> Column:
+    """Word n-grams of the normalized text (space-joined, order kept,
+    duplicates kept — unlike word_shingles' distinct set). Empty array
+    below n tokens."""
+    return let_(
+        ws_tokens(normalize_text(c)),
+        lambda toks: let_(
+            F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)),
+            lambda k: F.when(k > 0, F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+            .otherwise(F.array().cast("array<string>"))))
+
+
+def _run_fold(sorted_items: Column, kind: str) -> Column:
+    """Single pass over a SORTED string array counting equal-run char
+    mass — O(G log G) with the sort, instead of the O(G²) per-item
+    count() HOF. ``kind='dup'``: total chars of items whose value occurs
+    >= 2 times (count x length). ``kind='top'``: chars of the most
+    frequent item (ties broken toward larger char mass). The update
+    rule needs no finish-step correction: a run's contribution is
+    applied incrementally as the run grows."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best_run"), F.lit(0).alias("acc"))
+
+    def merge(a: Column, g: Column) -> Column:
+        nrun = F.when(g == a.getField("prev"),
+                      a.getField("run") + 1).otherwise(F.lit(1))
+
+        def build(r: Column) -> Column:
+            if kind == "dup":
+                # a run reaching 2 contributes both occurrences at once,
+                # every further occurrence adds one gram-length
+                acc = a.getField("acc") + (
+                    F.when(r == 2, 2 * F.length(g))
+                    .when(r > 2, F.length(g)).otherwise(F.lit(0)))
+            else:
+                # current run supersedes when strictly longer, or equally
+                # long with more chars
+                acc = F.when(
+                    (r > a.getField("best_run"))
+                    | ((r == a.getField("best_run"))
+                       & (r * F.length(g) > a.getField("acc"))),
+                    r * F.length(g)).otherwise(a.getField("acc"))
+            return F.struct(
+                g.alias("prev"), r.alias("run"),
+                F.greatest(a.getField("best_run"), r).alias("best_run"),
+                acc.alias("acc"))
+
+        return let_(nrun, build)
+
+    return F.aggregate(sorted_items, init, merge,
+                       lambda a: a.getField("acc").cast("long"))
+
+
+def dup_ngram_char_mass(c: Column, n: int) -> Column:
+    """Total characters (space-joined gram length x occurrences) of word
+    n-grams appearing >= 2 times — the Gopher duplicated-n-gram signal's
+    numerator (divide by char count for the fraction)."""
+    return let_(F.array_sort(word_ngrams(c, n)), lambda g: _run_fold(g, "dup"))
+
+
+def top_ngram_char_mass(c: Column, n: int) -> Column:
+    """Characters covered by the single most frequent word n-gram
+    (occurrences x gram length; count ties break toward larger char
+    mass) — the Gopher top-n-gram signal's numerator."""
+    return let_(F.array_sort(word_ngrams(c, n)), lambda g: _run_fold(g, "top"))
+
+
+def split_lines(c: Column, sep: str = r"\n") -> Column:
+    """Non-empty trimmed lines (``sep`` is a Java regex).
+
+    The per-line trim MUST be a single-arg lambda: passing ``F.trim``
+    itself would make transform hand it (element, index) — the
+    deprecated two-parameter trim that strips the stringified INDEX's
+    characters from each line."""
+    return F.filter(F.transform(F.split(F.trim(c), sep),
+                                lambda l: F.trim(l)),
+                    lambda l: F.length(l) > 0)
+
+
+def line_stats(c: Column, sep: str = r"\n") -> Column:
+    """struct of the Gopher/C4 line-shape signals:
+    n_lines; dup_line_ratio (lines equal to an earlier line);
+    dup_line_char_ratio (chars inside lines whose value occurs >= 2
+    times, over total line chars); bullet_ratio (lines starting with a
+    bullet mark); ellipsis_ratio (lines ending in ... or the Unicode
+    ellipsis); terminal_ratio (lines ending in . ! ? or a closing
+    quote after one — C4 keeps only such lines)."""
+    def _stats(lines: Column) -> Column:
+        nl = F.size(lines)
+        chars = F.aggregate(lines, F.lit(0),
+                            lambda a, l: a + F.length(l)).cast("long")
+        dup_chars = let_(F.array_sort(lines), lambda s: _run_fold(s, "dup"))
+
+        def ratio(num: Column) -> Column:
+            return F.when(nl > 0, num.cast("double") / nl) \
+                .otherwise(F.lit(0.0))
+
+        return F.struct(
+            nl.cast("long").alias("n_lines"),
+            ratio(nl - F.size(F.array_distinct(lines)))
+            .alias("dup_line_ratio"),
+            F.when(chars > 0, dup_chars.cast("double") / chars)
+            .otherwise(F.lit(0.0)).alias("dup_line_char_ratio"),
+            ratio(F.size(F.filter(
+                lines, lambda l: l.rlike(r"^[-*•]"))))
+            .alias("bullet_ratio"),
+            ratio(F.size(F.filter(
+                lines, lambda l: l.rlike(r"(\.\.\.|…)$"))))
+            .alias("ellipsis_ratio"),
+            ratio(F.size(F.filter(
+                lines, lambda l: l.rlike("[.!?][\"']?$"))))
+            .alias("terminal_ratio"),
+        )
+
+    return let_(split_lines(c, sep), _stats)
+
+
+# Gopher's stopword-presence set (Rae et al. 2021, appendix A1: a doc
+# must contain at least two of these to pass the quality rules)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(c: Column) -> Column:
+    """struct of the Gopher quality-rule measurements and their pass
+    flag (Rae et al. 2021, appendix A1 — the published doc-level
+    heuristics, adapted: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# or ...) <= 0.1, >= 80% of words
+    contain an alphabetic character, >= 2 distinct Gopher stopwords).
+    The bullet/ellipsis line rules live in line_stats (they need a line
+    separator). Expression-only — usable as a scan-time filter."""
+    def _rules(toks: Column) -> Column:
+        nw = F.size(toks)
+        mwl = F.when(nw > 0, F.aggregate(
+            toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nw) \
+            .otherwise(F.lit(0.0))
+        n_sym = (F.regexp_count(c, F.lit(r"#")) +
+                 F.regexp_count(c, F.lit(r"\.\.\.")))
+        sym_ratio = F.when(nw > 0, n_sym.cast("double") / nw) \
+            .otherwise(F.lit(0.0))
+        alpha_words = F.size(F.filter(toks,
+                                      lambda t: t.rlike("[a-zA-Z]")))
+        alpha_ratio_ = F.when(nw > 0, alpha_words.cast("double") / nw) \
+            .otherwise(F.lit(0.0))
+        n_stop = F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+        return F.struct(
+            nw.cast("long").alias("n_words"),
+            mwl.cast("double").alias("mean_word_len"),
+            sym_ratio.cast("double").alias("symbol_ratio"),
+            alpha_ratio_.cast("double").alias("alpha_word_ratio"),
+            n_stop.cast("long").alias("n_stopwords"),
+            ((nw >= 50) & (nw <= 100_000)
+             & (mwl >= 3.0) & (mwl <= 10.0)
+             & (sym_ratio <= 0.1)
+             & (alpha_ratio_ >= 0.8)
+             & (n_stop >= 2)).alias("passes"),
+        )
+
+    return let_(ws_tokens(normalize_text(c)), _rules)
+
+
+def c4_rules(c: Column, sep: str = r"\n") -> Column:
+    """struct of the C4 cleaning signals (Raffel et al. 2020 §2.2):
+    sentence count (terminal-punctuation splits), terminal-punctuation
+    line ratio, lorem-ipsum marker, curly-brace marker (code), and the
+    combined keep flag (>= 3 sentences, no lorem ipsum, no brace —
+    the doc-level subset; C4's line-level retention is line_stats'
+    terminal_ratio applied by the caller)."""
+    low = F.lower(c)
+    n_sent = F.size(F.filter(F.split(F.trim(c), r"[.!?]"),
+                             lambda s: F.length(F.trim(s)) > 0))
+    term_ratio = line_stats(c, sep).getField("terminal_ratio")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    return F.struct(
+        n_sent.cast("long").alias("n_sentences"),
+        term_ratio.alias("terminal_line_ratio"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        ((n_sent >= 3) & ~has_lorem & ~has_brace).alias("keep"),
+    )
+
+
 def junk_ratio(c: Column) -> Column:
     """Fraction of characters that are control chars (C0 minus
     tab/newline/CR) or U+FFFD replacement characters — the

@@ -424,3 +424,78 @@ def test_mixture_interleave_rejects_column_clash(spark):
                               F.lit(0).alias("epoch"))
     with pytest.raises(ValueError, match="epoch"):
         mixture_interleave({"a": (d, 1.0)}, "doc_id")
+
+
+# ----------------------------- Gopher/C4 quality & repetition (round 7)
+
+
+def test_ngram_char_mass_fixtures(spark):
+    """Hand-computed Gopher repetition numerators. 'a b a b a b c':
+    2-grams [a b, b a, a b, b a, a b, b c] — top 'a b' x3 x len 3 = 9;
+    duplicated grams 'a b' (3x3) + 'b a' (2x3) = 15."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z w"), (3, "")], ["id", "t"])
+    got = {r["id"]: (r["top"], r["dup"]) for r in df.select(
+        "id",
+        TX.top_ngram_char_mass(F.col("t"), 2).alias("top"),
+        TX.dup_ngram_char_mass(F.col("t"), 2).alias("dup")).collect()}
+    assert got[1] == (9, 15)
+    assert got[2] == (3, 0)   # all grams unique: top run = 1 x len 3
+    assert got[3] == (0, 0)
+
+
+def test_top_ngram_tiebreak_prefers_char_mass(spark):
+    # 'aa bb' x2 and 'c d' x2: equal counts, tie -> larger char mass (5)
+    df = spark.createDataFrame([(1, "aa bb x aa bb y c d z c d")], ["id", "t"])
+    got = df.select(TX.top_ngram_char_mass(F.col("t"), 2).alias("v")).first()["v"]
+    assert got == 2 * len("aa bb")
+
+
+def test_line_stats_fixture(spark):
+    df = spark.createDataFrame(
+        [(1, "foo.\nbar\nfoo.\n- item\nend...")], ["id", "t"])
+    s = df.select(TX.line_stats(F.col("t")).alias("s")).first()["s"]
+    assert s["n_lines"] == 5
+    assert s["dup_line_ratio"] == pytest.approx(1 / 5)       # one repeat
+    assert s["dup_line_char_ratio"] == pytest.approx(8 / 23)  # 'foo.' x2
+    assert s["bullet_ratio"] == pytest.approx(1 / 5)
+    assert s["ellipsis_ratio"] == pytest.approx(1 / 5)
+    assert s["terminal_ratio"] == pytest.approx(3 / 5)
+
+
+def test_split_lines_trims_without_index_corruption(spark):
+    """F.transform(xs, F.trim) would silently pass the element INDEX as
+    trim's deprecated second parameter, stripping digit chars — lines
+    with digit edges must survive."""
+    df = spark.createDataFrame([(1, "1abc1\n2def2")], ["id", "t"])
+    assert df.select(TX.split_lines(F.col("t")).alias("l")) \
+        .first()["l"] == ["1abc1", "2def2"]
+
+
+def test_gopher_rules_pass_and_fail(spark):
+    good = " ".join(
+        ["the quick brown fox with many of that and be to have words"] * 6)
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, "short text"),                       # < 50 words
+         (3, " ".join(["####"] * 60))],           # symbols, no stopwords
+        ["id", "t"])
+    got = {r["id"]: r["g"] for r in
+           df.select("id", TX.gopher_rules(F.col("t")).alias("g")).collect()}
+    assert got[1]["passes"] is True
+    assert got[1]["n_stopwords"] == 8
+    assert got[2]["passes"] is False
+    assert got[3]["passes"] is False
+    assert got[3]["alpha_word_ratio"] == 0.0
+
+
+def test_c4_rules_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "One sentence. Two things! Three questions? More."),
+         (2, "code { x } lorem ipsum")], ["id", "t"])
+    got = {r["id"]: r["c"] for r in
+           df.select("id", TX.c4_rules(F.col("t")).alias("c")).collect()}
+    assert got[1]["n_sentences"] == 4 and got[1]["keep"] is True
+    assert got[2]["has_lorem_ipsum"] is True
+    assert got[2]["has_brace"] is True
+    assert got[2]["keep"] is False
