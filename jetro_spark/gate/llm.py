@@ -1044,3 +1044,92 @@ ORACLES["c4_rules"] = f"""
             AND NOT contains(txt, '{{')) AS keep
     FROM l
 """
+
+
+# --- embedding utilities (llm/similarity.py, round 7) ------------------------
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization, verified end to end: scale,
+    code checksum, and the exact per-vector max reconstruction error
+    (all scalar; DuckDB replays the floor(x/scale + 0.5) half-up codes
+    bit-identically — no round(), which diverges across engines)."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    q = SIM.int8_quantize(F.col("embedding"))
+    d = e.select("vec_id", q.alias("q"), "embedding")
+    return d.select(
+        "vec_id",
+        F.col("q.scale").alias("scale"),
+        F.aggregate(F.col("q.codes"), F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("code_sum"),
+        F.array_max(F.zip_with(
+            F.col("embedding"), F.col("q.codes"),
+            lambda x, c: F.abs(x.cast("double")
+                               - c.cast("double") * F.col("q.scale"))))
+        .alias("max_err"),
+    )
+
+
+QUERIES["embed_quantize"] = q_embed_quantize
+
+ORACLES["embed_quantize"] = """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+               / 127.0 AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(embedding,
+                           x -> floor(x::DOUBLE / scale + 0.5)::INTEGER)
+                  ELSE list_transform(embedding, x -> 0) END AS codes
+      FROM q
+    )
+    SELECT vec_id, scale,
+           list_sum(codes)::BIGINT AS code_sum,
+           list_max([abs(embedding[i]::DOUBLE - codes[i] * scale)
+                     for i in generate_series(1, len(embedding))])
+             AS max_err
+    FROM c
+"""
+
+
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2_normalize verified through scalar probes: the norm itself, the
+    sequential sum of normalized components, and the unit-norm residual
+    |1 - ||v/||v|||| (exact double folds on both engines)."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    n = SIM.l2_normalize(F.col("embedding"))
+    d = e.select("vec_id", n.alias("u"), "embedding")
+    return d.select(
+        "vec_id",
+        SIM.l2_norm(F.col("embedding")).alias("norm"),
+        F.aggregate(F.col("u"), F.lit(0.0), lambda a, x: a + x)
+        .alias("comp_sum"),
+        F.abs(F.lit(1.0) - SIM.l2_norm(F.col("u"))).alias("unit_residual"),
+    )
+
+
+QUERIES["embed_normalize"] = q_embed_normalize
+
+ORACLES["embed_normalize"] = """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            for i in generate_series(1, len(embedding))]))
+               AS norm
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, norm,
+             [embedding[i]::DOUBLE / nullif(norm, 0)
+              for i in generate_series(1, len(embedding))] AS uv
+      FROM n
+    )
+    SELECT vec_id, norm,
+           list_sum(uv) AS comp_sum,
+           abs(1.0 - sqrt(list_sum([uv[i] * uv[i]
+                                    for i in generate_series(1, len(uv))])))
+             AS unit_residual
+    FROM u
+"""

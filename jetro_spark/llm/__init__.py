@@ -30,6 +30,9 @@ from jetro_spark.llm.sampling import (
 )
 from jetro_spark.llm.similarity import (
     brute_force_topk,
+    int8_dequantize,
+    int8_quantize,
+    l2_normalize,
     hyperplane_lsh_topk,
     ivf_topk,
     label_centroids,
@@ -49,6 +52,9 @@ __all__ = [
     "connected_components",
     "dedup_near_clusters",
     "brute_force_topk",
+    "l2_normalize",
+    "int8_quantize",
+    "int8_dequantize",
     "hyperplane_lsh_topk",
     "ivf_topk",
     "label_centroids",

@@ -42,6 +42,52 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of the vector (``array<double>``); components of a
+    zero vector map to NULL (undefined direction — matches try_divide /
+    DuckDB x/0 semantics). Norm is let_-bound: referenced once per
+    component otherwise (HOFs have no CSE)."""
+    from jetro_spark.functions.arrays import let_
+
+    return let_(a, lambda v: let_(
+        l2_norm(v),
+        lambda n: F.transform(v, lambda x: F.try_divide(x.cast("double"),
+                                                        n))))
+
+
+def int8_quantize(a: Column) -> Column:
+    """Symmetric absmax int8 quantization: ``struct(scale, codes)`` with
+    ``scale = absmax/127`` and ``codes[i] = floor(x/scale + 0.5)`` (the
+    engine-portable half-up rounding — floor on exact doubles is
+    bit-identical across engines, unlike round()). A zero vector gets
+    scale 0 and all-zero codes. Row-local, expression-only: at 100 TB
+    this is the 4x storage/bandwidth shrink before ANN, running at scan
+    speed."""
+    from jetro_spark.functions.arrays import let_
+
+    def _q(v: Column) -> Column:
+        absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        return let_(absmax / F.lit(127.0), lambda scale: F.struct(
+            scale.alias("scale"),
+            F.when(scale > 0, F.transform(
+                v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5))
+                .cast("int")))
+            .otherwise(F.transform(v, lambda x: F.lit(0)))
+            .alias("codes")))
+
+    return let_(a, _q)
+
+
+def int8_dequantize(q: Column) -> Column:
+    """Inverse of :func:`int8_quantize`: ``codes[i] * scale`` as
+    ``array<double>`` (reconstruction error <= scale/2 per component)."""
+    from jetro_spark.functions.arrays import let_
+
+    return let_(q, lambda s: F.transform(
+        s.getField("codes"),
+        lambda c: c.cast("double") * s.getField("scale")))
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -499,3 +499,35 @@ def test_c4_rules_flags(spark):
     assert got[2]["has_lorem_ipsum"] is True
     assert got[2]["has_brace"] is True
     assert got[2]["keep"] is False
+
+
+# ----------------------------------- embedding utilities (round 7)
+
+
+def test_int8_quantize_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    q = SIM.int8_quantize(F.col("embedding"))
+    out = {r["vec_id"]: r for r in df.select(
+        "vec_id", q.alias("q"),
+        SIM.int8_dequantize(q).alias("back"),
+        "embedding").collect()}
+    r1 = out[1]
+    assert r1["q"]["scale"] == pytest.approx(1.0 / 127)
+    assert r1["q"]["codes"] == [127, -63, 32, 0]  # floor(x/s + .5)
+    for orig, back in zip(r1["embedding"], r1["back"]):
+        assert abs(orig - back) <= r1["q"]["scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, exact reconstruction
+    assert out[2]["q"]["scale"] == 0.0
+    assert out[2]["q"]["codes"] == [0, 0, 0, 0]
+    assert out[2]["back"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["u"] for r in df.select(
+        "vec_id", SIM.l2_normalize(F.col("embedding")).alias("u")).collect()}
+    assert out[1] == pytest.approx([0.6, 0.8])
+    assert out[2] == [None, None]  # zero vector: undefined direction
