@@ -1133,3 +1133,48 @@ ORACLES["embed_normalize"] = """
              AS unit_residual
     FROM u
 """
+
+
+# --- benchmark decontamination (llm/text.py, round 7) ------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram overlap flags: the 'benchmark' derives
+    deterministically from the corpus itself (first 12 tokens of every
+    50th document), so the flags vary genuinely — the source documents
+    contain their own prefix and must flag; unrelated docs mostly
+    don't. 5-grams over the small synthetic vocabulary keep accidental
+    overlap rare but nonzero."""
+    d = _docs(spark, sf_dir)
+    bench = (d.filter(F.col("doc_id") % 50 == 0)
+             .select(F.concat_ws(
+                 " ", F.slice(TX.ws_tokens(TX.normalize_text(F.col("text"))),
+                              1, 12)).alias("text")))
+    flags = TX.ngram_overlap_flags(d, bench, n=5)
+    return flags.select("doc_id", "n_overlap", "contaminated")
+
+
+QUERIES["decontaminate"] = q_decontaminate
+
+_GRAMS5 = ("[array_to_string(toks[i:i+4], ' ') "
+           "for i in generate_series(1, greatest(len(toks) - 4, 0))]")
+
+ORACLES["decontaminate"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct({_GRAMS5})) AS g FROM t
+    ), btoks AS (
+      SELECT {_TOKS.replace("text", "array_to_string(btoks12, ' ')")} AS toks
+      FROM (SELECT toks[1:12] AS btoks12 FROM t WHERE doc_id % 50 = 0)
+    ), bench AS (
+      SELECT DISTINCT unnest(list_distinct({_GRAMS5})) AS g FROM btoks
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_overlap
+      FROM grams JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(hits.n_overlap, 0)::BIGINT AS n_overlap,
+           coalesce(hits.n_overlap, 0) >= 1 AS contaminated
+    FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""

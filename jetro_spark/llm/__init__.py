@@ -15,6 +15,8 @@ from jetro_spark.llm.dedup import (
 )
 from jetro_spark.llm.chunking import split_by_tokens
 from jetro_spark.llm.text import (
+    decontaminate,
+    ngram_overlap_flags,
     c4_rules,
     dup_ngram_char_mass,
     gopher_rules,
@@ -41,6 +43,8 @@ from jetro_spark.llm.similarity import (
 __all__ = [
     "split_by_tokens",
     "gopher_rules",
+    "ngram_overlap_flags",
+    "decontaminate",
     "c4_rules",
     "line_stats",
     "top_ngram_char_mass",

@@ -387,6 +387,54 @@ def c4_rules(c: Column, sep: str = r"\n") -> Column:
     )
 
 
+# ------------------------------------------------- decontamination
+
+def ngram_overlap_flags(corpus, bench, *, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        min_hits: int = 1):
+    """Benchmark decontamination flags: for every corpus document, the
+    number of distinct word ``n``-grams it shares with ANY benchmark
+    text, and ``contaminated`` = (overlap >= ``min_hits``) — the
+    standard eval-set n-gram overlap filter for pretraining corpora.
+
+    Scale shape (100 TB corpus, KB-MB benchmark sets): corpus grams
+    explode row-locally and stream through a BROADCAST join against the
+    deduplicated benchmark gram set — no corpus shuffle except the
+    per-doc count aggregate (map-side combined on doc_id). Grams join
+    as exact strings, not hashes: a hash collision would flag an
+    innocent document, and the benchmark side is small enough that the
+    string set broadcasts anyway.
+    """
+    from pyspark.sql import functions as _F
+
+    cg = corpus.select(
+        _F.col(id_col).alias("__id"),
+        _F.explode(_F.array_distinct(
+            word_ngrams(_F.col(text_col), n))).alias("__g"))
+    bg = _F.broadcast(
+        bench.select(_F.explode(_F.array_distinct(
+            word_ngrams(_F.col(bench_text_col), n))).alias("__g"))
+        .distinct())
+    hits = (cg.join(bg, "__g")
+            .groupBy("__id")
+            .agg(_F.count(_F.lit(1)).alias("__n_overlap")))
+    out = (corpus.join(hits,
+                       corpus[id_col] == hits["__id"], "left")
+           .drop("__id"))
+    n_overlap = _F.coalesce(_F.col("__n_overlap"), _F.lit(0)).cast("long")
+    return (out.withColumn("n_overlap", n_overlap)
+            .withColumn("contaminated", n_overlap >= _F.lit(min_hits))
+            .drop("__n_overlap"))
+
+
+def decontaminate(corpus, bench, **kw):
+    """Corpus minus contaminated documents (see ngram_overlap_flags)."""
+    flags = ngram_overlap_flags(corpus, bench, **kw)
+    return flags.filter(~flags.contaminated) \
+        .drop("n_overlap", "contaminated")
+
+
 def junk_ratio(c: Column) -> Column:
     """Fraction of characters that are control chars (C0 minus
     tab/newline/CR) or U+FFFD replacement characters — the

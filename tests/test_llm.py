@@ -531,3 +531,27 @@ def test_l2_normalize(spark):
         "vec_id", SIM.l2_normalize(F.col("embedding")).alias("u")).collect()}
     assert out[1] == pytest.approx([0.6, 0.8])
     assert out[2] == [None, None]  # zero vector: undefined direction
+
+
+def test_ngram_decontamination(spark):
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words here nothing shared at all"),
+        (3, "prefix pad alpha beta gamma delta epsilon zeta suffix"),
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], ["text"])
+    flags = TX.ngram_overlap_flags(corpus, bench, n=5)
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in flags.collect()}
+    # doc 1 contains both benchmark 5-grams, doc 3 contains both too
+    assert got[1] == (2, True)
+    assert got[3] == (2, True)
+    assert got[2] == (0, False)
+    clean = TX.decontaminate(corpus, bench, n=5)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    assert clean.columns == corpus.columns
+    # scale contract: the benchmark gram set joins BROADCAST (the corpus
+    # side never shuffles for the probe)
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
