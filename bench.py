@@ -58,6 +58,12 @@ HEADLINE = [
     "doc_chunks",
     "doc_mixture",
     "pipeline_demo",
+    # r07 additions: Gopher repetition fold, quality rules, benchmark
+    # decontamination (broadcast gram join), int8 embedding quantization
+    "rep_ngrams",
+    "gopher_rules",
+    "decontaminate",
+    "embed_quantize",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",
