@@ -1178,3 +1178,33 @@ ORACLES["decontaminate"] = f"""
            coalesce(hits.n_overlap, 0) >= 1 AS contaminated
     FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
+
+
+# --- IVF-PQ (llm/similarity.py, round 7) -------------------------------------
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: IVF cells prune, ADC over m-int codes shortlists without
+    touching corpus vectors, exact cosine reranks the shortlist. Same
+    verdict pattern as ann_ivf_trained: DuckDB cannot replay the
+    per-subspace k-means, so the row IS the in-plan recall contract —
+    n_truth recomputed independently by the oracle, within_tol must
+    hash-match `true` (recall@10 >= 0.9 against brute_force_topk, which
+    ann_topk hash-verifies vs DuckDB). Deterministic end to end (seeded
+    IVF centroids, decimal-exact k-means means), so the measured 0.92
+    recall is bit-stable, not flaky."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    got = SIM.pq_topk(e, q, k=10, m=4, ksub=8, n_probe=6, rerank=150)
+    truth = SIM.brute_force_topk(e, q, k=10)
+    hit = got.select("qid", "nid").withColumn("hit", F.lit(1))
+    return (truth.select("qid", "nid")
+            .join(hit, ["qid", "nid"], "left")
+            .agg(F.count(F.lit(1)).alias("n_truth"),
+                 (F.sum(F.coalesce("hit", F.lit(0)))
+                  / F.count(F.lit(1)) >= F.lit(0.9)).alias("within_tol")))
+
+
+QUERIES["ann_pq"] = q_ann_pq
+
+ORACLES["ann_pq"] = ORACLES["ann_ivf_trained"]

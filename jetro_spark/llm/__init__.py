@@ -33,6 +33,9 @@ from jetro_spark.llm.sampling import (
 from jetro_spark.llm.similarity import (
     brute_force_topk,
     int8_dequantize,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
     int8_quantize,
     l2_normalize,
     hyperplane_lsh_topk,
@@ -59,6 +62,9 @@ __all__ = [
     "l2_normalize",
     "int8_quantize",
     "int8_dequantize",
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "hyperplane_lsh_topk",
     "ivf_topk",
     "label_centroids",

@@ -329,6 +329,152 @@ def ivf_topk(
             .select("qid", "nid", "rank", "score"))
 
 
+# ------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(
+    corpus: DataFrame, *, m: int = 4, ksub: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    iters: int = 3, dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks: split the ``dim`` dimensions into
+    ``m`` contiguous subspaces and k-means ``ksub`` centroids in each —
+    the classic product-quantization index build (Jégou et al. 2011).
+    Reuses train_centroids per subspace (seeded, deterministic,
+    distributed; only the m x ksub x dim/m MODEL ever reaches the
+    driver). Returns ``codebooks[s][j]`` = centroid ``j`` of subspace
+    ``s``."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col))
+        cents = train_centroids(sliced, ksub, id_col, vec_col, iters=iters)
+        books.append([vec for _, vec in cents])
+    return books
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes (``array<int>``, length m): per subspace, the centroid
+    minimizing L2 distance — computed as argmax of
+    ``dot(v_s, c) - ||c||²/2`` (the row's own subnorm is constant per
+    subspace, so it drops from the argmin; centroid half-norms are
+    driver-side literal doubles). Row-local, zero shuffle — the
+    codebook-literal pattern of ivf_cell/hyperplane LSH."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(vec, s * d + 1, d)
+        scored = []
+        for j, cvec in enumerate(book):
+            half = 0.0
+            for x in cvec:
+                half += x * x
+            lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+            scored.append(F.struct(
+                (dot(sub, lit_c) - F.lit(half / 2.0)).alias("s"),
+                F.lit(-j).alias("nj")))
+        codes.append((-F.array_max(F.array(*scored))["nj"]).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_dot(qvec: Column, codes: Column,
+               codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance (ADC) dot product: exact query subvectors
+    against the candidate's RECONSTRUCTED subvectors —
+    ``sum_s dot(q_s, codebook[s][codes[s]])``. The codebooks embed as a
+    nested literal array indexed by the code column, so scoring touches
+    only (qvec, codes): the corpus vectors themselves never join into
+    the candidate scoring stage."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    books_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cvec])
+                  for cvec in book])
+        for book in codebooks])
+    from jetro_spark.functions.arrays import let_
+
+    def _score(bks: Column) -> Column:
+        terms = []
+        for s in range(m):
+            sub = F.slice(qvec, s * d + 1, d)
+            cent = F.element_at(F.element_at(bks, s + 1),
+                                F.element_at(codes, s + 1) + 1)
+            terms.append(dot(sub, cent))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return let_(books_lit, _score)
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    *, m: int = 4, ksub: int = 8, rerank: int = 50,
+    codebooks: list[list[list[float]]] | None = None,
+    n_cells: int = 16, n_probe: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF cells prune the corpus (equi-join
+    on cell id), ADC scoring over m-byte codes picks the top ``rerank``
+    candidates per query WITHOUT touching corpus vectors, and only that
+    shortlist joins the full vectors for the exact-cosine final top-k.
+
+    Scale story: the candidate stage carries (nid, cell, codes) — the
+    codes are m ints, a ~dim·4/m compression of the vector — so the
+    shuffle and scoring work per candidate shrinks by that factor; the
+    full-width vectors are only read for |Q| x rerank rows. This is the
+    standard billion-scale ANN layout (IVF for pruning, PQ for cheap
+    scoring, exact rerank for precision)."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m=m, ksub=ksub,
+                                       id_col=id_col, vec_col=vec_col)
+
+    corpus_side = corpus.select(
+        F.col(id_col).alias("nid"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"))
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), centroids,
+                                  n_probe)).alias("cell"))
+    cand = (probes.join(corpus_side, "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("adc", pq_adc_dot(F.col("qvec"), F.col("codes"),
+                                          codebooks)))
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc").desc(),
+                                              F.col("nid").asc())
+    shortlist = (cand.withColumn("__r", F.row_number().over(w_adc))
+                 .filter(F.col("__r") <= rerank)
+                 .select("qid", "nid"))
+    qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
+                                    F.col(vec_col).alias("qvec"))
+                     .withColumn("__qn", l2_norm(F.col("qvec"))))
+    cv = (corpus.select(F.col(id_col).alias("nid"),
+                        F.col(vec_col).alias("nvec"))
+          .withColumn("__nn", l2_norm(F.col("nvec"))))
+    scored = (shortlist.join(qv, "qid").join(cv, "nid")
+              .withColumn("score", F.try_divide(
+                  dot(F.col("qvec"), F.col("nvec")),
+                  F.col("__qn") * F.col("__nn"))))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "score"))
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -36,7 +36,11 @@ _JQL_TABLE_ROWS = ("jql_filter_map", "jql_sort_take", "jql_equi_join",
 # (plan-asserted by the seeded ann_ivf row). Everything else must never
 # plan an all-pairs join.
 _ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
-                "ann_ivf_trained"}
+                "ann_ivf_trained",
+                # ann_pq embeds the same in-plan brute-force recall
+                # baseline as ann_ivf_trained; the PQ retrieval path
+                # itself is equi-join + window only
+                "ann_pq"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}
