@@ -23,6 +23,7 @@ from jetro_spark.streaming.ops import (
     event_time,
     interval_join_streams,
     read_event_stream,
+    read_table_stream,
     running_agg_batch,
     running_agg_state,
     session_windowed,
@@ -35,6 +36,7 @@ __all__ = [
     "event_time",
     "interval_join_streams",
     "read_event_stream",
+    "read_table_stream",
     "running_agg_batch",
     "running_agg_state",
     "session_windowed",

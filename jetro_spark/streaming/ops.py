@@ -31,22 +31,30 @@ def event_time(c: Column) -> Column:
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
-    """The events table as a STREAMING DataFrame (file source). With
+    """The events table as a STREAMING DataFrame — see read_table_stream."""
+    return read_table_stream(spark, sf_dir, "events",
+                             max_files_per_trigger=max_files_per_trigger)
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """A driver test table as a STREAMING DataFrame (file source). With
     Trigger.AvailableNow a query over this processes the existing data
     in bounded batches and stops — the batch-parity harness.
 
     Spark's file stream source requires a DIRECTORY; the driver ships
-    events as a single parquet file, so stage a symlink dir (in a real
-    deployment the source would be a landing directory / Kafka topic)."""
+    each table as a single parquet file, so stage a symlink dir (in a
+    real deployment the source would be a landing directory / Kafka
+    topic)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
     tag = hashlib.sha1(src.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"jetro_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     # File streams need an explicit schema; take it from the batch reader

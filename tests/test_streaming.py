@@ -124,3 +124,31 @@ def test_stream_interval_join_parity(spark, events_batch):
                                    upper="INTERVAL 0 SECONDS")
              .select("event_id", "r_event_id").collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_stream_quality_filters_parity(spark):
+    """The round-7 corpus-quality operators are row-local expression
+    maps, so the SAME plan must run unchanged under readStream and
+    agree with batch exactly — the stream-safe contract for scan-time
+    corpus filtering (no state, no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    from jetro_spark.llm import text as TX
+    from jetro_spark.streaming import read_table_stream
+
+    def pipeline(df):
+        g = TX.gopher_rules(F.col("text"))
+        return df.select(
+            "doc_id",
+            g.getField("passes").alias("gopher_pass"),
+            TX.top_ngram_char_mass(F.col("text"), 2).alias("top2"),
+            TX.dup_ngram_char_mass(F.col("text"), 2).alias("dup2"),
+        )
+
+    batch = pipeline(load_tables(spark, SF, register=False)["documents"])
+    name = f"qf_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(pipeline(read_table_stream(spark, SF, "documents")),
+                   name, mode="append")
+    got = _rows(spark, name)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
