@@ -540,6 +540,23 @@ class JetroTables:
           are the classic small-files problem; at cluster scale size this
           to ~<1 GB per file).
         """
+        self._write_layout(expr, path, "parquet", partition_by,
+                           cluster_by, target_files, mode)
+
+    def write_orc(self, expr: str, path: str, *,
+                  partition_by: list[str] | None = None,
+                  cluster_by: list[str] | None = None,
+                  target_files: int | None = None,
+                  mode: str = "overwrite") -> None:
+        """Distributed ORC sink — same layout controls as
+        ``write_parquet`` (ORC is Spark-native: predicate pushdown,
+        column pruning, and partition pruning all apply; pick it for
+        Hive-ecosystem consumers)."""
+        self._write_layout(expr, path, "orc", partition_by,
+                           cluster_by, target_files, mode)
+
+    def _write_layout(self, expr, path, fmt, partition_by,
+                      cluster_by, target_files, mode) -> None:
         df = self.query(expr)
         if cluster_by:
             if target_files:
@@ -557,7 +574,7 @@ class JetroTables:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        w.format(fmt).save(path)
 
     def compile_node(self, node: A.Node) -> DataFrame:
         if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):

@@ -147,3 +147,25 @@ def test_partitioned_read_prunes_directories(spark, tables, tmp_path):
     n_o = rd.count()
     want = tables["orders"].filter(F.col("o_orderstatus") == "O").count()
     assert n_o == want
+
+
+def test_write_orc_partitioned_roundtrip(spark, tables, tmp_path):
+    """ORC shares write_parquet's layout machinery: hive partitioning,
+    clustering, and a value-exact round-trip through Spark's native ORC
+    reader (partition pruning applies the same way)."""
+    from jetro_spark.jql.engine import JetroTables
+
+    t = JetroTables(spark, tables)
+    out = str(tmp_path / "orc_orders")
+    t.write_orc("$.orders.map({k: o_orderkey, st: o_orderstatus, "
+                "tot: o_totalprice})",
+                out, partition_by=["st"], target_files=2)
+    back = spark.read.orc(out)
+    want = {(r["k"], r["st"], float(r["tot"])) for r in t.query(
+        "$.orders.map({k: o_orderkey, st: o_orderstatus, "
+        "tot: o_totalprice})").collect()}
+    got = {(r["k"], r["st"], float(r["tot"])) for r in back.collect()}
+    assert got == want
+    # hive layout: one directory per status value
+    import glob as _g
+    assert _g.glob(out + "/st=*")
