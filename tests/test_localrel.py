@@ -202,3 +202,53 @@ def test_doc_mode_over_real_connect_session_or_probe():
             list(range(6, 21))
     finally:
         remote.stop()
+
+
+def test_local_doc_frame_zero_job_and_values(spark):
+    """The r7 zero-job ingest: builds a LocalRelation without any Spark
+    job (no data-bearing task), value-identical to the createDataFrame
+    path, UnsafeRow-backed."""
+    from pyspark.sql import functions as F
+
+    from jetro_spark.localrel import is_local_plan, local_doc_frame
+    from jetro_spark.jql.engine import infer_schema
+
+    doc = {"a": [1, 2, 3], "b": {"x": "y"}, "c": 1.5, "d": None}
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = local_doc_frame(spark, doc, infer_schema(doc))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert df is not None
+    assert after == before          # construction launched NO job
+    assert is_local_plan(df)
+    row = df.first()["__doc"]
+    assert list(row["a"]) == [1, 2, 3]
+    assert row["b"]["x"] == "y"
+    assert row["c"] == 1.5
+    assert row["d"] is None
+
+
+def test_local_doc_frame_falls_back_on_variant(spark):
+    from pyspark.sql import types as T
+
+    from jetro_spark.localrel import local_doc_frame
+
+    schema = T.StructType([T.StructField("v", T.VariantType())])
+    assert local_doc_frame(spark, {"v": 1}, schema) is None
+
+
+def test_local_doc_frame_falls_back_on_unserializable(spark):
+    from jetro_spark.localrel import local_doc_frame
+    from jetro_spark.jql.engine import infer_schema
+
+    ok = {"a": 1}
+    assert local_doc_frame(spark, {"a": object()},
+                           infer_schema(ok)) is None
+
+
+def test_eval_local_project_rejects_non_project(spark):
+    from jetro_spark.localrel import eval_local_project
+
+    # an aggregate over a table scan is not Project-over-OneRow/Local
+    df = spark.range(10).groupBy().count()
+    assert eval_local_project(df) is None
