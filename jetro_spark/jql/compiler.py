@@ -1844,15 +1844,17 @@ def m_drop_while(self, recv, args, env):
 
 
 def m_first(self, recv, args, env):
+    # n == 1 (default OR explicit) unwraps to a scalar, Null when empty
+    # — first_apply's n == 1 branch (collection.rs:344-354); r7 soak fix
     n = _const_int(args, 0)
-    if n is None:
+    if n is None or n == 1:
         return TC(AR.first(recv.col), _elem(recv))
     return TC(AR.first(recv.col, n), recv.dtype)
 
 
 def m_last(self, recv, args, env):
     n = _const_int(args, 0)
-    if n is None:
+    if n is None or n == 1:  # last_apply n == 1 scalar unwrap
         return TC(AR.last(recv.col), _elem(recv))
     return TC(AR.last(recv.col, n), recv.dtype)
 

@@ -878,7 +878,11 @@ class JetroTables:
             return df.offset(_lit_int(args[0].value))
         if name == "first":
             self._order = order
-            return df.limit(1) if not args else df.limit(_lit_int(args[0].value))
+            if not args or _lit_int(args[0].value) == 1:
+                # scalar form (collection.rs first_apply: n==1 unwraps to
+                # a scalar, Null when empty) → pad the empty case
+                return self._pad_single_null(df.limit(1))
+            return df.limit(_lit_int(args[0].value))
         if name in _WINDOW_STAGES:
             return self._window_stage(df, name, args, order)
         if name == "last":
@@ -888,17 +892,22 @@ class JetroTables:
                 return None
             inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             self._order = order
-            return inv.limit(1 if not args else _lit_int(args[0].value))
+            if not args or _lit_int(args[0].value) == 1:
+                # scalar form (last_apply n==1): Null when empty
+                return self._pad_single_null(inv.limit(1))
+            return inv.limit(_lit_int(args[0].value))
         if name == "nth":
+            # OOB nth is Null in the reference (value.rs get_index), not
+            # an absent value → pad the empty row set with one null row
             i = _lit_int(args[0].value)
             if i >= 0:
                 self._order = order
-                return df.offset(i).limit(1)
+                return self._pad_single_null(df.offset(i).limit(1))
             if order is None:
                 return None
             inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             self._order = order
-            return inv.offset(-i - 1).limit(1)
+            return self._pad_single_null(inv.offset(-i - 1).limit(1))
         if name == "enumerate":
             # → rows of {index, value} over the pipeline order
             # (ops/collection.rs:409). Dense global indexing is an
@@ -1381,6 +1390,26 @@ class JetroTables:
                         *hid)
         self._order = order
         return out
+
+    def _pad_single_null(self, taken: DataFrame) -> DataFrame:
+        """Guarantee exactly one row: ``taken`` (already ``limit(1)``-
+        shaped) when it has a row, else one ALL-NULL row — relational
+        mode's representation of the reference's scalar ``Null`` result
+        for ``first()``/``last()``/``nth(i)`` on an empty/out-of-bounds
+        pipeline (first_apply/last_apply unwrap ``n == 1`` to a scalar
+        with ``Null`` fallback; ``get_index`` returns ``Null`` OOB). A
+        DataFrame cannot hold a "null row", so a scalar-null result of
+        an OBJECT pipeline appears as a row with every column null.
+
+        Plan cost: a union of a literal one-row relation plus a sort on
+        a priority flag over <= 2 rows — nothing distributed changes."""
+        spark = taken.sparkSession
+        null_row = spark.range(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in taken.schema.fields])
+        return (taken.withColumn("__pri", F.lit(0))
+                .unionByName(null_row.withColumn("__pri", F.lit(1)))
+                .orderBy("__pri").limit(1).drop("__pri"))
 
     def _window_stage(self, df: DataFrame, name: str, args,
                       order: list | None) -> DataFrame:

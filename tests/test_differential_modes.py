@@ -87,6 +87,11 @@ def _rel_result(out_df):
         d = {c: r[c] for c in vis}
         if len(vis) == 1:
             out.append(d[vis[0]])
+        elif all(v is None for v in d.values()):
+            # relational repr of the scalar-Null result (first/last/nth
+            # on an empty pipeline): a DataFrame cannot hold a null ROW,
+            # so it appears as an all-null row (engine._pad_single_null)
+            out.append(None)
         else:
             out.append(d)
     return out

@@ -133,3 +133,45 @@ def test_truthy_requires_static_type(spark):
     assert one(spark, jt_truthy(F.lit("abc"), T.StringType())) is True
     assert one(spark, jt_truthy(F.lit("false"), T.StringType())) is True
     assert one(spark, jt_truthy(F.lit(""), T.StringType())) is False
+
+
+def test_first_last_nth_oob_yield_null_not_empty(spark):
+    """Round-7 soak catch: the reference returns scalar Null for
+    first()/last()/nth(i) on an empty/out-of-bounds pipeline
+    (collection.rs first_apply/last_apply n==1 unwrap, value.rs
+    get_index), but the relational limit/offset lowerings returned ZERO
+    rows. The lowerings now pad with one null row (all-null for object
+    pipelines — the documented row representation of scalar Null).
+    Falsifying example preserved from the 2500-example differential
+    soak."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = JetroTables(spark, {"s": spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in rows],
+        "k long, v double, g string")})
+
+    # the soak's falsifying example: 2 values -> 1 chunk -> nth(2) OOB
+    e = "$.s.sort(k).take(9).filter(v > 40).map(v).chunk(4).nth(2)"
+    assert jt.collect(e) is None
+    assert [r["value"] for r in t.query(e).collect()] == [None]
+
+    for sink in [".first()", ".last()", ".nth(0)", ".nth(-1)",
+                 ".first(1)", ".last(1)"]:
+        e = "$.s.sort(k).filter(v > 2000)" + sink
+        assert jt.collect(e) is None, sink
+        got = t.query(e).collect()
+        assert len(got) == 1 and all(x is None for x in got[0]), sink
+
+    # first(n>1)/last(n>1) keep ARRAY semantics: empty stays empty
+    for sink in [".first(3)", ".last(2)"]:
+        e = "$.s.sort(k).filter(v > 2000)" + sink
+        assert jt.collect(e) == [], sink
+        assert t.query(e).collect() == [], sink
+
+    # in-bounds results unchanged
+    e = "$.s.sort(k).nth(2)"
+    assert jt.collect(e) == {"k": 2, "v": 74.0, "g": "g2"}
+    assert [tuple(r) for r in t.query(e).collect()] == [(2, 74.0, "g2")]
