@@ -847,12 +847,16 @@ def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes via unnest + GROUP BY."""
     d = _docs(spark, sf_dir)
     t = F.col("text")
-    return d.select(
+    # one gram build + sort + fold for BOTH numerators, pinned under a
+    # Generate node so CollapseProject cannot re-inline it per field
+    return (d.select(
         "doc_id",
-        TX.top_ngram_char_mass(t, 2).alias("top2_chars"),
-        TX.dup_ngram_char_mass(t, 2).alias("dup2_chars"),
-        F.length(TX.normalize_text(t)).cast("long").alias("n_chars"),
-    )
+        F.explode(F.array(TX.ngram_char_masses(t, 2))).alias("__m"),
+        F.length(TX.normalize_text(t)).cast("long").alias("n_chars"))
+        .select("doc_id",
+                F.col("__m.top").alias("top2_chars"),
+                F.col("__m.dup").alias("dup2_chars"),
+                "n_chars"))
 
 
 QUERIES["rep_ngrams"] = q_rep_ngrams
@@ -1191,11 +1195,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth recomputed independently by the oracle, within_tol must
     hash-match `true` (recall@10 >= 0.9 against brute_force_topk, which
     ann_topk hash-verifies vs DuckDB). Deterministic end to end (seeded
-    IVF centroids, decimal-exact k-means means), so the measured 0.92
-    recall is bit-stable, not flaky."""
+    IVF centroids, decimal-exact k-means means), so the measured recall
+    (0.92 at sf0.01, 0.93 at sf0.1) is bit-stable, not flaky. rerank is
+    sized for the sweep scale's ~750-candidate pool; at sf0.01 it spans
+    the whole pool, so the row degenerates to IVF recall there while
+    still executing the full encode/ADC/shortlist plan."""
     e = load_tables(spark, sf_dir, register=False)["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    got = SIM.pq_topk(e, q, k=10, m=4, ksub=8, n_probe=6, rerank=150)
+    got = SIM.pq_topk(e, q, k=10, m=4, ksub=8, n_probe=6, rerank=300)
     truth = SIM.brute_force_topk(e, q, k=10)
     hit = got.select("qid", "nid").withColumn("hit", F.lit(1))
     return (truth.select("qid", "nid")

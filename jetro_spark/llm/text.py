@@ -256,6 +256,45 @@ def _run_fold(sorted_items: Column, kind: str) -> Column:
                        lambda a: a.getField("acc").cast("long"))
 
 
+def ngram_char_masses(c: Column, n: int) -> Column:
+    """Both Gopher numerators in ONE pass: ``struct(top, dup)`` from a
+    single gram build + sort + fold. Two separate top/dup columns would
+    each rebuild and re-sort the gram array (no CSE across select-list
+    columns); callers that need both should evaluate this struct once —
+    pinned under a Generate node (``explode(array(...))``), which
+    CollapseProject cannot inline through — and project the fields."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best_run"), F.lit(0).alias("top"),
+                    F.lit(0).alias("dup"))
+
+    def merge(a: Column, g: Column) -> Column:
+        nrun = F.when(g == a.getField("prev"),
+                      a.getField("run") + 1).otherwise(F.lit(1))
+
+        def build(r: Column) -> Column:
+            top = F.when(
+                (r > a.getField("best_run"))
+                | ((r == a.getField("best_run"))
+                   & (r * F.length(g) > a.getField("top"))),
+                r * F.length(g)).otherwise(a.getField("top"))
+            dup = a.getField("dup") + (
+                F.when(r == 2, 2 * F.length(g))
+                .when(r > 2, F.length(g)).otherwise(F.lit(0)))
+            return F.struct(
+                g.alias("prev"), r.alias("run"),
+                F.greatest(a.getField("best_run"), r).alias("best_run"),
+                top.alias("top"), dup.alias("dup"))
+
+        return let_(nrun, build)
+
+    return let_(
+        F.array_sort(word_ngrams(c, n)),
+        lambda sorted_grams: F.aggregate(
+            sorted_grams, init, merge,
+            lambda a: F.struct(a.getField("top").cast("long").alias("top"),
+                               a.getField("dup").cast("long").alias("dup"))))
+
+
 def dup_ngram_char_mass(c: Column, n: int) -> Column:
     """Total characters (space-joined gram length x occurrences) of word
     n-grams appearing >= 2 times — the Gopher duplicated-n-gram signal's

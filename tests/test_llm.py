@@ -597,3 +597,17 @@ def test_pq_topk_recall_and_determinism(spark):
     # deterministic index build: a second full build is identical
     again = SIM.pq_topk(e, q, k=10, m=4, ksub=8, n_probe=6, rerank=150)
     assert g1 == sorted(map(tuple, again.select("qid", "nid").collect()))
+
+
+def test_ngram_char_masses_combined_equals_separate(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z w"), (3, "")], ["id", "t"])
+    both = df.select(
+        "id", F.explode(F.array(
+            TX.ngram_char_masses(F.col("t"), 2))).alias("m"))
+    got = {r["id"]: (r["m"]["top"], r["m"]["dup"]) for r in both.collect()}
+    sep = {r["id"]: (r["top"], r["dup"]) for r in df.select(
+        "id",
+        TX.top_ngram_char_mass(F.col("t"), 2).alias("top"),
+        TX.dup_ngram_char_mass(F.col("t"), 2).alias("dup")).collect()}
+    assert got == sep
