@@ -88,6 +88,48 @@ def is_objrepr(dt: T.DataType | None) -> bool:
     )
 
 
+def eq_comparable(a: T.DataType | None, b: T.DataType | None) -> bool:
+    """Can these two types EVER compare equal under the reference's
+    value equality (util.rs vals_eq / val_to_key)? The reference never
+    type-errors an equality probe — a cross-kind comparison is simply
+    unequal — so the equality-probing builtins (includes, index_of,
+    indices_of, remove(value)) lower a provably-mismatched probe to
+    their constant "absent" result instead of handing Spark an
+    uncoercible comparison (which would CompileError).
+
+    False ONLY when the mismatch is provable: container vs scalar,
+    struct field-name sets differing, number vs bool. Unknown/variant
+    sides stay True (defer to Spark's coercion, the legacy path).
+    String vs number stays True: Spark casts the probe to string, which
+    matches val_to_key's integer rendering (floats render "3.0" vs
+    Rust's "3" — a documented hairline delta)."""
+    fa, fb = _family(a), _family(b)
+    if "unknown" in (fa, fb) or "variant" in (fa, fb):
+        return True
+    if "null" in (fa, fb):
+        return True  # null-safe equality decides at runtime
+    if fa == "object" and fb == "object":
+        if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+            an = sorted(f.name for f in a.fields)
+            bn = sorted(f.name for f in b.fields)
+            if an != bn:
+                return False
+            bt = {f.name: f.dataType for f in b.fields}
+            return all(eq_comparable(f.dataType, bt[f.name])
+                       for f in a.fields)
+        if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+            return (eq_comparable(a.keyType, b.keyType)
+                    and eq_comparable(a.valueType, b.valueType))
+        return False  # map vs struct never unifies for equality here
+    if fa == "array" and fb == "array":
+        return eq_comparable(a.elementType, b.elementType)
+    if fa != fb and ("object" in (fa, fb) or "array" in (fa, fb)):
+        return False
+    if {fa, fb} == {"number", "bool"}:
+        return False  # val_to_key: "3" vs "true"/"false" — never equal
+    return True
+
+
 def unify(dts: list[T.DataType | None]) -> T.DataType | None:
     non_null = [d for d in dts if d is not None and not isinstance(d, T.NullType)]
     if not non_null:
@@ -434,10 +476,9 @@ class Compiler:
         return TC(~base if negated else base, T.BooleanType())
 
     def c_Has(self, n: A.Has, env: Env) -> TC:
+        # `x has y` / `y in x` desugar to includes_apply — same totality
         lt, rt = self.compile(n.left, env), self.compile(n.right, env)
-        if _family(lt.dtype) == "string":
-            return TC(F.coalesce(F.contains(lt.col, rt.col), F.lit(False)), T.BooleanType())
-        return TC(F.coalesce(F.array_contains(lt.col, rt.col), F.lit(False)), T.BooleanType())
+        return _membership(lt, rt)
 
     def c_Coalesce(self, n: A.Coalesce, env: Env) -> TC:
         lt, rt = self.compile(n.left, env), self.compile(n.right, env)
@@ -1929,9 +1970,17 @@ def m_remove(self, recv, args, env):
     node = args[0].value
     # value-or-pred: literal → remove equal values; else predicate
     cv = _const(node)
-    if cv is not None or isinstance(node, A.Literal):
+    if cv is not None or isinstance(node, (A.Literal, A.ObjLit, A.ArrLit)):
+        # value form (BuiltinArgs::Val, defs.rs:159): object/array
+        # literals are VALUES evaluated once, not per-element predicates
         v = self.compile(node, env)
-        return TC(F.array_remove(recv.col, v.col), recv.dtype)
+        if not eq_comparable(_elem(recv), v.dtype):
+            # cross-kind target removes nothing (remove_value_apply
+            # compares canonical keys — never a type error)
+            return recv
+        return TC(F.array_remove(recv.col,
+                                 _reorder_struct_probe(v, _elem(recv))),
+                  recv.dtype)
     return TC(AR.remove(recv.col, self._pred(node, env, _elem(recv))), recv.dtype)
 
 
@@ -2034,18 +2083,82 @@ def m_union(self, recv, args, env):
     return TC(AR.union(recv.col, other.col), recv.dtype)
 
 
-def m_includes(self, recv, args, env):
-    v = self.compile(args[0].value, env)
+def _membership(recv: TC, v: TC) -> TC:
+    """Total membership with the reference's includes semantics
+    (ops/misc.rs:129-151 includes_apply): strings check substring,
+    arrays check element presence (null-safe — Val::Null renders to the
+    key "null", so a null probe matches null elements), objects check
+    KEY membership (non-string probes are false: item.as_str() → None),
+    and a provably type-mismatched probe is constant false — the
+    reference compares canonical keys across kinds and never
+    type-errors, so neither may we (r7: this was a CompileError)."""
+    vf = _family(v.dtype)
     if _family(recv.dtype) == "string":
-        return TC(F.coalesce(F.contains(recv.col, v.col), F.lit(False)), T.BooleanType())
-    return TC(F.coalesce(F.array_contains(recv.col, v.col), F.lit(False)), T.BooleanType())
+        if vf in ("number", "bool", "object", "array", "null"):
+            # Str arm unwraps a non-string needle to "" (as_str()
+            # .unwrap_or_default()) — contains("") is true for any
+            # non-null receiver
+            return TC(recv.col.isNotNull(), T.BooleanType())
+        return TC(F.coalesce(F.contains(recv.col, v.col), F.lit(False)),
+                  T.BooleanType())
+    if isinstance(recv.dtype, T.MapType):
+        if vf not in ("string", "unknown", "variant"):
+            return TC(F.lit(False), T.BooleanType())
+        return TC(F.coalesce(F.map_contains_key(recv.col, v.col),
+                             F.lit(False)), T.BooleanType())
+    if isinstance(recv.dtype, T.StructType):
+        if vf not in ("string", "unknown", "variant"):
+            return TC(F.lit(False), T.BooleanType())
+        names = F.array(*[F.lit(f.name) for f in recv.dtype.fields])
+        return TC(F.coalesce(F.array_contains(names, v.col.cast("string")),
+                             F.lit(False)), T.BooleanType())
+    if is_objrepr(recv.dtype):
+        # ordered-object repr (group_by/count_by output): key membership
+        if vf not in ("string", "unknown", "variant"):
+            return TC(F.lit(False), T.BooleanType())
+        return TC(F.coalesce(
+            F.exists(recv.col,
+                     lambda x: x.getField("key").eqNullSafe(v.col)),
+            F.lit(False)), T.BooleanType())
+    el = _elem(recv)
+    if el is not None:
+        if not eq_comparable(el, v.dtype):
+            return TC(F.lit(False), T.BooleanType())
+        probe = _reorder_struct_probe(v, el)
+        return TC(F.coalesce(F.exists(recv.col,
+                                      lambda x: x.eqNullSafe(probe)),
+                             F.lit(False)), T.BooleanType())
+    # unknown/variant receiver: the legacy coercion path
+    return TC(F.coalesce(F.array_contains(recv.col, v.col), F.lit(False)),
+              T.BooleanType())
+
+
+def _reorder_struct_probe(v: TC, el: T.DataType) -> Column:
+    """Reference object equality is key-based, Spark struct equality is
+    positional: when probe and element are structs with the same name
+    SET in a different order, rebuild the probe in element order."""
+    if (isinstance(el, T.StructType) and isinstance(v.dtype, T.StructType)
+            and [f.name for f in v.dtype.fields]
+            != [f.name for f in el.fields]):
+        return F.struct(*[v.col.getField(f.name).alias(f.name)
+                          for f in el.fields])
+    return v.col
+
+
+def m_includes(self, recv, args, env):
+    return _membership(recv, self.compile(args[0].value, env))
 
 
 def m_index_of(self, recv, args, env):
     if _family(recv.dtype) == "string":
         return TC(S.index_of(recv.col, _const_str(args, 0)), T.LongType())
     v = self.compile(args[0].value, env)
-    return TC(AR.index(recv.col, v.col), T.LongType())
+    if not eq_comparable(_elem(recv), v.dtype):
+        # reference vals_eq never matches across kinds → absent (-1),
+        # not a type error (collection.rs index_value_apply)
+        return TC(F.lit(-1).cast("long"), T.LongType())
+    return TC(AR.index(recv.col, _reorder_struct_probe(v, _elem(recv))),
+              T.LongType())
 
 
 def m_last_index_of(self, recv, args, env):
@@ -2053,13 +2166,20 @@ def m_last_index_of(self, recv, args, env):
         return TC(S.last_index_of(recv.col, _const_str(args, 0)), T.LongType())
     # array variant: last 0-based index of value, -1 when absent
     v = self.compile(args[0].value, env)
-    idx = F.array_max(AR.indices_of(recv.col, v.col))
+    if not eq_comparable(_elem(recv), v.dtype):
+        return TC(F.lit(-1).cast("long"), T.LongType())
+    idx = F.array_max(
+        AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))))
     return TC(F.coalesce(idx, F.lit(-1).cast("long")), T.LongType())
 
 
 def m_indices_of(self, recv, args, env):
     v = self.compile(args[0].value, env)
-    return TC(AR.indices_of(recv.col, v.col), T.ArrayType(T.LongType()))
+    if not eq_comparable(_elem(recv), v.dtype):
+        # cross-kind probe: no position ever matches (vals_eq totality)
+        return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
+    return TC(AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))),
+              T.ArrayType(T.LongType()))
 
 
 def m_zip_shape(self, recv, args, env):

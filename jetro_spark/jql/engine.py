@@ -1164,14 +1164,39 @@ class JetroTables:
                 F.coalesce(F.min("__fi_rn"), F.lit(-1))
                 .cast("long").alias("value"))
         if name in ("includes", "contains"):
-            # membership over the rowset → one-pass bool_or aggregation
+            # membership over the rowset → one-pass bool_or aggregation;
+            # null-safe (a null probe matches null cells — Val::Null
+            # keys as "null" in includes_apply) and TOTAL: a provably
+            # cross-kind probe is constant false, not a CompileError
+            from jetro_spark.jql.compiler import (eq_comparable,
+                                                  _reorder_struct_probe)
             vis = _vis_cols(df)
-            if len(vis) != 1 or not self._scalar:
-                return None
+            vt = c.compile(args[0].value, env)
+            never = df.limit(0).agg(
+                F.coalesce(F.bool_or(F.lit(False)),
+                           F.lit(False)).alias("value"))
+            if len(vis) == 1 and self._scalar:
+                cell_t = df.schema[vis[0]].dataType
+                self._scalar = True
+                if not eq_comparable(cell_t, vt.dtype):
+                    return never
+                return df.agg(F.coalesce(
+                    F.bool_or(F.col(vis[0]).eqNullSafe(
+                        _reorder_struct_probe(vt, cell_t))),
+                    F.lit(False)).alias("value"))
+            # object rowset: the pipeline is a list of row objects —
+            # membership compares each ROW to the probe (includes_apply
+            # Val::Arr arm); a non-object or schema-mismatched probe
+            # never matches, a matching-schema struct probe does
+            row_t = T.StructType([df.schema[v2] for v2 in vis])
             self._scalar = True
-            v = c.compile(args[0].value, env).col
-            return df.agg(F.coalesce(F.bool_or(F.col(vis[0]) == v),
-                                     F.lit(False)).alias("value"))
+            if not eq_comparable(row_t, vt.dtype):
+                return never
+            probe = _reorder_struct_probe(vt, row_t)
+            return df.agg(F.coalesce(
+                F.bool_or(F.struct(*[F.col(v2) for v2 in vis])
+                          .eqNullSafe(probe)),
+                F.lit(False)).alias("value"))
         if name in ("index", "index_of"):
             # first 0-based position of the value over the pipeline
             # order, -1 when absent (ops/array.rs index)
@@ -1181,11 +1206,17 @@ class JetroTables:
             if len(vis) != 1 or not self._scalar:
                 return None
             from pyspark.sql.window import Window
+            from jetro_spark.jql.compiler import eq_comparable
             w = Window.orderBy(*_order_by(order))
             self._scalar = True
-            v = c.compile(args[0].value, env).col
+            vt = c.compile(args[0].value, env)
+            if not eq_comparable(df.schema[vis[0]].dataType, vt.dtype):
+                # cross-kind probe never matches (vals_eq) → -1, total
+                return df.limit(0).agg(
+                    F.coalesce(F.min(F.lit(0)), F.lit(-1))
+                    .cast("long").alias("value"))
             d2 = df.select((F.row_number().over(w) - 1).alias("__ix_rn"),
-                           (F.col(vis[0]) == v).alias("__ix_ok"))
+                           (F.col(vis[0]) == vt.col).alias("__ix_ok"))
             return d2.filter(F.col("__ix_ok")).agg(
                 F.coalesce(F.min("__ix_rn"), F.lit(-1))
                 .cast("long").alias("value"))

@@ -68,6 +68,9 @@ _KEYED_SINK = st.sampled_from([
 _SINK = st.sampled_from([
     "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
     ".min()", ".max()", ".find_index(x => x > 40)", ".includes(74.0)",
+    # total equality probes (r7): cross-kind probes are misses, not
+    # CompileErrors, in BOTH modes
+    ".index_of(74.0)", ".includes({q: 1})",
 ])
 
 

@@ -175,3 +175,65 @@ def test_first_last_nth_oob_yield_null_not_empty(spark):
     e = "$.s.sort(k).nth(2)"
     assert jt.collect(e) == {"k": 2, "v": 74.0, "g": "g2"}
     assert [tuple(r) for r in t.query(e).collect()] == [(2, 74.0, "g2")]
+
+
+def test_equality_probes_are_total(spark):
+    """Round-7: the equality-probing builtins must be TOTAL like the
+    reference — a cross-kind probe is an ordinary miss, never a type
+    error (includes_apply ops/misc.rs:129-151, index_value_apply /
+    indices_of_apply collection.rs:471-492, remove_value_apply
+    collection.rs:392-404). Previously `[{...}].includes(74.0)` was a
+    CompileError in both modes (and the relational mode additionally
+    collapsed to the doc fallback before erroring)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {
+        "s": rows, "o": {"a": 1, "b": None}, "arr": [1, None, 3],
+        "txt": "hello"})
+
+    for expr, want in [
+        # array of objects probed with a scalar → false, not an error
+        ("$.s.includes(74.0)", False),
+        # struct probe matches by KEY SET, order-insensitively
+        ("$.s.map({k: k, v: v}).includes({v: 74.0, k: 2})", True),
+        ("$.s.map({k: k, v: v}).index_of({v: 74.0, k: 2})", 2),
+        ("$.s.map({k: k}).includes({x: 3})", False),
+        # null probe matches null elements (val_to_key(Null) == "null")
+        ("$.arr.includes(null)", True),
+        # object receiver: KEY membership; non-string probe is false
+        ("$.o.includes('a')", True),
+        ("$.o.includes(3)", False),
+        ("$.s.count_by(g).includes('g0')", True),
+        ("$.s.count_by(g).includes(3)", False),
+        # string receiver: non-string needle unwraps to "" → true
+        ("$.txt.includes(3)", True),
+        # `has` desugars to the same totality
+        ("$.s.filter(x => $.txt has 3).len()", 17),
+        # index family: cross-kind probe → absent, not an error
+        ("$.arr.index_of({x: 1})", -1),
+        ("$.arr.indices_of({x: 1})", []),
+        # remove: an object literal is a VALUE (BuiltinArgs::Val),
+        # not a truthy per-element predicate
+        ("$.arr.remove({x: 1})", [1, None, 3]),
+        ("$.arr.remove(3)", [1, None]),
+    ]:
+        assert jt.collect(expr) == want, expr
+
+    # relational mode agrees and does NOT fall back to doc mode
+    import warnings
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    for expr, want in [
+        ("$.s.sort(k).includes(74.0)", False),
+        ("$.s.sort(k).includes({k: 2, v: 74.0, g: 'g2'})", True),
+        ("$.s.sort(k).map(v).includes(74.0)", True),
+        ("$.s.sort(k).map(v).index_of({x: 1})", -1),
+    ]:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = JetroTables(spark, {"s": t}).query(expr).collect()
+        assert not any("no relational lowering" in str(x.message)
+                       for x in w), expr
+        assert [r[0] for r in got] == [want], expr
