@@ -64,6 +64,8 @@ HEADLINE = [
     "gopher_rules",
     "decontaminate",
     "embed_quantize",
+    # r07: SemDeDup — within-cluster cosine dedup (cell equi-join)
+    "semantic_dedup",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -139,6 +139,20 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a_id", "b_id"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs (Abbas et al. 2023): within-k-means-cluster
+    cosine duplicates, keep order = ascending similarity-to-centroid
+    (keep the member farthest from its centroid, ties → lowest id).
+    Seeded centroids (lowest-id vectors, the ann_ivf convention) keep
+    the row ORACLE-EXACT: DuckDB re-derives cells, centroid
+    similarities, keep order, and the pair filter bit-for-bit. The
+    production path swaps in train_centroids without changing the plan
+    (cell literals + one cell equi-join; no all-pairs)."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    cents = SIM.seed_centroids(e, 16)
+    return D.semantic_dedup_pairs(e, cents, threshold=0.45)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k — the no-all-pairs scale path.
     Deterministic seeded planes make even the approximate answer
@@ -260,6 +274,7 @@ QUERIES = {
     "quality_filters": q_quality_filters,
     "fingerprint": q_fingerprint,
     "embed_neardup": q_embed_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -476,6 +491,45 @@ ORACLES["embed_neardup"] = f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a='a', b='b')} >= 0.45
+"""
+
+# semantic_dedup: replay the seeded-centroid cell assignment exactly as
+# ann_ivf does (norm-free score s = dot/||c||, ties → lowest cell), then
+# ck = s / ||v|| in the SAME two-division order as the Spark plan
+# (top.s / l2_norm(v)), the paper's keep order (ck ASC, id ASC), and the
+# within-cell cosine pair filter via the shared _COS fold.
+ORACLES["semantic_dedup"] = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+    cell_scores AS (
+      SELECT e.vec_id, c.cell,
+             list_sum([e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                       for i in generate_series(1, len(e.embedding))])
+             / sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                              for i in generate_series(1, len(c.embedding))]))
+               AS s
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell, s FROM (
+        SELECT vec_id, cell, s,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell ASC) AS rn
+        FROM cell_scores) WHERE rn = 1),
+    keyed AS (
+      SELECT a.vec_id, a.cell,
+             a.s / sqrt(list_sum([e.embedding[i]::DOUBLE
+                                  * e.embedding[i]::DOUBLE
+                                  for i in generate_series(1, len(e.embedding))]))
+               AS ck
+      FROM assign a JOIN embeddings e USING (vec_id))
+    SELECT CAST(x.cell AS INTEGER) AS cell,
+           x.vec_id AS keep_id, y.vec_id AS drop_id
+    FROM keyed x
+    JOIN keyed y ON x.cell = y.cell
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+    WHERE (x.ck < y.ck OR (x.ck = y.ck AND x.vec_id < y.vec_id))
       AND {_COS.format(a='a', b='b')} >= 0.45
 """
 

@@ -347,3 +347,90 @@ def dedup_near_clusters(
     cc = connected_components(pairs, a_col, b_col)
     losers = cc.filter(F.col("component") != F.col("id")).select("id")
     return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+# ------------------------------------------------- semantic (SemDeDup)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540,
+    public method): k-means-partition the embedding space, then compare
+    cosines only WITHIN each cluster — the cluster bound keeps the
+    quadratic pairwise step local, never corpus-wide.
+
+    Output: one row per ordered duplicate pair ``(keep_id, drop_id,
+    cell)`` where both members share a cell, ``cosine >= threshold``,
+    and ``keep_id`` precedes ``drop_id`` in the paper's keep order —
+    ascending similarity-to-own-centroid (keep the example FARTHEST
+    from the centroid), ties broken by ascending id. Deliberately NOT
+    transitive: SemDeDup's reference implementation drops a member iff
+    some earlier-ordered member is within threshold (upper-triangle
+    max), so chains do not collapse to one survivor the way
+    connected-components dedup does.
+
+    Plan shape (100 TB): cell id and centroid similarity are row-local
+    centroid-literal expressions (zero shuffle — the struct is pinned
+    under a Generate node so CollapseProject cannot re-evaluate the
+    16-fold argmax per projected field); pairing is ONE equi-join
+    shuffle on cell id. n_cells scales with the corpus, bounding every
+    cell's pairwise fan-out; AQE's skew-join splits any hot cell.
+    """
+    from jetro_spark.llm.similarity import _cell_scores, cosine, l2_norm
+
+    v = F.col(vec_col)
+    arr = F.array(*[
+        F.struct(s.alias("s"), F.lit(-cell).alias("nc"))
+        for (cell, _), s in zip(centroids, _cell_scores(v, centroids))])
+    assigned = (df.select(
+        F.col(id_col).alias("__sd_id"), v.alias("__sd_v"),
+        F.explode(F.array(F.struct(
+            F.array_max(arr).alias("top"),
+            l2_norm(v).alias("nrm")))).alias("__m"))
+        .select("__sd_id", "__sd_v",
+                (-F.col("__m.top.nc")).cast("int").alias("__sd_cell"),
+                # try_divide: a zero vector has norm 0 → NULL key, and
+                # NULL comparisons exclude it from pairing — exactly
+                # what DuckDB's x/0 → NULL does in the oracle
+                F.try_divide(F.col("__m.top.s"),
+                             F.col("__m.nrm")).alias("__sd_ck")))
+    a = assigned.select(F.col("__sd_cell").alias("cell"),
+                        F.col("__sd_id").alias("keep_id"),
+                        F.col("__sd_v").alias("__a_v"),
+                        F.col("__sd_ck").alias("__a_k"))
+    b = assigned.select(F.col("__sd_cell").alias("cell"),
+                        F.col("__sd_id").alias("drop_id"),
+                        F.col("__sd_v").alias("__b_v"),
+                        F.col("__sd_ck").alias("__b_k"))
+    earlier = (F.col("__a_k") < F.col("__b_k")) | (
+        (F.col("__a_k") == F.col("__b_k"))
+        & (F.col("keep_id") < F.col("drop_id")))
+    return (a.join(b, "cell")
+            .filter(earlier)
+            .filter(cosine(F.col("__a_v"), F.col("__b_v"))
+                    >= F.lit(float(threshold)))
+            .select("cell", "keep_id", "drop_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup retention: drop every embedding that has a >= threshold
+    cosine neighbour EARLIER in the keep order within its own cluster
+    (semantic_dedup_pairs); everything else survives unchanged. ONE
+    left_anti join on id beyond the pairs plan."""
+    losers = (semantic_dedup_pairs(df, centroids, id_col, vec_col,
+                                   threshold=threshold)
+              .select(F.col("drop_id").alias("__loser")).distinct())
+    return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")

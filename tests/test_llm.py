@@ -611,3 +611,47 @@ def test_ngram_char_masses_combined_equals_separate(spark):
         TX.top_ngram_char_mass(F.col("t"), 2).alias("top"),
         TX.dup_ngram_char_mass(F.col("t"), 2).alias("dup")).collect()}
     assert got == sep
+
+
+def test_semantic_dedup_keep_order_and_cluster_bound(spark):
+    """SemDeDup (arXiv:2303.09540) semantics: (1) the keep order is
+    ascending similarity-to-centroid — the survivor of a duplicate
+    group is the member FARTHEST from its centroid, not the lowest id;
+    (2) dropping is the paper's upper-triangle rule, NOT transitive
+    closure — an already-dropped earlier member still causes later
+    drops; (3) members of different cells are never compared."""
+    import math
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    def vec(deg, scale=10.0):
+        return [scale * math.cos(math.radians(deg)),
+                scale * math.sin(math.radians(deg))]
+    rows = [
+        (1, vec(0)),    # cell 0, centroid-sim 1.000  (kept-order last)
+        (2, vec(15)),   # cell 0, centroid-sim 0.966
+        (3, vec(30)),   # cell 0, centroid-sim 0.866  (kept-order first)
+        (4, vec(88)),   # cell 1 — near-parallel to 5, different cell
+        (5, vec(89.5)), # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.semantic_dedup_pairs(df, cents, threshold=0.95)
+    got = sorted(map(tuple, pairs.select("keep_id", "drop_id").collect()))
+    # chain: cos(1,2)=cos(2,3)=.966 >= .95, cos(1,3)=.866 < .95.
+    # order is 3 < 2 < 1, so (3,2) and (2,1) pair — 2 is dropped by 3
+    # yet still drops 1 (non-transitive upper-triangle, NOT greedy).
+    # cell 1: order 4 < 5 (sim .9995 < .99996), cos(4,5)=.9997 → (4,5).
+    assert got == [(2, 1), (3, 2), (4, 5)]
+    kept = sorted(r["vec_id"]
+                  for r in D.semantic_dedup(df, cents,
+                                            threshold=0.95).collect())
+    # survivors: farthest-from-centroid member per group — NOT min id
+    # (connected-components dedup would keep 1), plus cell-1's keeper
+    assert kept == [3, 4]
+
+    # cluster bound: id 1 (cell 0) vs id 4/5 (cell 1) are never paired
+    # even though cos(vec(88), vec(89.5)) ~ 1 crosses cells' gap — and
+    # a threshold of -1 pairs everything WITHIN each cell only
+    all_pairs = D.semantic_dedup_pairs(df, cents, threshold=-1.0)
+    cells = {tuple(sorted((r["keep_id"], r["drop_id"])))
+             for r in all_pairs.collect()}
+    assert cells == {(1, 2), (1, 3), (2, 3), (4, 5)}
