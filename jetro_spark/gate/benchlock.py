@@ -86,10 +86,14 @@ def _q_explode(name: str, alias: str):
 
 def _q_orders_deep(name: str):
     """Q5/Q7: the locked deep-find expression runs VERBATIM; matched
-    order structs explode to rows projected onto every scalar dimension
-    (incl. nested customer/address probes and an items probe) — struct
+    order structs explode to rows projected onto EVERY leaf — struct
     cells themselves can't hash-compare (Spark Rows canonicalize
-    positionally, DuckDB structs by key)."""
+    positionally, DuckDB structs by key), so each scalar leaf projects
+    directly and the item arrays reduce to order-preserving joins
+    (sku/name/category) and sequential folds (qty, price — the q8/q10
+    bit-exact list_sum convention). Coverage is TOTAL as of r7: no leaf
+    of the matched order is outside the comparison (closes the r6
+    verdict's projected-fidelity note)."""
     expr = BENCH_QUERIES[name]
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,11 +107,26 @@ def _q_orders_deep(name: str):
                         F.col("v.region").alias("region"),
                         F.col("v.total").alias("total"),
                         F.col("v.customer.id").alias("cust_id"),
+                        F.col("v.customer.name").alias("cust_name"),
+                        F.col("v.customer.email").alias("email"),
                         F.col("v.customer.address.city").alias("city"),
-                        F.element_at("v.items", 1)["sku"].alias("sku0"),
+                        F.col("v.customer.address.zip").alias("zip"),
+                        F.col("v.customer.address.country_code")
+                        .alias("ccode"),
+                        F.concat_ws("|", F.col("v.items.sku"))
+                        .alias("skus"),
+                        F.concat_ws("|", F.col("v.items.name"))
+                        .alias("item_names"),
+                        F.concat_ws("|", F.col("v.items.category"))
+                        .alias("cats"),
+                        F.aggregate(F.col("v.items.qty"),
+                                    F.lit(0).cast("long"),
+                                    lambda a, x: a + x).alias("qty_sum"),
+                        F.aggregate(F.col("v.items.price"), F.lit(0.0),
+                                    lambda a, x: a + x).alias("price_fold"),
                         F.size("v.items").alias("n_items")))
 
-    fn.__doc__ = f"bench_lock doc-mode (scalar-projected): {expr}"
+    fn.__doc__ = f"bench_lock doc-mode (all-leaf-projected): {expr}"
     return fn
 
 
@@ -247,8 +266,19 @@ ORACLES = {
         SELECT ord.id AS id, ord.status AS status,
                ord.priority AS priority, ord.region AS region,
                ord.total AS total, ord.customer.id AS cust_id,
+               ord.customer."name" AS cust_name,
+               ord.customer.email AS email,
                ord.customer.address.city AS city,
-               ord.items[1].sku AS sku0,
+               ord.customer.address.zip AS zip,
+               ord.customer.address.country_code AS ccode,
+               array_to_string([it.sku for it in ord.items], '|') AS skus,
+               array_to_string([it."name" for it in ord.items], '|')
+                 AS item_names,
+               array_to_string([it.category for it in ord.items], '|')
+                 AS cats,
+               CAST(list_sum([it.qty for it in ord.items]) AS BIGINT)
+                 AS qty_sum,
+               list_sum([it.price for it in ord.items]) AS price_fold,
                CAST(len(ord.items) AS INTEGER) AS n_items
         FROM o WHERE ord.status = 'shipped'
     """,
@@ -267,8 +297,19 @@ ORACLES = {
         SELECT ord.id AS id, ord.status AS status,
                ord.priority AS priority, ord.region AS region,
                ord.total AS total, ord.customer.id AS cust_id,
+               ord.customer."name" AS cust_name,
+               ord.customer.email AS email,
                ord.customer.address.city AS city,
-               ord.items[1].sku AS sku0,
+               ord.customer.address.zip AS zip,
+               ord.customer.address.country_code AS ccode,
+               array_to_string([it.sku for it in ord.items], '|') AS skus,
+               array_to_string([it."name" for it in ord.items], '|')
+                 AS item_names,
+               array_to_string([it.category for it in ord.items], '|')
+                 AS cats,
+               CAST(list_sum([it.qty for it in ord.items]) AS BIGINT)
+                 AS qty_sum,
+               list_sum([it.price for it in ord.items]) AS price_fold,
                CAST(len(ord.items) AS INTEGER) AS n_items
         FROM o WHERE ord.status = 'shipped' AND ord.priority = 'urgent'
     """,
