@@ -88,6 +88,27 @@ def is_objrepr(dt: T.DataType | None) -> bool:
     )
 
 
+def _ordered_cmp(lt: "TC", rt: "TC", op: str,
+                 guard_null: bool = True) -> Column:
+    """`< <= > >=` with the reference's totality (util.rs:140-162
+    json_cmp_binop): only number/number, string/string and bool/bool are
+    order-comparable; every other combination — including cross-kind
+    pairs Spark would try to CAST (string vs bigint ANSI-throws at
+    runtime, the r7 fuzz catch) and containers — is statically `false`.
+
+    ``guard_null``: in VALUE contexts a Null operand must yield `false`
+    (coalesce); in FILTER contexts pass False — Filter already drops
+    null predicates, and the bare comparison keeps parquet predicate
+    PUSHDOWN alive (coalesce() is not a pushdown-able filter shape)."""
+    lf, rf = _family(lt.dtype), _family(rt.dtype)
+    known = "unknown" not in (lf, rf) and "variant" not in (lf, rf)
+    if known and (lf != rf or lf in ("object", "array", "null")):
+        return F.lit(False)
+    cmp = {"<": lt.col < rt.col, "<=": lt.col <= rt.col,
+           ">": lt.col > rt.col, ">=": lt.col >= rt.col}[op]
+    return F.coalesce(cmp, F.lit(False)) if guard_null else cmp
+
+
 def eq_comparable(a: T.DataType | None, b: T.DataType | None) -> bool:
     """Can these two types EVER compare equal under the reference's
     value equality (util.rs vals_eq / val_to_key)? The reference never
@@ -396,9 +417,7 @@ class Compiler:
                         or ("unknown" not in (lf, rf) and lf != rf):
                     return self._eq(lt, rt, False).col  # already null-free
                 return lt.col == rt.col
-            cmp = {"<": lt.col < rt.col, "<=": lt.col <= rt.col,
-                   ">": lt.col > rt.col, ">=": lt.col >= rt.col}[node.op]
-            return cmp
+            return _ordered_cmp(lt, rt, node.op, guard_null=False)
         tc = self.compile(node, env)
         if isinstance(tc.dtype, T.BooleanType):
             return tc.col
@@ -416,32 +435,49 @@ class Compiler:
         lt, rt = self._coerce_variant(lt, rt)
         if op == "+":
             return self._add(lt, rt)
-        if op == "-":
-            return TC(lt.col - rt.col, unify([lt.dtype, rt.dtype]))
-        if op == "*":
-            return TC(lt.col * rt.col, unify([lt.dtype, rt.dtype]))
-        if op == "/":
-            return TC(jt_div(lt.col, rt.col), T.DoubleType())
-        if op == "%":
+        if op in ("-", "*", "/", "%"):
+            # num_op (util.rs) is numeric-only: any other operand kind
+            # is a language error (EvalError). Statically typed, we
+            # surface it at compile time on the same controlled channel
+            # instead of letting Spark's ANSI cast throw at runtime.
+            # Null stays permitted (a null operand nulls the result).
+            for side in (lt, rt):
+                fam = _family(side.dtype)
+                if fam not in ("number", "null", "unknown", "variant"):
+                    raise CompileError(
+                        f"operator {op} not supported on {fam} operands "
+                        "(numeric only — util.rs num_op)")
+            if op == "-":
+                return TC(lt.col - rt.col, unify([lt.dtype, rt.dtype]))
+            if op == "*":
+                return TC(lt.col * rt.col, unify([lt.dtype, rt.dtype]))
+            if op == "/":
+                return TC(jt_div(lt.col, rt.col), T.DoubleType())
             return TC(lt.col % rt.col, unify([lt.dtype, rt.dtype]))
         if op == "~=":
             return TC(F.coalesce(jt_fuzzy_match(lt.col, rt.col), F.lit(False)), T.BooleanType())
         if op in ("==", "!="):
             return self._eq(lt, rt, op == "!=")
         if op in ("<", "<=", ">", ">="):
-            cmp = {"<": lt.col < rt.col, "<=": lt.col <= rt.col,
-                   ">": lt.col > rt.col, ">=": lt.col >= rt.col}[op]
-            # ordered comparison of incomparables → false (util.rs:162)
-            return TC(F.coalesce(cmp, F.lit(False)), T.BooleanType())
+            return TC(_ordered_cmp(lt, rt, op), T.BooleanType())
         raise CompileError(f"unsupported operator {op}")
 
     def _add(self, lt: TC, rt: TC) -> TC:
-        """`+`: numeric add, string concat, or array concat (util.rs:255-276)."""
+        """`+`: numeric add, string concat, or array concat — any OTHER
+        combination is a language error (add_vals, util.rs:255-276
+        `_ => Err`), surfaced at compile time. Null/unknown/variant
+        sides stay on the lenient path (runtime-typed)."""
         lf, rf = _family(lt.dtype), _family(rt.dtype)
-        if "string" in (lf, rf) and lf != "number" and rf != "number":
+        loose = ("null", "unknown", "variant")
+        if "string" in (lf, rf) and all(
+                f in ("string",) + loose for f in (lf, rf)):
             return TC(F.concat(lt.col.cast("string"), rt.col.cast("string")), T.StringType())
         if lf == "array" and rf == "array":
             return TC(F.concat(lt.col, rt.col), unify([lt.dtype, rt.dtype]))
+        if not all(f in ("number",) + loose for f in (lf, rf)):
+            raise CompileError(
+                f"operator + not supported between {lf} and {rf} "
+                "(add_vals: numeric add, string concat, array concat only)")
         return TC(lt.col + rt.col, unify([lt.dtype, rt.dtype]))
 
     @staticmethod
@@ -2232,23 +2268,41 @@ def _agg_vals(self, recv, args, env):
     return recv.col, _elem(recv)
 
 
+def _skips_numeric_fold(dt: T.DataType | None) -> bool:
+    """True when the reference's numeric reducer would observe NO
+    element of this type: num_fold (exec/pipeline/common.rs:15-29)
+    folds Int/Float and silently SKIPS everything else, so
+    sum over strings is 0 and min/max/avg are Null — never a type
+    error. Null elements are already skipped by array_compact; unknown/
+    variant types stay on the runtime path."""
+    return _family(dt) in ("string", "bool", "object", "array")
+
+
 def m_sum(self, recv, args, env):
-    vals, _ = _agg_vals(self, recv, args, env)
+    vals, dt = _agg_vals(self, recv, args, env)
+    if _skips_numeric_fold(dt):
+        return TC(F.lit(0.0), T.DoubleType())  # every element skipped
     return TC(AR.sum_(vals), T.DoubleType())
 
 
 def m_avg(self, recv, args, env):
-    vals, _ = _agg_vals(self, recv, args, env)
+    vals, dt = _agg_vals(self, recv, args, env)
+    if _skips_numeric_fold(dt):
+        return TC(F.lit(None), T.NullType())  # n_obs == 0 → op.empty()
     return TC(AR.avg(vals), T.DoubleType())
 
 
 def m_min(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
+    if _skips_numeric_fold(dt):
+        return TC(F.lit(None), T.NullType())
     return TC(F.array_min(vals), dt)
 
 
 def m_max(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
+    if _skips_numeric_fold(dt):
+        return TC(F.lit(None), T.NullType())
     return TC(F.array_max(vals), dt)
 
 

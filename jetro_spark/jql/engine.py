@@ -1035,7 +1035,26 @@ class JetroTables:
             self._scalar = True
             return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
-            return df.distinct()
+            # dedup on the VISIBLE columns only — a plain distinct()
+            # also compares the hidden __ord columns carried by an
+            # ordered pipeline, which made every row "unique" (r7 fuzz
+            # catch). With an order, keep the FIRST occurrence per value
+            # (unique_arr_apply preserves first-seen order), carrying
+            # the winner's order columns so downstream order survives.
+            vis = _vis_cols(df)
+            if set(vis) == set(df.columns):
+                return df.distinct()
+            if order is None:
+                return df.select(*vis).distinct()
+            from pyspark.sql.window import Window
+            w = (Window.partitionBy(*[F.col(v2) for v2 in vis])
+                 .orderBy(*_order_by(order)))
+            return (df.withColumn("__uq_rn", F.row_number().over(w))
+                    .filter(F.col("__uq_rn") == 1).drop("__uq_rn")
+                    # the window shuffle destroyed the physical pipeline
+                    # order that position sinks (first/nth/limit) rely
+                    # on — restore it over the surviving rows
+                    .orderBy(*_order_by(order)))
         if name == "unique_by":
             col, _ = key_col(args[0].value)
             return R.unique_by(df, col)
@@ -1048,8 +1067,21 @@ class JetroTables:
             self._scalar = True
             return df.agg(F.count(F.lit(1)).alias("value"))
         if name in ("sum", "avg", "min", "max"):
+            from jetro_spark.jql.compiler import _skips_numeric_fold
             self._scalar = True
-            col = c.compile(args[0].value, env).col if args else F.col(df.columns[0])
+            if args:
+                vt = c.compile(args[0].value, env)
+                col, cdt = vt.col, vt.dtype
+            else:
+                col = F.col(df.columns[0])
+                cdt = df.schema[df.columns[0]].dataType
+            if _skips_numeric_fold(cdt):
+                # the reference's numeric reducers observe NO element of
+                # this type (num_fold skips non-Int/Float) → sum 0,
+                # min/max/avg Null — never a cast error
+                base = F.first(F.lit(None).cast("double"))
+                agg = F.coalesce(base, F.lit(0.0)) if name == "sum" else base
+                return df.limit(0).agg(agg.alias("value"))
             agg = {"sum": lambda x: F.coalesce(F.sum(x), F.lit(0.0)),
                    "avg": F.avg, "min": F.min, "max": F.max}[name](col)
             return df.agg(agg.alias("value"))

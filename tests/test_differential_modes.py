@@ -43,6 +43,9 @@ _MID = st.sampled_from([
     ".reverse()", ".take(12)", ".skip(1)",
     # lambda-bound predicate/key forms must lower like their bare twins
     ".filter(x => x.v > 40)", ".sort(x => -x.v)", ".compact()",
+    # order-dependent prefix stages (relational: running-sum window)
+    ".take_while(x => x.k < 11)", ".drop_while(x => x.k < 5)",
+    ".enumerate().map(value)",
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",
@@ -58,6 +61,8 @@ _SCALAR_MID = st.sampled_from([
     # array-shaping stages (relational: lag window / bounded collect)
     ".map(v).pairwise()", ".map(v).chunk(4)", ".map(v).window(3)",
     ".map(v).compact()",
+    # scalar dedup + value-removal (keep-first-seen order semantics)
+    ".map(g).unique()", ".map(v).remove(74.0)",
 ])
 
 # keyed-reducer sinks: doc mode returns an ordered object / winner row,

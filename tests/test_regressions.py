@@ -237,3 +237,68 @@ def test_equality_probes_are_total(spark):
         assert not any("no relational lowering" in str(x.message)
                        for x in w), expr
         assert [r[0] for r in got] == [want], expr
+
+
+def test_unique_ignores_hidden_order_columns(spark):
+    """Round-7 fuzz catch: the relational unique() lowered to a plain
+    df.distinct(), which also compared the hidden __ord columns an
+    ordered pipeline carries — after .sort(k), EVERY row was "unique".
+    unique must dedup on the visible value only and keep the FIRST
+    occurrence in pipeline order (unique_arr_apply first-seen-order
+    semantics, collection.rs:78-88)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = JetroTables(spark, {"s": spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in rows],
+        "k long, v double, g string")})
+
+    e = "$.s.sort(k).map(g).unique()"
+    assert jt.collect(e) == ["g0", "g1", "g2"]
+    assert sorted(r[0] for r in t.query(e).collect()) == ["g0", "g1", "g2"]
+    # first-seen order survives downstream of the dedup
+    e = "$.s.sort(-k).map(g).unique().first()"
+    assert jt.collect(e) == "g1"  # k=16 → g1 first in reversed order
+    assert [r[0] for r in t.query(e).collect()] == ["g1"]
+
+
+def test_numeric_reducers_skip_non_numeric(spark):
+    """num_fold (exec/pipeline/common.rs:15-29) folds Int/Float and
+    silently SKIPS every other element — sum over strings is 0 and
+    avg/min/max are Null in the reference, but our lowerings ANSI-cast
+    and crashed with NumberFormatException (r7 fuzz catch)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "g": f"g{i % 3}"} for i in range(5)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = JetroTables(spark, {"s": spark.createDataFrame(
+        [(r["k"], r["g"]) for r in rows], "k long, g string")})
+
+    assert jt.collect("$.s.map(g).sum()") == 0.0
+    assert jt.collect("$.s.map(g).avg()") is None
+    assert jt.collect("$.s.map(g).min()") is None
+    assert jt.collect("$.s.map(g).max()") is None
+    assert [r[0] for r in
+            t.query("$.s.sort(k).map(g).sum()").collect()] == [0.0]
+    assert [r[0] for r in
+            t.query("$.s.sort(k).map(g).min()").collect()] == [None]
+    # numeric pipelines unchanged
+    assert jt.collect("$.s.map(k).sum()") == 10.0
+
+
+def test_ordered_comparison_of_incomparables_is_false(spark):
+    """json_cmp_binop (util.rs:140-162): only number/number,
+    string/string and bool/bool are order-comparable; anything else is
+    FALSE — Spark's ANSI cast made string-vs-number comparisons throw
+    NumberFormatException at runtime instead (r7 fuzz catch)."""
+    from jetro_spark.jql.engine import Jetro
+
+    rows = [{"k": i, "g": f"g{i % 3}"} for i in range(5)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    assert jt.collect("$.s.filter(g > 40).count()") == 0
+    assert jt.collect("$.s.filter(g >= 40).count()") == 0
+    assert jt.collect("$.s.map(g).find_index(x => x > 40)") == -1
+    assert jt.collect("$.s.filter(g > 'g0').count()") == 3
+    assert jt.collect("$.s.filter(k > 2).count()") == 2
