@@ -382,7 +382,7 @@ def semantic_dedup_pairs(
     shuffle on cell id. n_cells scales with the corpus, bounding every
     cell's pairwise fan-out; AQE's skew-join splits any hot cell.
     """
-    from jetro_spark.llm.similarity import _cell_scores, cosine, l2_norm
+    from jetro_spark.llm.similarity import _cell_scores, dot, l2_norm
 
     v = F.col(vec_col)
     arr = F.array(*[
@@ -395,6 +395,11 @@ def semantic_dedup_pairs(
             l2_norm(v).alias("nrm")))).alias("__m"))
         .select("__sd_id", "__sd_v",
                 (-F.col("__m.top.nc")).cast("int").alias("__sd_cell"),
+                # carry the norm: the pair filter divides by the norm
+                # PRODUCT, so each row's fold runs once here instead of
+                # once per candidate pair (the folds are interpreted —
+                # recomputing them per pair was 3x the whole query)
+                F.col("__m.nrm").alias("__sd_n"),
                 # try_divide: a zero vector has norm 0 → NULL key, and
                 # NULL comparisons exclude it from pairing — exactly
                 # what DuckDB's x/0 → NULL does in the oracle
@@ -403,18 +408,25 @@ def semantic_dedup_pairs(
     a = assigned.select(F.col("__sd_cell").alias("cell"),
                         F.col("__sd_id").alias("keep_id"),
                         F.col("__sd_v").alias("__a_v"),
+                        F.col("__sd_n").alias("__a_n"),
                         F.col("__sd_ck").alias("__a_k"))
     b = assigned.select(F.col("__sd_cell").alias("cell"),
                         F.col("__sd_id").alias("drop_id"),
                         F.col("__sd_v").alias("__b_v"),
+                        F.col("__sd_n").alias("__b_n"),
                         F.col("__sd_ck").alias("__b_k"))
     earlier = (F.col("__a_k") < F.col("__b_k")) | (
         (F.col("__a_k") == F.col("__b_k"))
         & (F.col("keep_id") < F.col("drop_id")))
+    # dot/(na*nb) with PRE-COMPUTED norms — float-identical to
+    # cosine(va, vb) (same fold, same single division), one interpreted
+    # fold per pair instead of three
+    pair_cos = F.try_divide(
+        dot(F.col("__a_v"), F.col("__b_v")),
+        F.col("__a_n") * F.col("__b_n"))
     return (a.join(b, "cell")
             .filter(earlier)
-            .filter(cosine(F.col("__a_v"), F.col("__b_v"))
-                    >= F.lit(float(threshold)))
+            .filter(pair_cos >= F.lit(float(threshold)))
             .select("cell", "keep_id", "drop_id"))
 
 
