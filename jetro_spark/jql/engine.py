@@ -1035,26 +1035,7 @@ class JetroTables:
             self._scalar = True
             return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
-            # dedup on the VISIBLE columns only — a plain distinct()
-            # also compares the hidden __ord columns carried by an
-            # ordered pipeline, which made every row "unique" (r7 fuzz
-            # catch). With an order, keep the FIRST occurrence per value
-            # (unique_arr_apply preserves first-seen order), carrying
-            # the winner's order columns so downstream order survives.
-            vis = _vis_cols(df)
-            if set(vis) == set(df.columns):
-                return df.distinct()
-            if order is None:
-                return df.select(*vis).distinct()
-            from pyspark.sql.window import Window
-            w = (Window.partitionBy(*[F.col(v2) for v2 in vis])
-                 .orderBy(*_order_by(order)))
-            return (df.withColumn("__uq_rn", F.row_number().over(w))
-                    .filter(F.col("__uq_rn") == 1).drop("__uq_rn")
-                    # the window shuffle destroyed the physical pipeline
-                    # order that position sinks (first/nth/limit) rely
-                    # on — restore it over the surviving rows
-                    .orderBy(*_order_by(order)))
+            return self._first_seen_dedup(df, order)
         if name == "unique_by":
             col, _ = key_col(args[0].value)
             return R.unique_by(df, col)
@@ -1140,14 +1121,35 @@ class JetroTables:
                 for c2 in cols])
             return df.select(line.alias("line"))
         if name in ("diff", "intersect", "union"):
+            # array-SET semantics like the doc lowering (array_except /
+            # array_intersect / array_union): results are DISTINCT and
+            # keep the receiver's first-occurrence order. subtract() /
+            # intersect() lost the pipeline order (and compared hidden
+            # __ord columns when present); unionByName() didn't dedup
+            # at all — both r7 catches.
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
-            if name == "diff":
-                return df.subtract(other)
-            if name == "intersect":
-                return df.intersect(other)
-            return df.unionByName(other, allowMissingColumns=True)
+            vis = _vis_cols(df)
+            if sorted(vis) != sorted(other.columns):
+                return None  # shape mismatch → doc fallback
+            if name == "union":
+                if order is not None:
+                    # the appended table's DOCUMENT order (new elements
+                    # come after ours, in theirs) is not expressible
+                    # relationally → doc fallback keeps order fidelity
+                    return None
+                self._order = None
+                return (df.select(*vis)
+                        .unionByName(other.select(*vis)).distinct())
+            a2, o2 = df.alias("__set_a"), other.select(*vis).alias("__set_o")
+            cond = None
+            for v2 in vis:
+                eq2 = F.col(f"__set_a.{v2}").eqNullSafe(F.col(f"__set_o.{v2}"))
+                cond = eq2 if cond is None else (cond & eq2)
+            how = "left_anti" if name == "diff" else "left_semi"
+            self._order = order
+            return self._first_seen_dedup(a2.join(o2, cond, how), order)
         if name == "compact":
             # drop null elements (ops/collection.rs:23); object rows are
             # non-null structs, so multi-column inputs pass through
@@ -1453,6 +1455,30 @@ class JetroTables:
                         *hid)
         self._order = order
         return out
+
+    def _first_seen_dedup(self, df: DataFrame, order) -> DataFrame:
+        """Dedup on the VISIBLE columns only, keeping the FIRST
+        occurrence in pipeline order (unique_arr_apply first-seen-order
+        semantics, collection.rs:78-88). A plain distinct() would also
+        compare the hidden __ord columns an ordered pipeline carries,
+        making every row "unique" (r7 fuzz catch). The winner keeps its
+        order columns, and the rows re-sort afterwards because the
+        dedup window's shuffle destroys the physical order position
+        sinks (first/nth/limit) rely on."""
+        vis = _vis_cols(df)
+        if set(vis) == set(df.columns):
+            out = df.distinct()
+            # distinct() shuffles — restore the physical pipeline order
+            # position sinks (first/nth/limit) rely on
+            return out if order is None else out.orderBy(*_order_by(order))
+        if order is None:
+            return df.select(*vis).distinct()
+        from pyspark.sql.window import Window
+        w = (Window.partitionBy(*[F.col(v2) for v2 in vis])
+             .orderBy(*_order_by(order)))
+        return (df.withColumn("__uq_rn", F.row_number().over(w))
+                .filter(F.col("__uq_rn") == 1).drop("__uq_rn")
+                .orderBy(*_order_by(order)))
 
     def _pad_single_null(self, taken: DataFrame) -> DataFrame:
         """Guarantee exactly one row: ``taken`` (already ``limit(1)``-

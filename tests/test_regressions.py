@@ -302,3 +302,38 @@ def test_ordered_comparison_of_incomparables_is_false(spark):
     assert jt.collect("$.s.map(g).find_index(x => x > 40)") == -1
     assert jt.collect("$.s.filter(g > 'g0').count()") == 3
     assert jt.collect("$.s.filter(k > 2).count()") == 2
+
+
+def test_relational_set_ops_dedup_and_keep_order(spark):
+    """Round-7: relational diff/intersect/union lowered to Spark's
+    subtract/intersect/unionByName — subtract and intersect lose the
+    pipeline's physical order (their shuffle breaks position sinks) and
+    unionByName does not dedup at all, while the doc lowerings follow
+    the reference's array-SET semantics (array_except/intersect/union:
+    DISTINCT results, receiver-first order)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "g": f"g{i % 3}"} for i in range(6)]
+    sub = [{"k": i, "g": f"g{i % 3}"} for i in range(3)]
+    jt = Jetro.from_value(spark, {"s": rows, "u": sub})
+    t = spark.createDataFrame([(r["k"], r["g"]) for r in rows],
+                              "k long, g string")
+    t2 = spark.createDataFrame([(r["k"], r["g"]) for r in sub],
+                               "k long, g string")
+
+    def rel(e):
+        return [tuple(r) for r in
+                JetroTables(spark, {"s": t, "u": t2}).query(e).collect()]
+
+    # union dedups (array_union set semantics): 6 + 3 overlapping → 6
+    assert jt.collect("$.s.union($.u).len()") == 6
+    assert rel("$.s.union($.u).len()") == [(6,)]
+    # diff/intersect keep the receiver's pipeline order through the
+    # anti/semi join for downstream position sinks
+    assert rel("$.s.sort(-k).diff($.u).first()") == [(5, "g2")]
+    assert rel("$.s.sort(-k).diff($.u).nth(1)") == [(4, "g1")]
+    assert rel("$.s.sort(k).intersect($.u).last()") == [(2, "g2")]
+    assert jt.collect("$.s.sort(-k).diff($.u).first()") == {"k": 5,
+                                                            "g": "g2"}
+    # self-diff is empty, not an ambiguous-column crash
+    assert rel("$.s.diff($.s).count()") == [(0,)]
