@@ -33,7 +33,10 @@ pytestmark = pytest.mark.skipif(not HAVE_HYPOTHESIS,
 
 ROWS = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
         for i in range(17)]
-DOC = {"s": ROWS}
+# overlaps rows 0-4 of s plus one alien row — exercises every branch of
+# the set-op stages (present/absent/extra on the other side)
+ROWS_U = ROWS[:5] + [{"k": 99, "v": 7.5, "g": "g9"}]
+DOC = {"s": ROWS, "u": ROWS_U}
 
 # stages legal mid-pipeline on rows/scalars in BOTH modes; every
 # pipeline starts with sort(k) so both modes walk the same sequence
@@ -46,6 +49,9 @@ _MID = st.sampled_from([
     # order-dependent prefix stages (relational: running-sum window)
     ".take_while(x => x.k < 11)", ".drop_while(x => x.k < 5)",
     ".enumerate().map(value)",
+    # array-set stages against a second table (r7 rewrite: null-safe
+    # anti/semi joins + first-seen dedup; ordered union doc-falls-back)
+    ".diff($.u)", ".intersect($.u)", ".union($.u)",
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",
@@ -86,13 +92,24 @@ def _norm(x):
     return sorted(json.dumps(e, sort_keys=True, default=float) for e in x)
 
 
+def _canon_cell(v):
+    """Nested Row/list cells (the doc-fallback's single `value` column
+    can hold a struct or an objrepr array) → plain dicts/lists."""
+    from pyspark.sql import Row
+    if isinstance(v, Row):
+        return {k: _canon_cell(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_canon_cell(x) for x in v]
+    return v
+
+
 def _rel_result(out_df):
     rows = out_df.collect()
     cols = out_df.columns
     vis = [c for c in cols if not c.startswith("__ord")]
     out = []
     for r in rows:
-        d = {c: r[c] for c in vis}
+        d = {c: _canon_cell(r[c]) for c in vis}
         if len(vis) == 1:
             out.append(d[vis[0]])
         elif all(v is None for v in d.values()):
@@ -132,7 +149,8 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
         doc_err = True
     try:
         rel_out = _rel_result(
-            JetroTables(spark, {"s": _table(spark)}).query(expr))
+            JetroTables(spark, {"s": _table(spark),
+                                "u": _table_u(spark)}).query(expr))
     except CompileError:
         rel_err = True
     # an ill-typed combination (e.g. .pairwise().sum() — summing arrays)
@@ -147,7 +165,7 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
     # isn't mistaken for a result LIST
     if sink in (".first()", ".last()", ".nth(2)", ".min()", ".max()",
                 ".sum()", ".count()", ".find_index(x => x > 40)",
-                ".includes(74.0)"):
+                ".includes(74.0)", ".index_of(74.0)", ".includes({q: 1})"):
         doc_out = [doc_out]
     assert _norm(doc_out) == _norm(rel_out), (
         f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
@@ -158,6 +176,12 @@ def _table(spark):
         [(r["k"], r["v"], r["g"]) for r in ROWS], "k long, v double, g string")
 
 
+def _table_u(spark):
+    return spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in ROWS_U],
+        "k long, v double, g string")
+
+
 @settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=2), _KEYED_SINK)
@@ -165,12 +189,19 @@ def test_keyed_reducers_agree(spark, mids, sink):
     expr = "$.s.sort(k)" + "".join(mids) + sink
     jt = Jetro.from_value(spark, DOC)
     doc_out = jt.collect(expr)
-    rel_out = _rel_result(JetroTables(spark, {"s": _table(spark)}).query(expr))
+    rel_out = _rel_result(JetroTables(
+        spark, {"s": _table(spark), "u": _table_u(spark)}).query(expr))
 
     if sink.startswith(".count_by"):
-        # doc: ordered {key: n} object; rel: rows of {key, value}
-        doc_cmp = sorted((k, n) for k, n in doc_out.items())
-        rel_cmp = sorted((r["key"], r["value"]) for r in rel_out)
+        # doc: ordered {key: n} object ([] when the pipeline is empty);
+        # rel: rows of {key, value}, or ONE objrepr cell when a stage
+        # (e.g. ordered union) doc-fell-back
+        doc_cmp = sorted(doc_out.items()) if isinstance(doc_out, dict) \
+            else []
+        if len(rel_out) == 1 and isinstance(rel_out[0], list):
+            rel_cmp = sorted((e["key"], e["value"]) for e in rel_out[0])
+        else:
+            rel_cmp = sorted((r["key"], r["value"]) for r in rel_out)
         assert doc_cmp == rel_cmp, expr
     elif sink.startswith((".min_by", ".max_by")):
         doc_cmp = _norm([doc_out] if isinstance(doc_out, dict) else doc_out)
