@@ -1038,7 +1038,15 @@ class JetroTables:
             return self._first_seen_dedup(df, order)
         if name == "unique_by":
             col, _ = key_col(args[0].value)
-            return R.unique_by(df, col)
+            out = R.unique_by(df, col)
+            if order is None:
+                return out
+            # the min_by groupBy shuffles away the physical pipeline
+            # order position sinks rely on — restore it (winner rows
+            # keep their __ord columns); winner choice itself already
+            # follows pipeline order via the doc-order surrogate
+            self._order = order
+            return out.orderBy(*_order_by(order))
         if name == "count":
             self._scalar = True
             if args:

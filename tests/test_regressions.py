@@ -337,3 +337,25 @@ def test_relational_set_ops_dedup_and_keep_order(spark):
                                                             "g": "g2"}
     # self-diff is empty, not an ambiguous-column crash
     assert rel("$.s.diff($.s).count()") == [(0,)]
+
+
+def test_unique_by_keeps_pipeline_order(spark):
+    """Round-7: unique_by's min_by groupBy shuffles away the physical
+    pipeline order, so position sinks downstream picked arbitrary rows
+    (sort(-k).unique_by(g).first() returned a mid-pipeline row). The
+    lowering now restores the order and keeps it for later stages."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+
+    for e in ("$.s.sort(-k).unique_by(g).first()",
+              "$.s.sort(-k).unique_by(g).nth(1)",
+              "$.s.sort(k).unique_by(g).last()"):
+        doc = jt.collect(e)
+        got = [tuple(r) for r in
+               JetroTables(spark, {"s": t}).query(e).collect()]
+        assert got == [tuple(doc.values())], e
