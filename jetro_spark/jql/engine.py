@@ -1103,7 +1103,15 @@ class JetroTables:
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
-            return R.equi_join(df, other, _lit_str(args[1].value), _lit_str(args[2].value))
+            out = R.equi_join(df, other, _lit_str(args[1].value),
+                              _lit_str(args[2].value))
+            if order is None:
+                return out
+            # equi_join_apply walks the RECEIVER in order (array.rs:
+            # 489-548) — restore the pipeline order the join shuffle
+            # destroyed so position sinks downstream stay faithful
+            self._order = order
+            return out.orderBy(*_order_by(order))
         if name == "explode":
             return R.explode_field(df, _name_str(args[0].value))
         if name == "implode":

@@ -359,3 +359,27 @@ def test_unique_by_keeps_pipeline_order(spark):
         got = [tuple(r) for r in
                JetroTables(spark, {"s": t}).query(e).collect()]
         assert got == [tuple(doc.values())], e
+
+
+def test_equi_join_keeps_pipeline_order(spark):
+    """Round-7, same class: the join shuffle destroyed the receiver's
+    pipeline order; equi_join_apply walks the receiver in order
+    (array.rs:489-548), so position sinks after a join must see it."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    dim = [{"g": f"g{i}", "label": f"L{i}"} for i in range(3)]
+    jt = Jetro.from_value(spark, {"s": rows, "d": dim})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    d = spark.createDataFrame([(r["g"], r["label"]) for r in dim],
+                              "g string, label string")
+
+    for e in ('$.s.sort(-k).equi_join($.d, "g", "g").first()',
+              '$.s.sort(-k).equi_join($.d, "g", "g").nth(2)',
+              '$.s.sort(k).equi_join($.d, "g", "g").last()'):
+        doc = jt.collect(e)
+        got = [tuple(r) for r in
+               JetroTables(spark, {"s": t, "d": d}).query(e).collect()]
+        assert got == [tuple(doc.values())], e
