@@ -367,16 +367,32 @@ def collect(v: Column, is_array: bool) -> Column:
 # ------------------------------------------------------------------ set ops
 
 
-def diff(a: Column, b: Column) -> Column:  # ops/collection.rs:596
-    return F.array_except(a, b)
+def diff(a: Column, b: Column) -> Column:
+    """Elements of ``a`` whose value is NOT in ``b`` — keeping ``a``'s
+    DUPLICATES and order (diff_apply, ops/collection.rs:629-646, filters
+    by key membership without deduplicating the receiver; array_except
+    would collapse a's duplicates — r7 fix)."""
+    return let_(b, lambda bb: F.filter(
+        a, lambda x: ~F.coalesce(F.exists(bb, lambda o: o.eqNullSafe(x)),
+                                 F.lit(False))))
 
 
-def intersect(a: Column, b: Column) -> Column:  # ops/collection.rs:618
-    return F.array_intersect(a, b)
+def intersect(a: Column, b: Column) -> Column:
+    """Elements of ``a`` whose value IS in ``b`` — duplicates and order
+    of ``a`` preserved (intersect_apply, ops/collection.rs:594-609)."""
+    return let_(b, lambda bb: F.filter(
+        a, lambda x: F.coalesce(F.exists(bb, lambda o: o.eqNullSafe(x)),
+                                F.lit(False))))
 
 
-def union(a: Column, b: Column) -> Column:  # ops/collection.rs:634
-    return F.array_union(a, b)
+def union(a: Column, b: Column) -> Column:
+    """All of ``a`` (duplicates intact) plus the elements of ``b`` whose
+    value is not in ``a`` — b-internal duplicates of a NEW value are all
+    appended, exactly like union_apply (ops/collection.rs:611-627, the
+    membership probe checks the RECEIVER's key set only)."""
+    return let_(a, lambda aa: F.concat(aa, F.filter(
+        b, lambda o: ~F.coalesce(F.exists(aa, lambda x: x.eqNullSafe(o)),
+                                 F.lit(False)))))
 
 
 def includes(arr: Column, v: Column) -> Column:

@@ -2014,6 +2014,14 @@ def m_remove(self, recv, args, env):
             # cross-kind target removes nothing (remove_value_apply
             # compares canonical keys — never a type error)
             return recv
+        if _cross_renders(_elem(recv), v.dtype):
+            # canonical-string comparison, keeping the element type
+            el = _elem(recv)
+            pr = _canon_str(v.col, v.dtype)
+            return TC(F.filter(
+                recv.col,
+                lambda x: ~F.coalesce(_canon_str(x, el).eqNullSafe(pr),
+                                      F.lit(False))), recv.dtype)
         return TC(F.array_remove(recv.col,
                                  _reorder_struct_probe(v, _elem(recv))),
                   recv.dtype)
@@ -2106,11 +2114,18 @@ def m_collect(self, recv, args, env):
 
 def m_diff(self, recv, args, env):
     other = self.compile(args[0].value, env)
+    if not eq_comparable(_elem(recv), _elem(other)):
+        # no key can ever match across kinds → receiver unchanged
+        # (diff_apply compares canonical keys, never type-errors)
+        return recv
     return TC(AR.diff(recv.col, other.col), recv.dtype)
 
 
 def m_intersect(self, recv, args, env):
     other = self.compile(args[0].value, env)
+    if not eq_comparable(_elem(recv), _elem(other)):
+        # cross-kind: nothing intersects → empty (same type as recv)
+        return TC(F.slice(recv.col, 1, 0), recv.dtype)
     return TC(AR.intersect(recv.col, other.col), recv.dtype)
 
 
@@ -2160,6 +2175,14 @@ def _membership(recv: TC, v: TC) -> TC:
     if el is not None:
         if not eq_comparable(el, v.dtype):
             return TC(F.lit(False), T.BooleanType())
+        if _cross_renders(el, v.dtype):
+            # canonical-string comparison (val_to_key) — Spark's native
+            # coercion would ANSI-cast the string side and throw
+            pr = _canon_str(v.col, v.dtype)
+            return TC(F.coalesce(
+                F.exists(recv.col,
+                         lambda x: _canon_str(x, el).eqNullSafe(pr)),
+                F.lit(False)), T.BooleanType())
         probe = _reorder_struct_probe(v, el)
         return TC(F.coalesce(F.exists(recv.col,
                                       lambda x: x.eqNullSafe(probe)),
@@ -2181,8 +2204,44 @@ def _reorder_struct_probe(v: TC, el: T.DataType) -> Column:
     return v.col
 
 
+def _cross_renders(a: T.DataType | None, b: T.DataType | None) -> bool:
+    """True when equality between these kinds goes through the
+    reference's canonical STRING rendering (val_to_key): a string side
+    against a number/bool side. Spark's native comparison would instead
+    CAST the string side and ANSI-throw on non-numeric text (r7 soak
+    catch) — callers must compare via ``_canon_str`` on both sides."""
+    fa, fb = _family(a), _family(b)
+    return ("string" in (fa, fb) and fa != fb
+            and {fa, fb} <= {"string", "number", "bool"})
+
+
+def _canon_str(col: Column, dt: T.DataType | None) -> Column:
+    """val_to_key's string rendering: integral doubles drop the
+    trailing .0 (Rust's f64 Display renders 74.0 as "74"), longs/bools
+    match Spark's cast already. Huge/non-integral doubles keep Spark's
+    rendering — a documented hairline delta (the engines' scientific-
+    notation thresholds differ)."""
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        lt = col.try_cast("long")
+        return F.when(
+            lt.isNotNull() & (lt.cast("double") == col.cast("double")),
+            lt.cast("string")).otherwise(col.cast("string"))
+    return col.cast("string")
+
+
 def m_includes(self, recv, args, env):
     return _membership(recv, self.compile(args[0].value, env))
+
+
+def _probe_pair(recv: TC, v: TC) -> tuple[Column, Column]:
+    """(array, probe) prepared for an equality scan: cross-rendering
+    pairs compare as canonical strings on BOTH sides (never an ANSI
+    cast error); struct probes reorder to the element's field order."""
+    el = _elem(recv)
+    if _cross_renders(el, v.dtype):
+        return (F.transform(recv.col, lambda x: _canon_str(x, el)),
+                _canon_str(v.col, v.dtype))
+    return recv.col, _reorder_struct_probe(v, el)
 
 
 def m_index_of(self, recv, args, env):
@@ -2193,8 +2252,7 @@ def m_index_of(self, recv, args, env):
         # reference vals_eq never matches across kinds → absent (-1),
         # not a type error (collection.rs index_value_apply)
         return TC(F.lit(-1).cast("long"), T.LongType())
-    return TC(AR.index(recv.col, _reorder_struct_probe(v, _elem(recv))),
-              T.LongType())
+    return TC(AR.index(*_probe_pair(recv, v)), T.LongType())
 
 
 def m_last_index_of(self, recv, args, env):
@@ -2204,8 +2262,7 @@ def m_last_index_of(self, recv, args, env):
     v = self.compile(args[0].value, env)
     if not eq_comparable(_elem(recv), v.dtype):
         return TC(F.lit(-1).cast("long"), T.LongType())
-    idx = F.array_max(
-        AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))))
+    idx = F.array_max(AR.indices_of(*_probe_pair(recv, v)))
     return TC(F.coalesce(idx, F.lit(-1).cast("long")), T.LongType())
 
 
@@ -2214,7 +2271,7 @@ def m_indices_of(self, recv, args, env):
     if not eq_comparable(_elem(recv), v.dtype):
         # cross-kind probe: no position ever matches (vals_eq totality)
         return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
-    return TC(AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))),
+    return TC(AR.indices_of(*_probe_pair(recv, v)),
               T.ArrayType(T.LongType()))
 
 

@@ -1087,9 +1087,11 @@ class JetroTables:
             col = c.compile(args[0].value, env).col if args else F.struct(*df.columns)
             return df.agg(F.approx_count_distinct(col).alias("value"))
         if name in ("min_by", "max_by"):
+            # empty pipeline → scalar Null (extreme_by_apply), padded
+            # as one all-null row like first/last/nth (r7 soak catch)
             col, _ = key_col(args[0].value)
             o = col.asc() if name == "min_by" else col.desc()
-            return df.orderBy(o).limit(1)
+            return self._pad_single_null(df.orderBy(o).limit(1))
         if name == "group_by":
             col, _ = key_col(args[0].value)
             return R.group_collect(df, col)
@@ -1137,18 +1139,29 @@ class JetroTables:
                 for c2 in cols])
             return df.select(line.alias("line"))
         if name in ("diff", "intersect", "union"):
-            # array-SET semantics like the doc lowering (array_except /
-            # array_intersect / array_union): results are DISTINCT and
-            # keep the receiver's first-occurrence order. subtract() /
-            # intersect() lost the pipeline order (and compared hidden
-            # __ord columns when present); unionByName() didn't dedup
-            # at all — both r7 catches.
+            # diff_apply/intersect_apply/union_apply semantics
+            # (collection.rs:594-646): filter the RECEIVER by key
+            # membership in the other side — the receiver's DUPLICATES
+            # and order are preserved (subtract()/intersect() were
+            # dedup-ing SQL set ops AND lost the pipeline order;
+            # unionByName() appended everything — r7 catches). union =
+            # all of the receiver plus the other side's rows whose
+            # value is not in the receiver.
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
             vis = _vis_cols(df)
             if sorted(vis) != sorted(other.columns):
-                return None  # shape mismatch → doc fallback
+                # cross-shape rows never compare equal (vals_eq):
+                # diff keeps everything, intersect keeps nothing;
+                # union would need a mixed-shape row set → fallback
+                if name == "diff":
+                    self._order = order
+                    return df
+                if name == "intersect":
+                    self._order = order
+                    return df.limit(0)
+                return None
             if name == "union":
                 if order is not None:
                     # the appended table's DOCUMENT order (new elements
@@ -1156,8 +1169,15 @@ class JetroTables:
                     # relationally → doc fallback keeps order fidelity
                     return None
                 self._order = None
-                return (df.select(*vis)
-                        .unionByName(other.select(*vis)).distinct())
+                a3 = df.select(*vis).alias("__set_a")
+                o3 = other.select(*vis).alias("__set_o")
+                cond = None
+                for v2 in vis:
+                    eq2 = (F.col(f"__set_a.{v2}")
+                           .eqNullSafe(F.col(f"__set_o.{v2}")))
+                    cond = eq2 if cond is None else (cond & eq2)
+                newbies = o3.join(a3, cond, "left_anti")
+                return df.select(*vis).unionByName(newbies)
             a2, o2 = df.alias("__set_a"), other.select(*vis).alias("__set_o")
             cond = None
             for v2 in vis:
@@ -1165,7 +1185,11 @@ class JetroTables:
                 cond = eq2 if cond is None else (cond & eq2)
             how = "left_anti" if name == "diff" else "left_semi"
             self._order = order
-            return self._first_seen_dedup(a2.join(o2, cond, how), order)
+            out = a2.join(o2, cond, how)
+            # anti/semi joins keep each receiver row at most once, so
+            # no dedup — just restore the pipeline order the join
+            # shuffle destroyed
+            return out if order is None else out.orderBy(*_order_by(order))
         if name == "compact":
             # drop null elements (ops/collection.rs:23); object rows are
             # non-null structs, so multi-column inputs pass through
@@ -1218,7 +1242,9 @@ class JetroTables:
             # null-safe (a null probe matches null cells — Val::Null
             # keys as "null" in includes_apply) and TOTAL: a provably
             # cross-kind probe is constant false, not a CompileError
-            from jetro_spark.jql.compiler import (eq_comparable,
+            from jetro_spark.jql.compiler import (_canon_str,
+                                                  eq_comparable,
+                                                  _cross_renders,
                                                   _reorder_struct_probe)
             vis = _vis_cols(df)
             vt = c.compile(args[0].value, env)
@@ -1230,10 +1256,14 @@ class JetroTables:
                 self._scalar = True
                 if not eq_comparable(cell_t, vt.dtype):
                     return never
-                return df.agg(F.coalesce(
-                    F.bool_or(F.col(vis[0]).eqNullSafe(
-                        _reorder_struct_probe(vt, cell_t))),
-                    F.lit(False)).alias("value"))
+                if _cross_renders(cell_t, vt.dtype):
+                    eqc = _canon_str(F.col(vis[0]), cell_t).eqNullSafe(
+                        _canon_str(vt.col, vt.dtype))
+                else:
+                    eqc = F.col(vis[0]).eqNullSafe(
+                        _reorder_struct_probe(vt, cell_t))
+                return df.agg(F.coalesce(F.bool_or(eqc),
+                                         F.lit(False)).alias("value"))
             # object rowset: the pipeline is a list of row objects —
             # membership compares each ROW to the probe (includes_apply
             # Val::Arr arm); a non-object or schema-mismatched probe
@@ -1256,17 +1286,25 @@ class JetroTables:
             if len(vis) != 1 or not self._scalar:
                 return None
             from pyspark.sql.window import Window
-            from jetro_spark.jql.compiler import eq_comparable
+            from jetro_spark.jql.compiler import (_canon_str,
+                                                  eq_comparable,
+                                                  _cross_renders)
             w = Window.orderBy(*_order_by(order))
             self._scalar = True
             vt = c.compile(args[0].value, env)
-            if not eq_comparable(df.schema[vis[0]].dataType, vt.dtype):
+            cell_t = df.schema[vis[0]].dataType
+            if not eq_comparable(cell_t, vt.dtype):
                 # cross-kind probe never matches (vals_eq) → -1, total
                 return df.limit(0).agg(
                     F.coalesce(F.min(F.lit(0)), F.lit(-1))
                     .cast("long").alias("value"))
+            if _cross_renders(cell_t, vt.dtype):
+                okc = (_canon_str(F.col(vis[0]), cell_t)
+                       == _canon_str(vt.col, vt.dtype))
+            else:
+                okc = F.col(vis[0]) == vt.col
             d2 = df.select((F.row_number().over(w) - 1).alias("__ix_rn"),
-                           (F.col(vis[0]) == vt.col).alias("__ix_ok"))
+                           okc.alias("__ix_ok"))
             return d2.filter(F.col("__ix_ok")).agg(
                 F.coalesce(F.min("__ix_rn"), F.lit(-1))
                 .cast("long").alias("value"))

@@ -306,11 +306,11 @@ def test_ordered_comparison_of_incomparables_is_false(spark):
 
 def test_relational_set_ops_dedup_and_keep_order(spark):
     """Round-7: relational diff/intersect/union lowered to Spark's
-    subtract/intersect/unionByName — subtract and intersect lose the
-    pipeline's physical order (their shuffle breaks position sinks) and
-    unionByName does not dedup at all, while the doc lowerings follow
-    the reference's array-SET semantics (array_except/intersect/union:
-    DISTINCT results, receiver-first order)."""
+    subtract/intersect/unionByName — SQL set ops that dedup the
+    receiver and lose the pipeline's physical order, while the
+    reference's diff_apply/intersect_apply/union_apply filter the
+    receiver by key membership (duplicates and order INTACT; union
+    appends only values absent from the receiver)."""
     from jetro_spark.jql.engine import Jetro, JetroTables
 
     rows = [{"k": i, "g": f"g{i % 3}"} for i in range(6)]
@@ -325,9 +325,18 @@ def test_relational_set_ops_dedup_and_keep_order(spark):
         return [tuple(r) for r in
                 JetroTables(spark, {"s": t, "u": t2}).query(e).collect()]
 
-    # union dedups (array_union set semantics): 6 + 3 overlapping → 6
+    # union appends only values ABSENT from the receiver: all 3 of u's
+    # rows are already present → 6; receiver duplicates survive
     assert jt.collect("$.s.union($.u).len()") == 6
     assert rel("$.s.union($.u).len()") == [(6,)]
+    # s.map(g) has 6 values with duplicates ([g0,g1,g2]x2); u covers all
+    # three g's, so union appends nothing and intersect keeps ALL SIX
+    # receiver occurrences (array_intersect would have collapsed to 3)
+    assert jt.collect("$.s.map(g).union($.u.map(g)).len()") == 6
+    assert rel("$.s.map(g).union($.u.map(g)).len()") == [(6,)]
+    assert jt.collect("$.s.map(g).intersect($.u.map(g)).len()") == 6
+    assert rel("$.s.sort(k).map(g).intersect($.u.map(g)).len()") == [(6,)]
+    assert jt.collect("$.s.map(g).union(['zz', 'zz']).len()") == 8
     # diff/intersect keep the receiver's pipeline order through the
     # anti/semi join for downstream position sinks
     assert rel("$.s.sort(-k).diff($.u).first()") == [(5, "g2")]
