@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jetro_spark.llm.packing import pack_by_cumsum
-from jetro_spark.llm.sampling import hash_split, stratified_hash_sample
+from jetro_spark.llm.sampling import (cap_per_key, hash_split,
+                                      stratified_hash_sample)
 from jetro_spark.operators.timeseries import HOUR_US, rollup_gapfill
 from jetro_spark.session import load_tables
 from jetro_spark.timeutil import ts_to_timestamp
@@ -74,6 +75,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+# --- per-source document cap (host-cap corpus policy) -----------------------
+def q_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ≤10 documents per source, chosen by md5 rank — the
+    C4/RefinedWeb-style host cap as a deterministic per-group uniform
+    sample (llm/sampling.py cap_per_key). The oracle replays the md5
+    ranking verbatim, so WHICH rows survive is hash-checked, not just
+    how many."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = cap_per_key(docs, "source", 10, id_col="doc_id", seed=42)
+    return out.select("doc_id", "source", "lang")
+
+
 # --- sequence packing (cumsum strategy; n_chars as the token proxy) ---------
 def q_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
@@ -85,6 +98,7 @@ QUERIES = {
     "rollup_gapfill": q_rollup_gapfill,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "cap_per_key": q_cap_per_key,
     "pack_cumsum": q_pack_cumsum,
 }
 
@@ -132,6 +146,17 @@ ORACLES = {
         SELECT doc_id, lang, source FROM documents
         WHERE {_FRAC.format(seed=7)} <
               CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75 ELSE 0.5 END
+    """,
+    # rank within source by the md5 fraction (same order as the integer
+    # bucket Spark ranks by — a positive constant divisor), doc_id ties
+    "cap_per_key": f"""
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {_FRAC.format(seed=42)} ASC,
+                                             doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 10
     """,
     "pack_cumsum": """
         SELECT doc_id, n_chars,

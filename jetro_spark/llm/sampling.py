@@ -148,3 +148,38 @@ def mixture_interleave(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def cap_per_key(
+    df: DataFrame,
+    group_col: str | Column,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-DOMAIN document cap a
+    corpus pipeline applies so boilerplate-heavy hosts cannot dominate
+    the mixture (the C4/RefinedWeb-style host cap). WHICH rows survive
+    is hash-determined, not arrival-ordered: rows rank by
+    ``md5(id:seed)`` inside their group, so the kept set is a uniform,
+    reproducible per-group sample — independent of engine,
+    partitioning, and cluster size, and re-runnable to the same result
+    (the hash_split property). Ties cannot occur (the id is unique and
+    feeds the hash input verbatim, and the id itself breaks any
+    residual hash collision).
+
+    Scale: one shuffle on the group key; the rank window sorts only
+    WITHIN each group (no global sort). A pathological hot key (one
+    host = half the corpus) makes one reducer sort its group —
+    acceptable because the sort input is the group's (hash, id) pairs,
+    not the documents; with AQE skew handling the exchange itself
+    splits. The filter keeps ≤ n·|groups| rows, applied before any
+    downstream wide transform."""
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    rk = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(g).orderBy(rk.asc(), F.col(id_col).asc())
+    return (df.withColumn("__cap_rn", F.row_number().over(w))
+            .filter(F.col("__cap_rn") <= n).drop("__cap_rn"))

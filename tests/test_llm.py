@@ -655,3 +655,26 @@ def test_semantic_dedup_keep_order_and_cluster_bound(spark):
     cells = {tuple(sorted((r["keep_id"], r["drop_id"])))
              for r in all_pairs.collect()}
     assert cells == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_cap_per_key_deterministic_uniform_cap(spark):
+    from jetro_spark.llm.sampling import cap_per_key
+
+    rows = [(i, f"src{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", 5, id_col="doc_id", seed=42)
+    got = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in got) and len(got) == 7
+    # hash-determined membership: partitioning cannot change the kept set
+    again = cap_per_key(df.repartition(13), "source", 5,
+                        id_col="doc_id", seed=42)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in again.collect())
+    assert a == b
+    # a different seed keeps a different (but equally sized) set
+    other = cap_per_key(df, "source", 5, id_col="doc_id", seed=7)
+    assert sorted(r["doc_id"] for r in other.collect()) != a
+    # groups under the cap pass through whole
+    small = cap_per_key(df.filter(F.col("doc_id") < 3), "source", 5,
+                        id_col="doc_id", seed=42)
+    assert small.count() == 3
