@@ -2233,26 +2233,25 @@ def m_includes(self, recv, args, env):
     return _membership(recv, self.compile(args[0].value, env))
 
 
-def _probe_pair(recv: TC, v: TC) -> tuple[Column, Column]:
-    """(array, probe) prepared for an equality scan: cross-rendering
-    pairs compare as canonical strings on BOTH sides (never an ANSI
-    cast error); struct probes reorder to the element's field order."""
-    el = _elem(recv)
-    if _cross_renders(el, v.dtype):
-        return (F.transform(recv.col, lambda x: _canon_str(x, el)),
-                _canon_str(v.col, v.dtype))
-    return recv.col, _reorder_struct_probe(v, el)
+def _index_absent(recv: TC, v: TC) -> bool:
+    """The ARRAY index family (index/index_of/indices_of/last_index_of
+    on arrays) compares via vals_eq (util.rs:197, json_vals_eq) — a
+    TYPE-STRICT equality where a string never equals a number (unlike
+    includes' val_to_key canonical keys). A provably cross-kind probe is
+    therefore ABSENT, and string-vs-number pairs must short-circuit too
+    (Spark would ANSI-cast the string side and throw)."""
+    return (not eq_comparable(_elem(recv), v.dtype)
+            or _cross_renders(_elem(recv), v.dtype))
 
 
 def m_index_of(self, recv, args, env):
     if _family(recv.dtype) == "string":
         return TC(S.index_of(recv.col, _const_str(args, 0)), T.LongType())
     v = self.compile(args[0].value, env)
-    if not eq_comparable(_elem(recv), v.dtype):
-        # reference vals_eq never matches across kinds → absent (-1),
-        # not a type error (collection.rs index_value_apply)
+    if _index_absent(recv, v):
         return TC(F.lit(-1).cast("long"), T.LongType())
-    return TC(AR.index(*_probe_pair(recv, v)), T.LongType())
+    return TC(AR.index(recv.col, _reorder_struct_probe(v, _elem(recv))),
+              T.LongType())
 
 
 def m_last_index_of(self, recv, args, env):
@@ -2260,18 +2259,19 @@ def m_last_index_of(self, recv, args, env):
         return TC(S.last_index_of(recv.col, _const_str(args, 0)), T.LongType())
     # array variant: last 0-based index of value, -1 when absent
     v = self.compile(args[0].value, env)
-    if not eq_comparable(_elem(recv), v.dtype):
+    if _index_absent(recv, v):
         return TC(F.lit(-1).cast("long"), T.LongType())
-    idx = F.array_max(AR.indices_of(*_probe_pair(recv, v)))
+    idx = F.array_max(
+        AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))))
     return TC(F.coalesce(idx, F.lit(-1).cast("long")), T.LongType())
 
 
 def m_indices_of(self, recv, args, env):
     v = self.compile(args[0].value, env)
-    if not eq_comparable(_elem(recv), v.dtype):
+    if _index_absent(recv, v):
         # cross-kind probe: no position ever matches (vals_eq totality)
         return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
-    return TC(AR.indices_of(*_probe_pair(recv, v)),
+    return TC(AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))),
               T.ArrayType(T.LongType()))
 
 

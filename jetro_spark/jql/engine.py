@@ -1293,18 +1293,16 @@ class JetroTables:
             self._scalar = True
             vt = c.compile(args[0].value, env)
             cell_t = df.schema[vis[0]].dataType
-            if not eq_comparable(cell_t, vt.dtype):
-                # cross-kind probe never matches (vals_eq) → -1, total
+            if (not eq_comparable(cell_t, vt.dtype)
+                    or _cross_renders(cell_t, vt.dtype)):
+                # the index family compares via TYPE-STRICT vals_eq —
+                # cross-kind probes (incl. string-vs-number, which
+                # Spark would ANSI-cast) never match → -1, total
                 return df.limit(0).agg(
                     F.coalesce(F.min(F.lit(0)), F.lit(-1))
                     .cast("long").alias("value"))
-            if _cross_renders(cell_t, vt.dtype):
-                okc = (_canon_str(F.col(vis[0]), cell_t)
-                       == _canon_str(vt.col, vt.dtype))
-            else:
-                okc = F.col(vis[0]) == vt.col
             d2 = df.select((F.row_number().over(w) - 1).alias("__ix_rn"),
-                           okc.alias("__ix_ok"))
+                           (F.col(vis[0]) == vt.col).alias("__ix_ok"))
             return d2.filter(F.col("__ix_ok")).agg(
                 F.coalesce(F.min("__ix_rn"), F.lit(-1))
                 .cast("long").alias("value"))
