@@ -2129,8 +2129,31 @@ def m_intersect(self, recv, args, env):
     return TC(AR.intersect(recv.col, other.col), recv.dtype)
 
 
+def _widen_elems(arr: Column, st: T.StructType, to: T.StructType) -> Column:
+    """array<struct st> → array<struct to>: fields absent from st pad
+    with typed nulls (the _deep_collect pad, applied element-wise)."""
+    names = set(st.fieldNames())
+    return F.transform(arr, lambda c: F.struct(*[
+        (c.getField(f.name).cast(f.dataType.simpleString())
+         if f.name in names else F.lit(None).cast(f.dataType.simpleString())
+         ).alias(f.name)
+        for f in to.fields]))
+
+
 def m_union(self, recv, args, env):
     other = self.compile(args[0].value, env)
+    ea, eb = _elem(recv), _elem(other)
+    if (not eq_comparable(ea, eb)
+            and isinstance(ea, T.StructType) and isinstance(eb, T.StructType)):
+        # cross-shape objects never share a canonical key, so union_apply
+        # appends EVERYTHING from the other side (collection.rs:611-627,
+        # no error). Representable by widening both sides to the union
+        # struct: the receiver's missing fields become nulls, which is
+        # also how downstream field access sees them (missing ≡ null).
+        u = union_struct([ea, eb])
+        return TC(F.concat(_widen_elems(recv.col, ea, u),
+                           _widen_elems(other.col, eb, u)),
+                  T.ArrayType(u))
     return TC(AR.union(recv.col, other.col), recv.dtype)
 
 
@@ -2292,8 +2315,8 @@ def m_group_shape(self, recv, args, env):
     """`group_shape(key_λ, shape_λ)`: group by stringified key, apply
     shape to each group array → `{key: shape(group)}` (objrepr).
     Reference: ops/array.rs:841-863."""
-    key_fn, _ = self._lam(args[0].value, env, _elem(recv))
-    grouped = AR.group_by(recv.col, key_fn)  # array<struct<key, value:arr>>
+    key_fn, key_dt = self._lam(args[0].value, env, _elem(recv))
+    grouped = AR.group_by(recv.col, _key_lam(key_fn, key_dt))  # array<struct<key, value:arr>>
     shape_fn, shape_dt = self._lam(args[1].value, env, recv.dtype)
     out = F.transform(
         grouped,
@@ -2396,19 +2419,31 @@ def _objrepr_dt(value_dt: T.DataType) -> T.ArrayType:
         T.StructField("value", value_dt, True)]))
 
 
+def _key_lam(fn, dt):
+    """Key lambda → the reference's canonical key string (val_to_key,
+    util.rs:216-226): integral doubles render WITHOUT the trailing .0
+    (group_by(v) over doubles keys as "74", not "74.0" — r7 fix), a
+    null key renders as the string "null"; other kinds match Spark's
+    cast already."""
+    return lambda x: F.coalesce(_canon_str(fn(x), dt), F.lit("null"))
+
+
 def m_group_by(self, recv, args, env):
-    fn, _ = self._lam(args[0].value, env, _elem(recv))
-    return TC(AR.group_by(recv.col, fn), _objrepr_dt(recv.dtype))
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.group_by(recv.col, _key_lam(fn, dt)),
+              _objrepr_dt(recv.dtype))
 
 
 def m_count_by(self, recv, args, env):
-    fn, _ = self._lam(args[0].value, env, _elem(recv))
-    return TC(AR.count_by(recv.col, fn), _objrepr_dt(T.LongType()))
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.count_by(recv.col, _key_lam(fn, dt)),
+              _objrepr_dt(T.LongType()))
 
 
 def m_index_by(self, recv, args, env):
-    fn, _ = self._lam(args[0].value, env, _elem(recv))
-    return TC(AR.index_by(recv.col, fn), _objrepr_dt(_elem(recv) or T.NullType()))
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    return TC(AR.index_by(recv.col, _key_lam(fn, dt)),
+              _objrepr_dt(_elem(recv) or T.NullType()))
 
 
 def _field_name_arg(args, i=0) -> str:
@@ -2491,41 +2526,40 @@ def m_pivot_doc(self, recv, args, env):
     # per-key lambdas and would re-evaluate a chained upstream once per
     # key (nested: per row-key × col-key) — HOF no-CSE
     if len(args) >= 3:
-        rf, _ = arg_fn(0)
-        cf, _ = arg_fn(1)
+        rf0, rdt = arg_fn(0)
+        cf0, cdt = arg_fn(1)
         vf, vdt = arg_fn(2)
+        rf, cf = _key_lam(rf0, rdt), _key_lam(cf0, cdt)
 
         def _three(arr):
             def inner_obj(rk):
                 return AR.let_(
-                    F.filter(arr,
-                             lambda x: rf(x).cast("string").eqNullSafe(rk)),
+                    F.filter(arr, lambda x: rf(x).eqNullSafe(rk)),
                     lambda sub: F.transform(
-                        F.array_distinct(
-                            F.transform(sub, lambda x: cf(x).cast("string"))),
+                        F.array_distinct(F.transform(sub, cf)),
                         lambda ck: F.struct(
                             ck.alias("key"),
                             vf(F.element_at(
-                                F.filter(sub, lambda x: cf(x).cast("string")
-                                         .eqNullSafe(ck)),
+                                F.filter(sub,
+                                         lambda x: cf(x).eqNullSafe(ck)),
                                 -1)).alias("value"))))
 
-            rkeys = F.array_distinct(
-                F.transform(arr, lambda x: rf(x).cast("string")))
+            rkeys = F.array_distinct(F.transform(arr, rf))
             return F.transform(rkeys, lambda rk: F.struct(
                 rk.alias("key"), inner_obj(rk).alias("value")))
 
         return TC(AR.let_(recv.col, _three), _objrepr_dt(_objrepr_dt(vdt)))
     if len(args) < 2:
         raise CompileError("pivot: requires key arg and value arg")
-    kf, _ = arg_fn(0)
+    kf0, kdt = arg_fn(0)
     vf, vdt = arg_fn(1)
+    kf = _key_lam(kf0, kdt)
     col = AR.let_(recv.col, lambda arr: F.transform(
-        F.array_distinct(F.transform(arr, lambda x: kf(x).cast("string"))),
+        F.array_distinct(F.transform(arr, kf)),
         lambda k: F.struct(
             k.alias("key"),
             vf(F.element_at(
-                F.filter(arr, lambda x: kf(x).cast("string").eqNullSafe(k)),
+                F.filter(arr, lambda x: kf(x).eqNullSafe(k)),
                 -1)).alias("value"))))
     return TC(col, _objrepr_dt(vdt))
 

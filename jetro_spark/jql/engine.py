@@ -833,6 +833,20 @@ class JetroTables:
             col = c.compile(n2, env).col
             return col, desc
 
+        def key_str_col(node):
+            """Keyed-reducer key → the reference's canonical key STRING
+            (val_to_key): integral doubles render without the trailing
+            .0 — matches the doc-mode _key_lam wrapping."""
+            from jetro_spark.jql.compiler import _canon_str
+            n2 = node.expr if isinstance(node, A.Neg) else node
+            if isinstance(n2, A.Lambda):
+                env2 = env.bind(n2.params[0], elem_tc())
+                tc2 = c.compile(n2.body, env2)
+            else:
+                tc2 = c.compile(n2, env)
+            return F.coalesce(_canon_str(tc2.col, tc2.dtype),
+                              F.lit("null"))
+
         if name in ("filter", "find", "find_all"):
             self._order = order
             return df.filter(pred(args[0].value))
@@ -1093,14 +1107,11 @@ class JetroTables:
             o = col.asc() if name == "min_by" else col.desc()
             return self._pad_single_null(df.orderBy(o).limit(1))
         if name == "group_by":
-            col, _ = key_col(args[0].value)
-            return R.group_collect(df, col)
+            return R.group_collect(df, key_str_col(args[0].value))
         if name == "count_by":
-            col, _ = key_col(args[0].value)
-            return R.count_by(df, col)
+            return R.count_by(df, key_str_col(args[0].value))
         if name == "index_by":
-            col, _ = key_col(args[0].value)
-            return R.index_by(df, col)
+            return R.index_by(df, key_str_col(args[0].value))
         if name == "equi_join":
             other = self._resolve_table(args[0].value)
             if other is None:
@@ -1741,12 +1752,36 @@ class JetroTables:
         name = vis[0] if scalar else "value"
         out = arr_df.select(tc.col.alias("value"))
         # explode arrays back to rows so the result stays a row-shaped
-        # DataFrame (and downstream .write/noop parallelizes again)
-        if isinstance(tc.dtype, T.ArrayType) and not is_objrepr(tc.dtype):
+        # DataFrame (and downstream .write/noop parallelizes again) —
+        # UNLESS the final step returns a single ELEMENT that happens
+        # to be an array (pairwise().first() is ONE pair): the native
+        # lowerings keep that as one row with an array cell, and
+        # exploding it would misrepresent the scalar as a rowset
+        # (r7 soak catch)
+        if (isinstance(tc.dtype, T.ArrayType) and not is_objrepr(tc.dtype)
+                and not _element_sink(steps[-1] if steps else None)):
             out = out.select(F.explode_outer("value").alias(name))
             if isinstance(tc.dtype.elementType, T.StructType):
                 out = out.select(f"{name}.*")
         return out
+
+
+def _element_sink(step) -> bool:
+    """Does this final pipeline step return a single ELEMENT of the
+    stream (first/last n==1, nth, find_first, min/max/min_by/max_by)?
+    Element results keep their own shape — an array element stays one
+    array cell, never exploded back into rows."""
+    if not isinstance(step, A.Method):
+        return False
+    if step.name in ("first", "last"):
+        if not step.args:
+            return True
+        try:
+            return _lit_int(step.args[0].value) == 1
+        except Exception:
+            return False
+    return step.name in ("nth", "find_first", "find_one",
+                         "min_by", "max_by", "min", "max")
 
 
 def _opt_int(args, default=None):

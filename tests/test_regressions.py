@@ -392,3 +392,45 @@ def test_equi_join_keeps_pipeline_order(spark):
         got = [tuple(r) for r in
                JetroTables(spark, {"s": t, "d": d}).query(e).collect()]
         assert got == [tuple(doc.values())], e
+
+
+def test_canonical_object_keys_and_union_widening(spark):
+    """Round-7 val_to_key fidelity for keyed reducers and union:
+
+    - group_by/count_by/index_by/pivot/group_shape key their output
+      objects by val_to_key (util.rs:216-226): integral doubles render
+      WITHOUT the trailing .0 and a null key renders as "null" — we
+      rendered "74.0" and NULL.
+    - union of cross-shape object arrays appends EVERYTHING (no shared
+      canonical key, union_apply never errors); representable by
+      widening both sides to the union struct (missing ≡ null).
+    - the doc fallback no longer explodes a single array-valued ELEMENT
+      result (pairwise().first() is ONE pair, not a rowset)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float(i % 3)} for i in range(6)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"]) for r in rows],
+                              "k long, v double")
+
+    assert jt.collect("$.s.count_by(v)") == {"0": 2, "1": 2, "2": 2}
+    assert jt.collect("$.s.group_by(v).keys()") == ["0", "1", "2"]
+    assert jt.collect("$.s.pivot(v, k)") == {"0": 3, "1": 4, "2": 5}
+    assert jt.collect("$.s.pivot(v + 0.5, k)") == {"0.5": 3, "1.5": 4,
+                                                   "2.5": 5}
+    got = JetroTables(spark, {"s": t}).query("$.s.count_by(v)").collect()
+    assert sorted((r["key"], r["value"]) for r in got) == [
+        ("0", 2), ("1", 2), ("2", 2)]
+
+    # widened union: receiver objects lack g → null → key "null"
+    rows_u = [{"k": 9, "v": 1.0, "g": "gX"}]
+    jt2 = Jetro.from_value(spark, {"s": rows, "u": rows_u})
+    assert jt2.collect("$.s.map({k: k, v: v}).union($.u).count_by(g)") \
+        == {"null": 6, "gX": 1}
+
+    # element-shaped fallback results stay single array cells
+    t2 = spark.createDataFrame([(9, 1.0)], "k long, v double")
+    T = JetroTables(spark, {"s": t, "u": t2})
+    out = T.query("$.s.sort(k).union($.u).map(v).pairwise().first()")
+    cells = out.collect()
+    assert len(cells) == 1 and cells[0][0] == [0.0, 1.0]
