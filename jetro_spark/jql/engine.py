@@ -1130,9 +1130,23 @@ class JetroTables:
         if name == "implode":
             return R.implode(df, _name_str(args[0].value))
         if name == "pivot":
+            # pivot keys stringify via val_to_key like every other
+            # keyed reducer (pivot_apply keys an IndexMap) — render
+            # them canonically before the relational pivot
+            from jetro_spark.jql.compiler import _canon_str
+
+            def keyed_df(d3, *keys):
+                for kn in keys:
+                    d3 = d3.withColumn(kn, F.coalesce(
+                        _canon_str(F.col(kn), d3.schema[kn].dataType),
+                        F.lit("null")))
+                return d3
             if len(args) == 2:
-                return R.pivot2(df, _name_str(args[0].value), _name_str(args[1].value))
-            return R.pivot3(df, _name_str(args[0].value), _name_str(args[1].value),
+                kn = _name_str(args[0].value)
+                return R.pivot2(keyed_df(df, kn), kn,
+                                _name_str(args[1].value))
+            rn2, cn = _name_str(args[0].value), _name_str(args[1].value)
+            return R.pivot3(keyed_df(df, rn2, cn), rn2, cn,
                             _name_str(args[2].value))
         if name in ("to_csv", "to_tsv"):
             self._scalar = True
