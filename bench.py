@@ -66,6 +66,8 @@ HEADLINE = [
     "embed_quantize",
     # r07: SemDeDup — within-cluster cosine dedup (cell equi-join)
     "semantic_dedup",
+    # r07: per-domain document cap (md5-ranked group window)
+    "cap_per_key",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",
