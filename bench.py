@@ -68,6 +68,10 @@ HEADLINE = [
     "semantic_dedup",
     # r07: per-domain document cap (md5-ranked group window)
     "cap_per_key",
+    # r08: corpus-wide line dedup (owner-election shuffle) and Unicode
+    # normalization (the Arrow mapInPandas path)
+    "dedup_lines",
+    "normalize_text",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",
@@ -173,39 +177,70 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                # Per-query {min, median, max, spread_pct} over the same
-                # iterations that produced "queries" (r7): a
-                # round-over-round delta SMALLER than a query's own
-                # spread_pct is noise, not a regression — adjudicate
-                # against this, not the single best number.
-                "dispersion": dispersion,
-                "sf": sf,
-                # Measurement-protocol provenance: doc-mode bl_q* are
-                # driver-local fresh executeCollect since r03; relational
-                # queries are noop-sink writes, cold single-shot through
-                # r03 and warm best-of-3 since r04 (cache-hot, like the
-                # reference baseline's own protocol). Numbers across a
-                # protocol switch are NOT comparable round-over-round.
-                "protocol": ("relational=noop-sink warm best-of-5 + "
-                             "dispersion (since r07; best-of-3 r04-r06; "
-                             "cold single-shot r01-r03); "
-                             "bl_q*=warm-projection eval 5-warmup best-of-15 "
-                             "since r07 (2-warmup best-of-7 r05-r06) "
-                             "(compile-once SafeProjection, each iteration "
-                             "re-evaluates the full expression over the doc "
-                             "— the reference's own cache-hot plan-cache "
-                             "protocol; r03-r04 were fresh-executeCollect "
-                             "re-paying optimization per iteration)"),
-            }
-        )
-    )
+    print(emit(timings, dispersion, sf, total))
+
+
+def emit(timings: dict, dispersion: dict, sf, total: float,
+         detail_path: str | None = None) -> str:
+    """Write the full bench record to the sidecar and return the compact
+    driver-facing stdout line (bounded ≤2.8 KB)."""
+    # Full dispersion + protocol provenance go to a sidecar file — the
+    # driver's stdout tail capture is bounded and r07's single fat JSON
+    # line outgrew it (BENCH_r07.json recorded "parsed": null). The
+    # stdout line stays compact (per-query min + integer spread_pct,
+    # ~2 KB) and is printed LAST so any tail window that holds it parses.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        # Per-query {min, median, max, spread_pct} over the same
+        # iterations that produced "queries" (r7): a round-over-round
+        # delta SMALLER than a query's own spread_pct is noise, not a
+        # regression — adjudicate against this, not the single best
+        # number.
+        "dispersion": dispersion,
+        "sf": sf,
+        # Measurement-protocol provenance: doc-mode bl_q* are
+        # driver-local fresh executeCollect since r03; relational
+        # queries are noop-sink writes, cold single-shot through
+        # r03 and warm best-of-3 since r04 (cache-hot, like the
+        # reference baseline's own protocol). Numbers across a
+        # protocol switch are NOT comparable round-over-round.
+        "protocol": ("relational=noop-sink warm best-of-5 + "
+                     "dispersion (since r07; best-of-3 r04-r06; "
+                     "cold single-shot r01-r03); "
+                     "bl_q*=warm-projection eval 5-warmup best-of-15 "
+                     "since r07 (2-warmup best-of-7 r05-r06) "
+                     "(compile-once SafeProjection, each iteration "
+                     "re-evaluates the full expression over the doc "
+                     "— the reference's own cache-hot plan-cache "
+                     "protocol; r03-r04 were fresh-executeCollect "
+                     "re-paying optimization per iteration)"),
+    }
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        # integer spread makes driver-side numbers self-qualifying: a
+        # sub-10 ms query with spread 80 can't adjudicate a 2× delta
+        "spread_pct": {k: int(round(v["spread_pct"] or 0))
+                       for k, v in dispersion.items()},
+        "sf": sf,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2800:  # stay inside the driver's tail window
+        compact.pop("spread_pct")
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":
