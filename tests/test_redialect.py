@@ -174,16 +174,86 @@ def test_unicode_rewrite_agrees_with_python_re_on_common_ground():
 
 
 def test_warnings_flag_unrewritable_deltas():
-    assert any(r"\b" in w for w in dialect_warnings(r"\bfoo\b"))
-    assert not any(r"\b" in w for w in dialect_warnings(r"\\b"))  # literal
     assert any("property" in w for w in dialect_warnings(r"\p{Greek}"))
     assert any(r"\r\n" in w for w in dialect_warnings(r"(?m)^x$"))
-    assert any("--" in w for w in dialect_warnings(r"[a-z--aeiou]"))
     assert any("(?-u)" in w for w in dialect_warnings(r"(?-u)\w+"))
     assert any("scoped" in w for w in dialect_warnings(r"(?s:a.b)c.d"))
     # \w \d \s are REWRITTEN now — no longer warned as unhandled
     assert dialect_warnings(r"\w+\d\s") == []
     assert dialect_warnings(r"^[0-9]+\z") == []
+    # r8: \b and class set ops are rewritten — no longer warned
+    assert dialect_warnings(r"\bfoo\b") == []
+    assert dialect_warnings(r"[a-z--aeiou]") == []
+    assert dialect_warnings(r"[0-9~~4-6]") == []
+    # ... unless the structural translator declined the shape (a negated
+    # mixed run containing \W has no safe Java spelling)
+    assert any("resisted" in w for w in dialect_warnings(r"[^\W.--a]"))
+
+
+# ------------------------------------------- r8: \b / class set rewrites
+
+W_CLS = f"[{W}]"
+B_UNI = f"(?:(?<={W_CLS})(?!{W_CLS})|(?<!{W_CLS})(?={W_CLS}))"
+
+
+def test_word_boundary_rewritten_to_lookaround():
+    assert rust_to_java(r"\bfoo") == B_UNI + "foo"
+    # \B flips the inner lookahead polarity
+    assert "(?=" in rust_to_java(r"\Bx") and rust_to_java(r"\Bx") != \
+        rust_to_java(r"\bx")
+    # (?-u) ASCII mode: Java's native ASCII \b already matches Rust
+    assert rust_to_java(r"(?-u)\bfoo") == r"(?-u)\bfoo"
+    assert rust_to_java(r"\bx", unicode_perl=False) == r"\bx"
+    # inside a class \b stays (Java backspace; Rust rejects the pattern)
+    assert rust_to_java(r"[\b]") == r"[\b]"
+    # escaped backslash + b is a literal
+    assert rust_to_java(r"\\b") == r"\\b"
+
+
+def test_class_set_ops_translated():
+    assert rust_to_java(r"[a-z--aeiou]", unicode_perl=False) == \
+        r"[[a-z]&&[^aeiou]]"
+    assert rust_to_java(r"[0-9~~4-6]", unicode_perl=False) == \
+        r"[[[0-9]&&[^4-6]][[4-6]&&[^0-9]]]"
+    # left-associative like the regex crate: (a-z -- m-p) -- x
+    assert rust_to_java(r"[a-z--m-p--x]", unicode_perl=False) == \
+        r"[[[a-z]&&[^m-p]]&&[^x]]"
+    # negation is pushed through De Morgan (Java misparses [^ X&&Y ]):
+    # ¬(a-z ∖ m) = ¬(a-z) ∪ {m}
+    assert rust_to_java(r"[^a-z--m]", unicode_perl=False) == r"[[^a-z][m]]"
+    # a negated union CONTAINING a nested class is also Java-misparsed
+    # ([^a[b]] matches 'b' in Java!) — structurally rewritten since r8
+    assert rust_to_java(r"[^a[b]]", unicode_perl=False) == r"[[^a]&&[^b]]"
+    assert rust_to_java(r"[^a&&b]", unicode_perl=False) == r"[[^a][^b]]"
+    # [^\W] would splice to the Java-misparsed [^[^...]] — flipped
+    assert rust_to_java(r"[^\W]") == rf"[{W}]"
+    # Java-legal shapes stay byte-identical
+    assert rust_to_java(r"[0-9&&[^4]]") == r"[0-9&&[^4]]"
+    assert rust_to_java(r"[x[^xyz]]") == r"[x[^xyz]]"
+    assert rust_to_java(r"[^\d ]") == r"[^\p{Nd} ]"
+
+
+def test_word_boundary_unicode_in_spark(spark):
+    # Java's native \b is ASCII: "\bwörld" would split at ö. The
+    # lookaround rewrite reproduces the crate's Unicode boundary.
+    assert _one(spark, re_match_all(F.lit("héllo wörld"), r"\b\w+\b")) == \
+        ["héllo", "wörld"]
+    # Arabic-Indic digits are word chars: no boundary inside ٣٤
+    assert _one(spark, re_match_all(F.lit("٣٤x y"), r"\b\w+\b")) == \
+        ["٣٤x", "y"]
+    # \B: position inside a word
+    assert _one(spark, re_match(F.lit("ab"), r"^a\Bb")) is True
+    assert _one(spark, re_match(F.lit("a b"), r"a\B b")) is False
+
+
+def test_class_set_ops_in_spark(spark):
+    got = _one(spark, re_match_all(F.lit("b a n a n a"), r"[a-z--aeiou]"))
+    assert got == ["b", "n", "n"]
+    got = _one(spark, re_match_all(F.lit("0 4 5 9"), r"[0-9~~4-6]"))
+    assert got == ["0", "9"]
+    # Unicode operands compose with the perl rewrite: word-but-not-digit
+    got = _one(spark, re_match_all(F.lit("é ٣ x 9"), r"[\w--\d]"))
+    assert got == ["é", "x"]
 
 
 # ------------------------------------------------- property-based audit
@@ -204,7 +274,14 @@ _CLASS = st.sampled_from([
     "[abc]", "[^xyz]", "[a-f0-3]", "[[:alpha:]]", "[[:^digit:]]",
     "[x[^xyz]]", "[0-9&&[^4]]", r"[\w.]", r"[^\d ]", "[]a]", "[a[0-9]]",
 ])
-_ATOM = st.one_of(_LITERAL, _PERL, _CLASS, st.sampled_from([".", r"\."]))
+_SETCLS = st.sampled_from([
+    "[a-z--aeiou]", "[0-9~~4-6]", "[a-z--m-p--x]", "[^a-z--m]",
+    "[a-f&&c-z--d]", "[^a[b]]", "[^a&&b]", r"[\w--\d]", r"[^\W]",
+    "[[a-f]--[c-d]]", "[^[a-f]--[c-d]]", "[a-c~~b-d]", "[^a-c~~b-d]",
+    "[]a--a]", r"[^\d--5]", "[0-9--[4[6]]]",
+])
+_ATOM = st.one_of(_LITERAL, _PERL, _CLASS, _SETCLS,
+                  st.sampled_from([".", r"\."]))
 _QUANT = st.sampled_from(["", "*", "+", "?", "{1,3}"])
 
 
@@ -223,6 +300,8 @@ def _patterns(draw):
         body = f"(?P<g>{body})"
     if draw(st.booleans()):
         body = "^" + body
+    if draw(st.booleans()):
+        body = r"\b" + body  # r8: boundary atoms flow through too
     if wrap == 3:
         # global flags go first: Python re (the ASCII stand-in) rejects
         # mid-pattern global flags since 3.11; Rust/Java accept both
@@ -249,10 +328,13 @@ def test_translation_matches_python_re_on_ascii(spark, pattern, text):
     classes coincide with the Rust dialect there) for every generated
     pattern. `$`-anchored behavior is pinned separately by unit tests
     (Python's $ matches before a trailing newline, Rust's does not)."""
-    # plain nested classes have no Python spelling — those are pinned by
-    # the dedicated unit tests; everything else maps to a Python-legal
+    # plain nested classes and Rust set ops have no Python-re spelling —
+    # those are pinned by the dedicated unit tests and the V1-vs-Java
+    # membership property; everything else maps to a Python-legal
     # equivalent below
-    if "[a[0-9]]" in pattern or "[x[^xyz]]" in pattern:
+    if any(tok in pattern for tok in
+           ("[a[0-9]]", "[x[^xyz]]", "--", "~~", "[^a[b]]", "[^a&&b]",
+            r"[^\W]")):
         return
     py = re.compile(pattern
                     .replace("[[:alpha:]]", "[a-zA-Z]")
@@ -262,3 +344,61 @@ def test_translation_matches_python_re_on_ascii(spark, pattern, text):
     expect = py.search(text) is not None
     got = _one(spark, F.lit(text).rlike(java))
     assert got is expect, (pattern, java, text)
+
+
+# ------------------------- r8: V1-vs-Java membership property (set ops)
+
+import pytest
+
+_regex = pytest.importorskip("regex")
+
+# codepoints spanning every membership-relevant category the operand
+# vocabulary touches: ASCII, Latin accents, combining mark, Arabic-Indic
+# digit, CJK, ZWJ (Join_Control), NBSP/ideographic space, Nl, No
+_MEMBER_ALPHA = ([chr(c) for c in range(0x20, 0x7F)] +
+                 ["é", "́", "٣", "中", "‍", "\xa0", "　",
+                  "Ⅻ", "²", "ö", "ß"])
+
+
+@settings(max_examples=_N_PROP, deadline=None)
+@given(st.sampled_from([
+    "[a-z--aeiou]", "[0-9~~4-6]", "[a-z--m-p--x]", "[a-z~~m-p~~x]",
+    "[^a-z--m]", "[a-f&&c-z--d]", "[^a[b]]", "[^a&&b]", r"[\w--\d]",
+    r"[^\W]", "[[a-f]--[c-d]]", "[^[a-f]--[c-d]]", "[a-c~~b-d]",
+    "[^a-c~~b-d]", "[]a--a]", r"[^\d--5]", "[0-9--[4[6]]]",
+    r"[\w~~\d]", r"[a-z--\d]", "[^x[^xyz]]", r"[[:alpha:]--aeiou]",
+]), st.sampled_from(_MEMBER_ALPHA))
+def test_set_class_membership_java_matches_rust_semantics(spark, pattern, ch):
+    """Per-codepoint membership of every translated class, evaluated by
+    REAL java.util.regex against the Python `regex` module in V1 mode —
+    an independent engine implementing the crate's set-op semantics
+    (negation over the whole set expression, left-assoc operators).
+    V1 is the ORACLE side only: the translated spelling must run under
+    Java because V1 misparses `[[^a][^b]]`-style juxtapositions.
+    POSIX atoms are spelled out in their ASCII definitions on the
+    oracle side: the Rust crate defines `[:alpha:]` as `[A-Za-z]`
+    (regex syntax docs, "ASCII character classes") — Java's default
+    `\\p{Alpha}` agrees — while V1's POSIX classes are Unicode-wide."""
+    expect = _regex.compile(pattern.replace("[:alpha:]", "A-Za-z"),
+                            _regex.V1).fullmatch(ch) is not None
+    java = rust_to_java(pattern)
+    got = (spark._jvm.java.util.regex.Pattern.compile(java)
+           .matcher(ch).matches())
+    assert got is expect, (pattern, java, hex(ord(ch)))
+
+
+@settings(max_examples=_N_PROP, deadline=None)
+@given(st.text(alphabet="ab_9 .-é٣中‍\xa0²Ⅻ", max_size=10),
+       st.sampled_from([r"\b\w+", r"\w+\b", r"a\Bb", r"\B.", r"\bé"]))
+def test_word_boundary_property_matches_regex_module(spark, text, pattern):
+    """\\b/\\B lookaround rewrite vs the `regex` module's Unicode word
+    boundary (same UTS#18 word definition as the Rust crate) on
+    non-ASCII haystacks — find-first equivalence."""
+    m = _regex.search(pattern, text)
+    java = rust_to_java(pattern)
+    jm = (spark._jvm.java.util.regex.Pattern.compile(java)
+          .matcher(text))
+    found = jm.find()
+    assert found is (m is not None), (pattern, java, text)
+    if found:
+        assert jm.group() == m.group(), (pattern, java, text)
