@@ -1269,3 +1269,118 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_pq"] = q_ann_pq
 
 ORACLES["ann_pq"] = ORACLES["ann_ivf_trained"]
+
+
+# ------------------------------------------------ r8: line dedup / norm / URL
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide C4-style line dedup: segments (split on ' the ' —
+    the synthetic text has no newlines) keep only their first
+    (doc_id, idx) occurrence across the WHOLE corpus; docs rebuilt.
+    The DuckDB leg replays owner election with a window rank — an
+    independent derivation of the same first-occurrence rule."""
+    d = _docs(spark, sf_dir)
+    return D.dedup_lines_global(d, "doc_id", "text",
+                                sep=" the ", min_chars=3)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization through the Arrow mapInPandas path. The
+    corpus text is ASCII, so the query DECORATES it with composition
+    cases first (combining acute, fullwidth compatibility forms, a tab)
+    — NFC + Unicode lower + ws-collapse must then agree byte-for-byte
+    with DuckDB's utf8proc-backed nfc_normalize/lower."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("Café  "), F.col("text"),
+                 F.lit(" ＮＯ."), F.col("doc_id").cast("string"),
+                 F.lit("\té")).alias("text"))
+    return TX.normalize_corpus(d, ["text"], form="NFC") \
+        .select("doc_id", F.col("text").alias("norm"))
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction over messy
+    synthesized URLs (mixed-case host, userinfo, default port, tracking
+    params, unsorted query, fragment). The oracle derives the expected
+    canonical form ANALYTICALLY from the same doc fields — an
+    independent derivation, not a replay of the regex chain."""
+    d = _docs(spark, sf_dir)
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://User@WWW."), F.upper("source"),
+                 F.lit(".Example.COM:80/Docs/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=feed&b="),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("&a=1#Sec"))).otherwise(
+        F.concat(F.lit("https://CDN."), F.col("source"),
+                 F.lit(".example.net:443/X/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?gclid=zz#f")))
+    return d.select(
+        "doc_id",
+        TX.canonicalize_url(url).alias("canon"),
+        TX.url_domain(url).alias("domain"))
+
+
+QUERIES["dedup_lines"] = q_dedup_lines
+QUERIES["normalize_text"] = q_normalize_text
+QUERIES["url_canon"] = q_url_canon
+
+ORACLES["dedup_lines"] = """
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' the ') AS ls FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, unnest(ls) AS line,
+               unnest(range(1, len(ls) + 1)) AS idx
+        FROM split
+    ),
+    ranked AS (
+        SELECT doc_id, idx, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, idx) AS rn
+        FROM lines
+    ),
+    kept AS (
+        SELECT doc_id, idx, line FROM ranked
+        WHERE rn = 1 OR length(line) < 3
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, ' the ' ORDER BY idx) AS text_dedup,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept,
+           CAST(len(s.ls) AS INTEGER) AS n_lines
+    FROM split s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+ORACLES["normalize_text"] = """
+    SELECT doc_id,
+           trim(regexp_replace(
+               lower(nfc_normalize(
+                   'Café  ' || text || ' ＮＯ.' || doc_id || chr(9)
+                   || 'e' || chr(769))),
+               '[ \t\n\r]+', ' ', 'g')) AS norm
+    FROM documents
+"""
+
+ORACLES["url_canon"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'http://www.' || lower(source)
+                     || '.example.com/Docs/' || doc_id
+                     || '?a=1&b=' || (doc_id % 7)
+                ELSE 'https://cdn.' || source || '.example.net/X/'
+                     || doc_id
+           END AS canon,
+           CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                ELSE 'example.net' END AS domain
+    FROM documents
+"""

@@ -446,3 +446,70 @@ def semantic_dedup(
                                    threshold=threshold)
               .select(F.col("drop_id").alias("__loser")).distinct())
     return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+
+
+# ------------------------------------------------ global line dedup (r8)
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4/RefinedWeb
+    line-level rule): every line keeps only its FIRST occurrence across
+    the WHOLE corpus — first = smallest (doc, position) — and documents
+    are rebuilt from their surviving lines. Lines shorter than
+    ``min_chars`` are exempt (always kept): deduping one-word lines
+    guts every document for no quality gain.
+
+    Returns (id, text_dedup, n_kept, n_lines) — the rebuilt text plus
+    kept/total line counts for filtering downstream.
+
+    Scale shape (100 TB): three shuffles, all skew-safe —
+    1. owner election groups by (xxhash64(line), line): map-side
+       partial aggregation collapses hot lines (empty lines,
+       boilerplate) BEFORE the shuffle, so a line owning half the
+       corpus ships once per input partition, not once per occurrence;
+    2. occurrence join back on the same key: per-hash buckets, string
+       equality only disambiguates inside a bucket (exact even under a
+       64-bit collision), AQE splits residual hot buckets;
+    3. document rebuild groups by id (bounded by lines-per-doc).
+    No all-pairs anywhere; Python never touches the data.
+    """
+    # \Q...\E so `sep` is literal (Spark's split takes a Java regex);
+    # -1 keeps trailing empty fields, like DuckDB/python str.split
+    parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+    lines = df.select(F.col(id_col),
+                      F.posexplode(parts).alias("__ln_idx", "__ln"))
+    keyed = lines.withColumn("__ln_h", F.xxhash64("__ln"))
+    # owners share keyed's lineage — alias both sides or the self-join
+    # hash condition resolves trivially-true and drops out of the key
+    owners = (keyed.groupBy("__ln_h", "__ln")
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("__ln_idx").alias("i")))
+                   .alias("__own"))
+              .select(F.col("__ln_h").alias("__own_h"),
+                      F.col("__ln").alias("__own_ln"),
+                      "__own"))
+    kept = (keyed.join(owners,
+                       (F.col("__ln_h") == F.col("__own_h"))
+                       & (F.col("__ln") == F.col("__own_ln")))
+            .filter((F.length("__ln") < min_chars)
+                    | ((F.col(id_col) == F.col("__own.d"))
+                       & (F.col("__ln_idx") == F.col("__own.i")))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(sep, F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__ln_idx", "__ln"))),
+                        lambda s: s["__ln"])).alias("text_dedup"),
+                    F.count(F.lit(1)).alias("__nk")))
+    return (df.select(F.col(id_col), F.size(parts).alias("__nl"))
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    F.coalesce("__nk", F.lit(0)).cast("int").alias("n_kept"),
+                    F.col("__nl").cast("int").alias("n_lines")))

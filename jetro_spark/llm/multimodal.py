@@ -63,15 +63,29 @@ def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
     schema = df.schema
 
     def run(batches: Iterator) -> Iterator:
+        # real codec auto-wired when importable (r8): PIL is public and
+        # optional; the deterministic fake stays the oracle-gate path so
+        # correctness rows never depend on an optional dependency. The
+        # import lives INSIDE the task so executors probe their own
+        # environment, not the driver's.
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image decode needs PIL (pip install pillow) — "
+                    "not shipped in this container; pass fake=True for "
+                    "the deterministic test double") from exc
+        import io
         for pdf in batches:
             widths, heights = [], []
             for content in pdf["content"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode needs PIL/opencv — not shipped "
-                        "in this container; pass fake=True for the "
-                        "deterministic test double")
-                w, h = _fake_decode(bytes(content) if content is not None else b"")
+                raw = bytes(content) if content is not None else b""
+                if fake:
+                    w, h = _fake_decode(raw)
+                else:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        w, h = im.size
                 widths.append(w)
                 heights.append(h)
             meta = pdf["meta"]

@@ -482,3 +482,100 @@ def junk_ratio(c: Column) -> Column:
     junk = n - F.length(F.regexp_replace(
         c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))
     return (F.when(n > 0, junk / n).otherwise(F.lit(0.0))).cast("double")
+
+
+# ------------------------------------------- unicode normalization (r8)
+
+
+def normalize_corpus(df, cols=("text",), *, form="NFC", lower=True,
+                     collapse_ws=True, strip_accents=False):
+    """Unicode-normalize text columns in place (schema unchanged):
+    ``form`` (NFC/NFKC/NFD/NFKD) → optional accent strip (NFD + drop
+    combining marks) → optional Unicode lowercase → optional whitespace
+    collapse+trim (explicit ``[ \\t\\n\\r]`` class so every engine
+    agrees on what collapses).
+
+    Spark SQL has NO Unicode-normalization expression, so this is the
+    documented Arrow exception: `mapInPandas` with pandas' vectorized
+    ``.str.normalize`` / ``.str.lower`` (C-level loops over the Arrow
+    batch, not per-row Python). Zero shuffle — scan-speed, stream-safe.
+    Note: the accent strip drops the inherited-combining blocks
+    (U+0300-036F, U+1AB0-1AFF, U+1DC0-1DFF, U+20D0-20FF, U+FE20-FE2F)
+    after NFD — the portable core of utf8proc's strip; exotic
+    script-specific marks outside those blocks survive.
+    """
+    cols = list(cols)
+    schema = df.schema
+    comb = ("[̀-ͯ᪰-᫿᷀-᷿"
+            "⃐-⃿︠-︯]")
+
+    def run(batches):
+        for pdf in batches:
+            for name in cols:
+                s = pdf[name].str.normalize(form)
+                if strip_accents:
+                    s = (s.str.normalize("NFD")
+                         .str.replace(comb, "", regex=True)
+                         .str.normalize(form if form in ("NFC", "NFKC")
+                                        else "NFC"))
+                if lower:
+                    s = s.str.lower()
+                if collapse_ws:
+                    s = (s.str.replace(r"[ \t\n\r]+", " ", regex=True)
+                         .str.replace(r"^ | $", "", regex=True))
+                pdf[name] = s
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+# ------------------------------------------- URL canonicalization (r8)
+
+# tracking query parameters stripped by canonicalize_url
+TRACKING_PARAMS = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref_src)="
+
+
+def _url_part(c: Column, pattern: str) -> Column:
+    return F.regexp_extract(c, pattern, 1)
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host (authority minus userinfo and port)."""
+    auth = _url_part(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(no_user, r":[0-9]*$", ""))
+
+
+def url_domain(c: Column) -> Column:
+    """Registered-domain heuristic: host minus ``www.``, last two
+    labels. (A public-suffix-list pass would need a broadcast lookup
+    table; the 2-label rule is the standard PSL-free approximation.)"""
+    host = F.regexp_replace(url_host(c), r"^www\.", "")
+    return let_(F.split(host, r"\."), lambda ls: F.when(
+        F.size(ls) <= 2, F.array_join(ls, ".")).otherwise(
+        F.concat_ws(".", F.element_at(ls, -2), F.element_at(ls, -1))))
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, strip userinfo and default
+    port (80 for http, 443 for https), keep path case, drop the
+    fragment, remove tracking params (TRACKING_PARAMS) and sort the
+    survivors. Pure row-local expressions — scan-speed; the shared key
+    for URL-level dedup and per-domain caps."""
+    scheme = F.lower(_url_part(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://"))
+    host = url_host(c)
+    port = _url_part(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?(:[0-9]+)[/?#]?")
+    port_keep = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")) | (port == ""),
+        F.lit("")).otherwise(port)
+    path = _url_part(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = _url_part(c, r"\?([^#]*)")
+    qkeep = F.array_join(F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS))), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, port_keep, path,
+        F.when(qkeep == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          qkeep)))

@@ -228,10 +228,34 @@ def test_multimodal_roundtrip(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present — covered by test_multimodal_real_decode")
+    except ImportError:
+        pass
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["id", "raw"])
     mm = MM.binary_table(df, "raw", "image/png", "id")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         MM.decode_images(mm, fake=False).collect()
+
+
+def test_multimodal_real_decode(spark):
+    """r8: the injection point auto-wires PIL when importable — real PNG
+    bytes decode to their true dimensions through the same Arrow-batched
+    mapInPandas plumbing the fake uses. Skips cleanly where PIL isn't
+    shipped (this container), without weakening the raises-test above."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    buf1, buf2 = io.BytesIO(), io.BytesIO()
+    PIL_Image.new("RGB", (20, 30)).save(buf1, format="PNG")
+    PIL_Image.new("RGB", (64, 8)).save(buf2, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf1.getvalue())), (2, bytearray(buf2.getvalue()))],
+        ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/png", "id")
+    dims = {r["media_id"]: (r["meta"]["width"], r["meta"]["height"])
+            for r in MM.decode_images(mm, fake=False).collect()}
+    assert dims == {1: (20, 30), 2: (64, 8)}
 
 
 def test_sample_frames(spark):
@@ -678,3 +702,69 @@ def test_cap_per_key_deterministic_uniform_cap(spark):
     small = cap_per_key(df.filter(F.col("doc_id") < 3), "source", 5,
                         id_col="doc_id", seed=42)
     assert small.count() == 3
+
+
+# --------------------------------------- r8: line dedup / normalize / URL
+
+
+def test_dedup_lines_global(spark):
+    docs = [(1, "aa|bb|cc"), (2, "bb|dd|aa"), (3, "x|bb"), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_lines"])
+           for r in D.dedup_lines_global(df, sep="|", min_chars=2)
+           .collect()}
+    # first occurrences win corpus-wide; short lines ('x', '') exempt
+    assert out[1] == ("aa|bb|cc", 3, 3)
+    assert out[2] == ("dd", 1, 3)
+    assert out[3] == ("x", 1, 2)
+    assert out[4] == ("", 1, 1)
+
+
+def test_dedup_lines_separator_is_literal(spark):
+    # '.' sep must not behave as a regex any-char
+    df = spark.createDataFrame([(1, "a.b"), (2, "a.c")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in D.dedup_lines_global(df, sep=".", min_chars=1)
+           .collect()}
+    assert out == {1: "a.b", 2: "c"}
+
+
+def test_normalize_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "Café  ＮＯ.1\tDONE"), (2, "é x")],
+        "id long, text string")
+    got = {r["id"]: r["text"]
+           for r in TX.normalize_corpus(df, ["text"], form="NFKC")
+           .collect()}
+    assert got[1] == "café no.1 done"   # fullwidth folded, ws collapsed
+    assert got[2] == "é x"              # combining acute composed
+    got_nfc = {r["id"]: r["text"]
+               for r in TX.normalize_corpus(df, ["text"], form="NFC")
+               .collect()}
+    assert got_nfc[1] == "café ｎｏ.1 done"  # NFC keeps compat forms
+    acc = TX.normalize_corpus(df, ["text"], form="NFC",
+                              strip_accents=True).collect()
+    assert {r["id"]: r["text"] for r in acc}[2] == "e x"
+
+
+def test_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+    urls = [
+        "HTTP://user@WWW.News.Example.COM:80/Path/One"
+        "?utm_source=x&b=2&a=1#frag",
+        "https://Example.org:443/x?gclid=1",
+        "https://sub.shop.example.co:8443/A/B?z=1&y=2",
+        "http://example.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        TX.canonicalize_url(F.col("url")).alias("c"),
+        TX.url_domain(F.col("url")).alias("d")).collect()
+    assert [(r["c"], r["d"]) for r in rows] == [
+        ("http://www.news.example.com/Path/One?a=1&b=2", "example.com"),
+        ("https://example.org/x", "example.org"),
+        # non-default port survives; path case preserved
+        ("https://sub.shop.example.co:8443/A/B?y=2&z=1", "example.co"),
+        ("http://example.com/", "example.com"),
+    ]

@@ -187,7 +187,12 @@ def test_doc_mode_over_real_connect_session_or_probe():
     (Connect module missing/broken for any other reason) fails the test
     instead of hiding behind a skip. The degradation semantics
     themselves are covered by the simulated tests above, which exercise
-    the exact surface-missing path a Connect session takes."""
+    the exact surface-missing path a Connect session takes.
+
+    Blocker status (r8): grpcio is absent here and package installation
+    is prohibited in this build environment (no pip/apt by policy), so
+    the live leg stays environment-blocked, not code-blocked — any
+    environment that ships grpcio runs it with no code change."""
     if not _grpc_available():
         with pytest.raises(ImportError, match="grpcio"):
             import pyspark.sql.connect.session  # noqa: F401
