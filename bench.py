@@ -72,6 +72,13 @@ HEADLINE = [
     # normalization (the Arrow mapInPandas path)
     "dedup_lines",
     "normalize_text",
+    # r08: corpus-statistics ranking (BM25 postings join, DSIR
+    # zero-shuffle literal-map scoring, PMI count reductions) and the
+    # Z-order clustering key (pure codegen bit arithmetic)
+    "bm25_topk",
+    "dsir_weights",
+    "pmi_colloc",
+    "zorder_key",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -31,6 +31,7 @@ def _modules():
         jql,
         llm,
         profiling,
+        ranking,
         relational,
         scalars,
         streaming,
@@ -38,7 +39,7 @@ def _modules():
     )
 
     return (relational, joins, scalars, analytics, timeseries, profiling,
-            jql, llm, hof, streaming, benchlock)
+            jql, llm, ranking, hof, streaming, benchlock)
 
 
 # The driver's correctness run samples the FIRST 50 registry rows; this

@@ -1,0 +1,283 @@
+"""Corpus-statistics ranking & data-selection operators for
+training-data pipelines: BM25 keyword relevance, DSIR importance
+weights (hashed n-gram log-likelihood ratios, arXiv:2302.03169), and
+PMI collocation mining.
+
+Everything is pure `pyspark.sql.functions` — no Python UDFs — and every
+transcendental (the one `ln` each method needs) is rounded to a fixed
+grid at its NARROWEST point (one value per term / bucket / bigram, not
+per row), so the downstream arithmetic is identical-double across
+engines and the DuckDB oracle can hash-compare results exactly.
+
+Scale shape (100 TB):
+- BM25: tokens are filtered to the query-term set ROW-LOCALLY before
+  anything shuffles, so the only corpus-wide exchange carries matching
+  postings (|docs-with-a-hit| × |terms| rows, not tokens). Document
+  frequencies and corpus stats are term-count/1-row tables joined back
+  with `F.broadcast`.
+- DSIR: pass 1 reduces the corpus to `n_buckets` hashed-gram counts
+  (map-side combine → ≤B rows); the per-bucket log-ratio table is
+  metadata-sized and embedded as a literal map (declared SCALE.md
+  collect exception, like the ANN centroid models), so pass 2 scores
+  every document with ZERO shuffle — a narrow projection at scan speed.
+- PMI: two groupBy reductions to vocab-sized count tables; the
+  per-bigram join back to unigram counts broadcasts the (tiny) unigram
+  side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jetro_spark.functions.arrays import let_
+from jetro_spark.llm.sampling import hash_bucket
+from jetro_spark.llm.text import normalize_text, ws_tokens
+
+_DEC = "decimal(28,10)"
+
+
+def _toks(text_col: str) -> Column:
+    return ws_tokens(normalize_text(F.col(text_col)))
+
+
+# ------------------------------------------------------------------ BM25
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    (Robertson/Sparck-Jones idf, the `ln(1 + (N-df+.5)/(df+.5))`
+    non-negative variant).
+
+    Determinism contract: idf (the only transcendental) is rounded to
+    6 dp per TERM; tf normalization is pure rational arithmetic over
+    (tf, dl, N, Σdl) evaluated in the same structural order as the SQL
+    oracle; per-term contributions are cut to DECIMAL(28,10) before the
+    per-document sum, so accumulation order cannot flip the hash.
+
+    Plan: tokens → row-local filter to `query_terms` (non-matching docs
+    drop before the exchange) → ONE groupBy (doc, term) for tf → df by
+    a groupBy over that (≤|terms| rows, broadcast back) → corpus stats
+    (1 row, broadcast on a literal key) → scored sum per doc.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    did = F.col(id_col)
+
+    base = docs.select(
+        did,
+        let_(_toks(text_col),
+             lambda tk: F.struct(
+                 F.size(tk).alias("dl"),
+                 F.filter(tk, lambda t: t.isin(*terms)).alias("qt"),
+             )).alias("__s"))
+    base = base.select(did, F.col("__s.dl").alias("__dl"),
+                       F.col("__s.qt").alias("__qt"))
+
+    # corpus stats over ALL docs (dl includes non-matching documents)
+    stats = (base.agg(F.count(F.lit(1)).alias("__n"),
+                      F.sum("__dl").alias("__sumdl"))
+             .withColumn("__k", F.lit(1)))
+
+    tf = (base.filter(F.size("__qt") > 0)
+          .select(did, "__dl", F.explode("__qt").alias("term"))
+          .groupBy(id_col, "__dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    j = (tf.join(F.broadcast(dfreq), "term")
+         .withColumn("__k", F.lit(1))
+         .join(F.broadcast(stats), "__k"))
+
+    # idf: the lone ln, rounded at the per-term grain
+    idf = F.round(
+        F.log(1.0 + (F.col("__n") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)), 6)
+    # rational tf normalization — structure mirrored verbatim in SQL
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("__dl").cast("double")
+                                           * F.col("__n") / F.col("__sumdl"))))
+    out = (j.withColumn("__c", (idf * tfn).cast(_DEC))
+           .groupBy(id_col)
+           .agg(F.round(F.sum("__c").cast("double"), 6).alias("score"),
+                F.count(F.lit(1)).alias("n_terms")))
+    if top_k is not None:
+        out = out.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+    return out
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def hashed_grams(text_col: str | Column) -> Column:
+    """Unigram + bigram surface forms of the normalized token stream
+    (the hashed-n-gram feature space of DSIR, arXiv:2302.03169 §3)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return let_(
+        ws_tokens(normalize_text(c)),
+        lambda tk: F.concat(
+            tk,
+            F.zip_with(F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                       F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                       lambda a, bb: F.concat_ws(" ", a, bb))))
+
+
+def bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Occurrence counts of hashed grams per bucket: ``(bucket, cnt)``,
+    ≤ n_buckets rows (map-side combine does the heavy reduction)."""
+    return (docs
+            .select(F.explode(hashed_grams(text_col)).alias("g"))
+            .select((hash_bucket(F.col("g"), seed) % n_buckets)
+                    .cast("int").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 256,
+    seed: int = 7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-ratio ``ln(p_target / p_raw)`` with
+    additive (Laplace) smoothing, one row per bucket in [0, n_buckets).
+    Rounded to 6 dp — the per-bucket grain is where the transcendental
+    is cut, so document scores are exact decimal sums of these."""
+    spark = raw.sparkSession
+    frame = spark.range(n_buckets).select(F.col("id").cast("int")
+                                          .alias("bucket"))
+    rc = bucket_counts(raw, text_col, n_buckets=n_buckets, seed=seed) \
+        .withColumnRenamed("cnt", "rc")
+    tc = bucket_counts(target, text_col, n_buckets=n_buckets, seed=seed) \
+        .withColumnRenamed("cnt", "tc")
+    tot = (rc.agg(F.sum("rc").alias("rt")).withColumn("__k", F.lit(1))
+           .join(tc.agg(F.sum("tc").alias("tt"))
+                 .withColumn("__k", F.lit(1)), "__k"))
+    j = (frame.join(F.broadcast(rc), "bucket", "left")
+         .join(F.broadcast(tc), "bucket", "left")
+         .withColumn("__k", F.lit(1))
+         .join(F.broadcast(tot), "__k"))
+    p_t = ((F.coalesce("tc", F.lit(0)) + alpha)
+           / (F.col("tt") + alpha * n_buckets))
+    p_r = ((F.coalesce("rc", F.lit(0)) + alpha)
+           / (F.col("rt") + alpha * n_buckets))
+    return j.select("bucket",
+                    F.round(F.log(p_t / p_r), 6).alias("log_ratio"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weight per raw document: the sum of its hashed
+    grams' bucket log-ratios (≈ log of the target/raw likelihood ratio
+    under the bucket n-gram model). High weight ⇒ looks like `target`.
+
+    Returns ``(id_col, dsir_weight)``.
+
+    Scale: the log-ratio table is exactly ``n_buckets`` rows — a MODEL,
+    not data — collected once and embedded as a literal map (declared
+    metadata-sized collect, same class as the IVF centroid model). The
+    scoring pass is then a zero-shuffle projection: each row folds its
+    gram array through `element_at(map, md5-bucket)` with decimal
+    accumulation. No explode, no join, no exchange — scan speed.
+    """
+    ratios = dsir_log_ratios(raw, target, text_col, n_buckets=n_buckets,
+                             seed=seed, alpha=alpha).collect()
+    lut = {int(r["bucket"]): float(r["log_ratio"]) for r in ratios}
+    m = F.map_from_arrays(
+        F.array(*[F.lit(b) for b in sorted(lut)]),
+        F.array(*[F.lit(lut[b]) for b in sorted(lut)]))
+    score = let_(
+        hashed_grams(text_col),
+        lambda grams: F.aggregate(
+            grams,
+            F.lit(0).cast(_DEC),
+            # re-cast: decimal + decimal widens to (29,10), which Spark's
+            # aggregate() rejects as a merge type; values stay in range
+            lambda acc, g: (acc + F.element_at(
+                m, (hash_bucket(g, seed) % n_buckets).cast("int")
+            ).cast(_DEC)).cast(_DEC)))
+    return raw.select(F.col(id_col),
+                      F.round(score.cast("double"), 6).alias("dsir_weight"))
+
+
+# ------------------------------------------------------------------ PMI
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: adjacent token
+    pairs scored by ``ln( p(xy) / (p(x)·p(y)) )`` over the corpus.
+    Returns ``(w1, w2, pair_count, pmi)``, the top_k by (pmi desc,
+    w1, w2) among pairs seen ≥ min_count times.
+
+    Plan: one groupBy to vocab-sized unigram counts, one to bigram
+    counts; the joins back are broadcasts of the unigram table; totals
+    ride a literal-key broadcast. The corpus itself shuffles only the
+    (token → count) partial aggregates.
+    """
+    toks = docs.select(_toks(text_col).alias("__tk"))
+    uni = (toks.select(F.explode("__tk").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    bi = (toks.select(F.explode(
+        let_(F.col("__tk"),
+             lambda tk: F.zip_with(
+                 F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                 F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                 lambda a, bb: F.struct(a.alias("w1"), bb.alias("w2"))))
+    ).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count")))
+    # both totals in ONE pass over the token table (Σcw ≡ Σlen(t),
+    # Σpair_count ≡ Σmax(len(t)-1, 0) — exact integers either way),
+    # so the scalar attach below is a single 1-row broadcast
+    tot = (toks.agg(
+        F.sum(F.size("__tk")).alias("tu"),
+        F.sum(F.greatest(F.size("__tk") - 1, F.lit(0))).alias("tb"))
+        .withColumn("__k", F.lit(1)))
+    j = (bi.filter(F.col("pair_count") >= min_count)
+         .join(F.broadcast(uni.withColumnRenamed("cw", "c1")
+                           .withColumnRenamed("w", "w1")), "w1")
+         .join(F.broadcast(uni.withColumnRenamed("cw", "c2")
+                           .withColumnRenamed("w", "w2")), "w2")
+         .withColumn("__k", F.lit(1))
+         .join(F.broadcast(tot), "__k"))
+    pmi = F.round(F.log(
+        (F.col("pair_count") / F.col("tb"))
+        / ((F.col("c1") / F.col("tu")) * (F.col("c2") / F.col("tu")))), 6)
+    out = j.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+    if top_k is not None:
+        out = out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")) \
+            .limit(top_k)
+    return out

@@ -15,11 +15,13 @@ from __future__ import annotations
 
 import pytest
 
-from jetro_spark.gate import analytics, joins, jql, llm, relational, scalars, streaming, timeseries
+from jetro_spark.gate import (analytics, joins, jql, llm, ranking,
+                              relational, scalars, streaming, timeseries)
 
 SF = "/root/testdata/sf0.001"
 
-_MODULES = (relational, joins, scalars, analytics, timeseries, llm, streaming)
+_MODULES = (relational, joins, scalars, analytics, timeseries, llm,
+            ranking, streaming)
 
 # JQL-compiled relational rows: the compiler, not hand-written DataFrame
 # code, must still produce pushdown-eligible, join-extractable plans
@@ -40,7 +42,14 @@ _ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
                 # ann_pq embeds the same in-plan brute-force recall
                 # baseline as ann_ivf_trained; the PQ retrieval path
                 # itself is equi-join + window only
-                "ann_pq"}
+                "ann_pq",
+                # bm25/pmi attach corpus totals by joining a ONE-ROW
+                # aggregate frame on a literal key; Catalyst folds the
+                # always-true condition and plans a 1-row-broadcast
+                # nested loop — the canonical scalar attach (build side
+                # is an Aggregate, never input data; asserted below in
+                # test_scalar_attach_builds_are_aggregates)
+                "bm25_topk", "pmi_colloc"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}
@@ -78,6 +87,20 @@ def test_nested_loop_joins_only_where_intended(plans):
     offenders = [n for n, p in plans.items()
                  if "BroadcastNestedLoopJoin" in p and n not in _ALLPAIRS_OK]
     assert offenders == []
+
+
+def test_scalar_attach_builds_are_aggregates(plans):
+    """bm25_topk / pmi_colloc are allow-listed for BNLJ ONLY because
+    their nested-loop build side is a one-row global aggregate (corpus
+    totals). Pin that: every such plan must contain a grouping-key-free
+    HashAggregate (the 1-row frame) and at most the expected number of
+    nested loops — a regression that nested-loops actual DATA would
+    inflate the count or drop the global aggregate."""
+    for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1)):
+        p = plans[name]
+        assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
+        assert p.count("BroadcastNestedLoopJoin") <= n_max, name
+        assert "CartesianProduct" not in p, name
 
 
 def test_filters_push_to_parquet_scan(plans):
