@@ -79,6 +79,9 @@ HEADLINE = [
     "dsir_weights",
     "pmi_colloc",
     "zorder_key",
+    # r08: gram-granular exact-substring dedup (owner election + span
+    # coverage anti-join)
+    "dedup_spans",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

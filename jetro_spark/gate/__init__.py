@@ -56,10 +56,14 @@ _TIER1 = [
     # extended joins
     "equi_join", "asof_join", "range_join", "salted_join", "join_semi",
     "bucketed_join",
-    # scalar functions ("encoding" rotated out in r7 for simhash_pairs —
-    # the newly hard-oracled row belongs in the driver-visible 50; the
-    # scalar family keeps three representatives)
-    "string_case", "regex_ops", "parse_cast",
+    # scalar functions ("encoding" rotated out in r7 for simhash_pairs;
+    # "parse_cast" rotated out in r8 for bm25_topk so the new ranking
+    # family is driver-visible — the scalar family keeps two
+    # representatives; every rotated-out row still runs in the full
+    # local gate)
+    "string_case", "regex_ops",
+    # corpus-statistics ranking (r8)
+    "bm25_topk",
     # window builtins
     "win_lag_lead", "win_zscore",
     # time series

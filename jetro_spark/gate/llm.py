@@ -1384,3 +1384,57 @@ ORACLES["url_canon"] = """
                 ELSE 'example.net' END AS domain
     FROM documents
 """
+
+
+# --- repeated-span removal (llm/dedup.py dedup_spans_global, r8) --------------
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-granular exact-substring dedup (Lee et al. 2021 rule as
+    n-gram owner election): tokens covered by a non-owner occurrence of
+    a corpus-duplicated 8-gram are removed; docs rebuilt. The oracle
+    derives owner election INDEPENDENTLY with a window rank over the
+    unnested gram stream — not a replay of the join chain."""
+    return D.dedup_spans_global(_docs(spark, sf_dir), n=8)
+
+
+QUERIES["dedup_spans"] = q_dedup_spans
+
+ORACLES["dedup_spans"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_RAW_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS gpos,
+             unnest([array_to_string(t[i+1:i+8], ' ')
+                     for i in range(0, greatest(len(t) - 8 + 1, 0))]) AS g
+      FROM toks
+    ), ranked AS (
+      SELECT doc_id, gpos,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY doc_id, gpos) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM grams
+    ), covered AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT doc_id, unnest(range(gpos, gpos + 8)) AS idx
+        FROM ranked WHERE cnt > 1 AND rn > 1)
+    ), tl AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(0, len(t))) AS idx
+      FROM toks
+    ), kept AS (
+      SELECT tl.doc_id, tl.tok, tl.idx
+      FROM tl LEFT JOIN covered USING (doc_id, idx)
+      WHERE covered.idx IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept,
+           CAST(len(t.t) AS INTEGER) AS n_tokens
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""

@@ -513,3 +513,83 @@ def dedup_lines_global(
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
                     F.coalesce("__nk", F.lit(0)).cast("int").alias("n_kept"),
                     F.col("__nl").cast("int").alias("n_lines")))
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 20,
+) -> DataFrame:
+    """Corpus-wide repeated-span removal — the distributed, gram-
+    granular form of exact-substring dedup (Lee et al.,
+    arXiv:2107.06499, which removes duplicate >=50-token substrings via
+    a suffix array; a suffix array is a single-machine structure, so
+    this re-expresses the rule as n-gram owner election):
+
+    A token is REMOVED iff it is covered by a non-owner occurrence of
+    an n-gram that appears more than once in the corpus; the owner
+    (first occurrence = smallest (doc, position)) keeps its tokens.
+    Documents are rebuilt from surviving tokens (single-space join of
+    the whitespace token stream).
+
+    Returns (id, text_dedup, n_kept, n_tokens).
+
+    Scale shape (100 TB): the same three skew-safe shuffles as
+    :func:`dedup_lines_global`, plus one per-doc coverage dedup —
+    1. owner election groups by (xxhash64(gram), gram): map-side
+       partials collapse hot grams (boilerplate) before the exchange;
+    2. occurrence join back per hash bucket, string equality
+       disambiguating inside the bucket (exact under collision), AQE
+       splitting residual hot buckets;
+    3. covered-index expansion is n rows per duplicated occurrence,
+       deduped by (doc, index) — proportional to the text actually
+       being removed, not the corpus;
+    4. token anti-join + per-doc rebuild, both keyed by doc id.
+    No all-pairs joins; Python never touches the data.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams_arr = let_(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tk) - n),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>")))
+    grams = df.select(F.col(id_col),
+                      F.posexplode(grams_arr).alias("__g_pos", "__g"))
+    keyed = grams.withColumn("__g_h", F.xxhash64("__g"))
+    owners = (keyed.groupBy("__g_h", "__g")
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("__g_pos").alias("i"))).alias("__own"),
+                   F.count(F.lit(1)).alias("__cnt"))
+              .filter(F.col("__cnt") > 1)
+              .select(F.col("__g_h").alias("__own_h"),
+                      F.col("__g").alias("__own_g"), "__own"))
+    dup_occ = (keyed.join(owners,
+                          (F.col("__g_h") == F.col("__own_h"))
+                          & (F.col("__g") == F.col("__own_g")))
+               .filter(~((F.col(id_col) == F.col("__own.d"))
+                         & (F.col("__g_pos") == F.col("__own.i")))))
+    covered = (dup_occ
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("__g_pos"),
+                           F.col("__g_pos") + (n - 1))).alias("__t_idx"))
+               .distinct())
+    tl = df.select(F.col(id_col),
+                   F.posexplode(toks).alias("__t_idx", "__t"))
+    kept = tl.join(covered, [id_col, "__t_idx"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__t_idx", "__t"))),
+                        lambda s: s["__t"])).alias("text_dedup"),
+                    F.count(F.lit(1)).alias("__nk")))
+    return (df.select(F.col(id_col), F.size(toks).alias("__nt"))
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    F.coalesce("__nk", F.lit(0)).cast("int").alias("n_kept"),
+                    F.col("__nt").cast("int").alias("n_tokens")))
