@@ -80,8 +80,9 @@ HEADLINE = [
     "pmi_colloc",
     "zorder_key",
     # r08: gram-granular exact-substring dedup (owner election + span
-    # coverage anti-join)
+    # coverage anti-join) and A-ES weighted sampling (per-stratum rank)
     "dedup_spans",
+    "weighted_sample",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

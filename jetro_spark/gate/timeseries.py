@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from jetro_spark.llm.packing import pack_by_cumsum
 from jetro_spark.llm.sampling import (cap_per_key, hash_split,
+                                      weighted_hash_sample,
                                       stratified_hash_sample)
 from jetro_spark.operators.timeseries import HOUR_US, rollup_gapfill
 from jetro_spark.session import load_tables
@@ -87,6 +88,19 @@ def q_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+# --- weighted sampling (Efraimidis-Spirakis A-ES, hash-derived) -------------
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 documents per language drawn WITHOUT replacement with
+    probability proportional to length (llm/sampling.py
+    weighted_hash_sample): rank by ln(u)/w with u md5-derived. The
+    oracle recomputes the A-ES keys from the same md5 stream and
+    re-ranks — WHICH rows are drawn is hash-checked exactly."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = weighted_hash_sample(docs, 20, "n_chars",
+                               strata_col="lang", seed=42)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 # --- sequence packing (cumsum strategy; n_chars as the token proxy) ---------
 def q_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
@@ -99,6 +113,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "cap_per_key": q_cap_per_key,
+    "weighted_sample": q_weighted_sample,
     "pack_cumsum": q_pack_cumsum,
 }
 
@@ -157,6 +172,23 @@ ORACLES = {
                                              doc_id ASC) AS rn
           FROM documents)
         WHERE rn <= 10
+    """,
+    # A-ES key ln(u)/w with u = (md5int+1)/2^32 — both the +1 shift and
+    # the power-of-two division are float-EXACT, so the only inexact
+    # step (ln) sees identical doubles in both engines; ranking (not
+    # rounding) tolerates the residual 1-ulp libm divergence
+    "weighted_sample": f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln(({_FRAC.format(seed=42)}
+                                * 4294967296.0 + 1) / 4294967296.0)
+                            / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id ASC) AS rn
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0)
+        WHERE rn <= 20
     """,
     "pack_cumsum": """
         SELECT doc_id, n_chars,

@@ -183,3 +183,50 @@ def cap_per_key(
     w = Window.partitionBy(g).orderBy(rk.asc(), F.col(id_col).asc())
     return (df.withColumn("__cap_rn", F.row_number().over(w))
             .filter(F.col("__cap_rn") <= n).drop("__cap_rn"))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    k: int,
+    weight: str | Column,
+    *,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme with hash-derived randomness: every
+    row gets key ``u^(1/w)`` (u uniform from md5(id:seed), w = its
+    weight) and the k largest keys win; inclusion probability is then
+    proportional to weight, and the drawn set is reproducible across
+    runs, engines, partitionings, and cluster sizes like every sampler
+    in this module. Ranking uses the monotonic form ``ln(u)/w`` (u
+    shifted to (0, 1] so ln is finite); rows with null or non-positive
+    weight are dropped — they can never be drawn.
+
+    Use it to sample a training subset by quality score, or (with
+    ``strata_col``) k docs per language/source weighted by length.
+
+    Scale: global draw = orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort —
+    only p×k rows reach the reducer). Stratified draw = one shuffle on
+    the stratum key with the rank window sorting only within its group
+    (the cap_per_key shape — group sort input is (key, id) pairs).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    out = df.filter(w.isNotNull() & (w > 0))
+    # u in (0, 1]: (bucket+1)/2^32 — ln stays finite; u=1 -> key 0 (max)
+    es_key = (F.log((hash_bucket(F.col(id_col), seed) + 1)
+                    / F.lit(float(_BUCKETS)))
+              / w.cast("double"))
+    if strata_col is None:
+        return (out.withColumn("__es", es_key)
+                .orderBy(F.desc("__es"), F.asc(id_col))
+                .limit(k).drop("__es"))
+    from pyspark.sql.window import Window
+
+    win = (Window.partitionBy(strata_col)
+           .orderBy(F.desc("__es"), F.asc(id_col)))
+    return (out.withColumn("__es", es_key)
+            .withColumn("__es_rn", F.row_number().over(win))
+            .filter(F.col("__es_rn") <= k).drop("__es", "__es_rn"))
