@@ -83,6 +83,7 @@ HEADLINE = [
     # coverage anti-join) and A-ES weighted sampling (per-stratum rank)
     "dedup_spans",
     "weighted_sample",
+    "ngram_lm",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -216,3 +216,62 @@ ORACLES["zorder_key"] = f"""
            CAST({zorder_key_sql(_Z_COLS_SQL, bits=10)} AS BIGINT) AS zkey
     FROM orders
 """
+
+
+# ------------------------------------------------------------ n-gram LM
+
+
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM score per document (the CCNet/KenLM-style
+    perplexity filter without an external model). The oracle retrains
+    the same counts and replays the smoothed per-occurrence logprobs —
+    ln rounded to 6 dp before the decimal-exact per-doc average."""
+    return RK.ngram_lm_score(_docs(spark, sf_dir), alpha=0.1)
+
+
+QUERIES["ngram_lm"] = q_ngram_lm
+
+ORACLES["ngram_lm"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), occ AS (
+      SELECT doc_id, split_part(p, ' ', 1) AS w1,
+             split_part(p, ' ', 2) AS w2
+      FROM (SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, greatest(len(t) - 1, 0))])
+                   AS p
+            FROM toks)
+    ), uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), bic AS (
+      SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2
+    ), v AS (
+      SELECT count(*) AS v FROM uni
+    ), sums AS (
+      SELECT doc_id,
+             CAST(sum(round(ln(
+                 (coalesce(c12, 0) + 0.1::DOUBLE)
+                 / (coalesce(c1, 0) + 0.1::DOUBLE * v)), 6)::DECIMAL(28,10))
+               * 1000000 AS BIGINT) AS s6,
+             count(*) AS c
+      FROM occ
+      LEFT JOIN bic USING (w1, w2)
+      LEFT JOIN uni ON uni.w = occ.w1, v
+      GROUP BY doc_id
+    ), scored AS (
+      -- round-half-away mean in INTEGER arithmetic (micros), mirroring
+      -- the Spark side: float round() of sum/count lands exactly on
+      -- 6-dp half boundaries and the engines' rounding diverges there
+      SELECT doc_id,
+             (((2 * abs(s6) + c) // (2 * c))
+              * (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)) / 1000000.0
+               AS lm_score,
+             c AS n_bigrams
+      FROM sums
+    )
+    SELECT d.doc_id, s.lm_score,
+           coalesce(s.n_bigrams, 0) AS n_bigrams
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""

@@ -281,3 +281,95 @@ def pmi_collocations(
         out = out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")) \
             .limit(top_k)
     return out
+
+
+# ---------------------------------------------------------- n-gram LM
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Perplexity-proxy quality score from a self-trained bigram
+    language model (the CCNet/KenLM-style perplexity filter without an
+    external model): score = mean over a document's bigrams of
+    ``ln P(w2 | w1)`` under add-alpha-smoothed corpus bigram counts.
+    Low (very negative) scores flag improbable token sequences —
+    gibberish, OCR noise, keyword stuffing; suspiciously high scores
+    flag boilerplate. Returns ``(id_col, lm_score, n_bigrams)``; docs
+    with fewer than one bigram score null.
+
+    Train on `train` if given (e.g. a high-quality slice — then the
+    score measures similarity to THAT distribution), else on `docs`.
+
+    Determinism: counts are exact integers; each occurrence's ``ln P``
+    is rounded to 6 dp (identical counts → identical value, so the cut
+    is effectively per bigram type); per-document averaging
+    decimal-accumulates the rounded values, so the oracle hash-matches
+    exactly.
+
+    Scale: bigram/unigram count tables are vocab-bounded reductions
+    with map-side combine; scoring joins each document bigram
+    OCCURRENCE to its smoothed logprob — a shuffle join on the bigram
+    key (broadcastable when the vocab is small; AQE decides), then one
+    groupBy(doc). V (distinct unigrams) attaches as a 1-row broadcast.
+    """
+    src = train if train is not None else docs
+    src_toks = src.select(_toks(text_col).alias("__tk"))
+
+    def _bigrams(tk: Column) -> Column:
+        return F.zip_with(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+    uni = (src_toks.select(F.explode("__tk").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = (src_toks.select(F.explode(
+        let_(F.col("__tk"), _bigrams)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    vsize = (uni.agg(F.count(F.lit(1)).alias("v"))
+             .withColumn("__k", F.lit(1)))
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(let_(_toks(text_col), _bigrams)).alias("p")) \
+        .select(id_col, "p.w1", "p.w2")
+    # smoothed ln P per OCCURRENCE with coalesced counts, so bigrams
+    # (or contexts) unseen in an external `train` get the add-alpha
+    # floor instead of dropping out of the average; identical counts →
+    # identical rounded value, so determinism is unchanged
+    j = (occ.join(bi, ["w1", "w2"], "left")
+         .join(F.broadcast(uni), "w1", "left")
+         .withColumn("__k", F.lit(1))
+         .join(F.broadcast(vsize), "__k"))
+    lp = F.round(F.log(
+        (F.coalesce("c12", F.lit(0)) + alpha)
+        / (F.coalesce("c1", F.lit(0)) + alpha * F.col("v"))), 6)
+    # The mean is rounded in INTEGER arithmetic, not float round():
+    # dividing a 6-dp sum by a small count lands exactly on 6-dp half
+    # boundaries BY CONSTRUCTION (e.g. sum/12 ending in ...15), where
+    # Spark's BigDecimal HALF_UP and DuckDB's float-math round diverge
+    # (caught by the sf0.1 sweep). Sum in micros is an exact long;
+    # round-half-away is then (2|s|+c) div (2c) with the sign restored
+    # — bit-identical in any engine.
+    scored = (j.groupBy(id_col)
+              .agg((F.sum(lp.cast(_DEC)) * 1000000).cast("long")
+                   .alias("__s6"),
+                   F.count(F.lit(1)).alias("n_bigrams")))
+    mean_micro = F.expr(
+        "((2 * abs(__s6) + n_bigrams) div (2 * n_bigrams))"
+        " * (CASE WHEN __s6 < 0 THEN -1 ELSE 1 END)")
+    scored = scored.select(
+        F.col(id_col),
+        (mean_micro / F.lit(1000000.0)).alias("lm_score"),
+        "n_bigrams")
+    return (docs.select(F.col(id_col))
+            .join(scored, id_col, "left")
+            .select(id_col, "lm_score",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams")))

@@ -210,3 +210,32 @@ def test_zorder_layout_improves_file_skipping(spark, tmp_path):
         return n
 
     assert touched(zed) < touched(lin)
+
+
+# ---------------------------------------------------------- n-gram LM
+
+def test_ngram_lm_scores_indistribution_higher(spark):
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [common] * 8 + ["zq xv qj kk pw yy zz aa bb cc"]
+    out = {r["doc_id"]: r
+           for r in RK.ngram_lm_score(_docs(spark, rows)).collect()}
+    indist = [out[i]["lm_score"] for i in range(8)]
+    assert all(s == indist[0] for s in indist)      # identical docs tie
+    assert out[8]["lm_score"] < indist[0]           # gibberish is rarer
+
+
+def test_ngram_lm_short_docs_score_null(spark):
+    out = {r["doc_id"]: r
+           for r in RK.ngram_lm_score(
+               _docs(spark, ["single", "two words here", "x"])).collect()}
+    assert out[0]["lm_score"] is None and out[0]["n_bigrams"] == 0
+    assert out[2]["lm_score"] is None
+    assert out[1]["n_bigrams"] == 2
+
+
+def test_ngram_lm_external_train_measures_target_similarity(spark):
+    train = _docs(spark, ["alpha beta gamma delta"] * 5)
+    raw = _docs(spark, ["alpha beta gamma", "uno dos tres"])
+    out = {r["doc_id"]: r["lm_score"]
+           for r in RK.ngram_lm_score(raw, train=train).collect()}
+    assert out[0] > out[1]   # target-like text scores higher
