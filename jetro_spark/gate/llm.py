@@ -1438,3 +1438,41 @@ ORACLES["dedup_spans"] = f"""
            CAST(len(t.t) AS INTEGER) AS n_tokens
     FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+# --- leakage-safe split (llm/sampling.py leakage_safe_split, r8) --------------
+
+
+def q_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val split: LSH pairs → connected
+    components → the CLUSTER is hash-assigned, so no duplicate group
+    straddles a split boundary. Oracle = the dedup_cluster recursive-
+    CTE closure + the hash_split md5 CASE applied to the component."""
+    from jetro_spark.llm.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", k=5, threshold=0.8)
+    out = leakage_safe_split(d, pairs, {"train": 0.9, "val": 0.1},
+                             seed=42)
+    return out.select("doc_id", "component", "split")
+
+
+QUERIES["leak_split"] = q_leak_split
+
+_COMP_FRAC = """(CAST(list_sum([(strpos('0123456789abcdef',
+    substr(substr(md5(component::VARCHAR || ':42'), 1, 8), i, 1)) - 1)
+    * 16**(8-i) for i in generate_series(1, 8)]) AS BIGINT)
+    / 4294967296.0)"""
+
+# reuse dedup_cluster's WITH block verbatim (everything before its final
+# SELECT) so the closure definition can never drift between the two rows
+_CLUSTER_CTES = ORACLES["dedup_cluster"].rsplit("SELECT doc.doc_id", 1)[0]
+
+ORACLES["leak_split"] = _CLUSTER_CTES + f"""
+    SELECT doc_id, component,
+           CASE WHEN {_COMP_FRAC} < 0.9 THEN 'train' ELSE 'val' END
+             AS split
+    FROM (SELECT doc.doc_id,
+                 coalesce(c.component, doc.doc_id) AS component
+          FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id)
+"""

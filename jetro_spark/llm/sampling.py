@@ -230,3 +230,44 @@ def weighted_hash_sample(
     return (out.withColumn("__es", es_key)
             .withColumn("__es_rn", F.row_number().over(win))
             .filter(F.col("__es_rn") <= k).drop("__es", "__es_rn"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    seed: int = 42,
+    split_col: str = "split",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates across
+    splits: documents are first grouped into duplicate CLUSTERS
+    (connected components over `pairs` — typically MinHash-LSH or
+    SemDeDup edges), then the cluster label — not the document — is
+    hash-assigned, so every member of a duplicate group lands in the
+    same split. A plain per-document hash_split puts ~p·(1-p) of each
+    near-dup pair across the train/val boundary — the classic
+    eval-contamination bug this composition removes.
+
+    Isolated documents form their own singleton cluster (their id).
+    Output = `df` + `cluster_col` + `split_col`.
+
+    Scale: the components cost is the pair list's (llm/dedup.py
+    connected_components — join+groupBy per diameter iteration); the
+    label join back is one shuffle on id; split assignment stays a pure
+    row-local md5 expression like hash_split.
+    """
+    from jetro_spark.llm.dedup import connected_components
+
+    cc = connected_components(pairs, a_col, b_col)
+    lab = (df.join(cc, df[id_col] == cc["id"], "left")
+           .drop("id")
+           .withColumn("component", F.coalesce("component", F.col(id_col))))
+    if cluster_col != "component":
+        lab = lab.withColumnRenamed("component", cluster_col)
+    return hash_split(lab, cluster_col, weights, seed=seed,
+                      split_col=split_col)

@@ -31,7 +31,10 @@ import duckdb
 # but quadratic, so the sweep mode skips them (their Spark plans are
 # linear/banded; value semantics are pinned at sf0.01 + by pytest).
 ALL_PAIRS_ORACLES = {"dedup_lsh", "dedup_cluster", "embed_neardup",
-                     "simhash_pairs"}
+                     "simhash_pairs",
+                     # leak_split reuses dedup_cluster's quadratic
+                     # closure oracle (its Spark plan is banded LSH)
+                     "leak_split"}
 
 args = sys.argv[1:]
 SWEEP = "--sweep" in args

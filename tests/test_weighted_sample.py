@@ -60,3 +60,25 @@ def test_global_draw_plans_take_ordered(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """llm/sampling.py leakage_safe_split (r8): every member of a
+    duplicate cluster must land in the same split; isolated docs form
+    singleton clusters and still follow the hash_split fractions."""
+    from jetro_spark.llm.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string")
+    # 0-1-2 chained (transitive closure), 3-4 pair, rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a_id long, b_id long")
+    out = leakage_safe_split(docs, pairs, {"train": 0.5, "val": 0.5},
+                             seed=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    assert {rows[i]["component"] for i in (0, 1, 2)} == {0}
+    assert {rows[i]["split"] for i in (0, 1, 2)} == {rows[0]["split"]}
+    assert rows[3]["split"] == rows[4]["split"]
+    assert rows[7]["component"] == 7            # singleton keeps its id
+    assert {r["split"] for r in rows.values()} == {"train", "val"}
