@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_spans",
     "weighted_sample",
     "ngram_lm",
+    "hash_embed",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

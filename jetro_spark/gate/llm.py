@@ -1476,3 +1476,49 @@ ORACLES["leak_split"] = _CLUSTER_CTES + f"""
                  coalesce(c.component, doc.doc_id) AS component
           FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id)
 """
+
+
+# --- feature-hashing embeddings (llm/similarity.py hashed_embedding, r8) -----
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free HashingTF document embedding (md5 buckets, ln(1+tf)
+    weights, decimal-exact L2 norm), flattened to (doc_id, pos, v)
+    scalar cells like label_centroids. DuckDB rebuilds the dense
+    vector from a doc×dim grid and replays the same normalization."""
+    e = SIM.hashed_embedding(_docs(spark, sf_dir), dim=64, seed=9)
+    return (e.select("doc_id", F.posexplode("embedding").alias("pos", "v"))
+            .select("doc_id", "pos", F.round("v", 8).alias("v")))
+
+
+QUERIES["hash_embed"] = q_hash_embed
+
+_HE_BUCKET = """CAST(CAST(list_sum([(strpos('0123456789abcdef',
+    substr(substr(md5(tok || ':9'), 1, 8), i, 1)) - 1)
+    * 16**(8-i) for i in generate_series(1, 8)]) AS BIGINT) % 64 AS INT)"""
+
+ORACLES["hash_embed"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), tl AS (
+      SELECT doc_id, {_HE_BUCKET} AS b
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    ), tw AS (
+      SELECT doc_id, b, round(ln(1.0::DOUBLE + count(*)), 6) AS w
+      FROM tl GROUP BY doc_id, b
+    ), grid AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS pos
+      FROM documents
+    ), cells AS (
+      SELECT g.doc_id, g.pos, coalesce(tw.w, 0.0::DOUBLE) AS w
+      FROM grid g LEFT JOIN tw ON g.doc_id = tw.doc_id AND g.pos = tw.b
+    ), norms AS (
+      SELECT doc_id,
+             CAST(sum((w * w)::DECIMAL(28,12)) AS DOUBLE) AS ss
+      FROM cells GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.pos,
+           round(CASE WHEN n.ss > 0 THEN c.w / sqrt(n.ss) ELSE c.w END,
+                 8) AS v
+    FROM cells c JOIN norms n USING (doc_id)
+"""

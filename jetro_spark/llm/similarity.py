@@ -515,3 +515,66 @@ def hyperplane_lsh_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "rank", "score"))
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 9,
+) -> DataFrame:
+    """Feature-hashing document embedding (the HashingTF / "hashing
+    trick" vectorizer): tokens hash into ``dim`` buckets, bucket values
+    are sublinear tf weights ``ln(1 + count)``, and the vector is
+    L2-normalized — a deterministic, model-free text embedding that
+    plugs straight into this package's ANN / SemDeDup / embed_neardup
+    operators when no learned embedder is available.
+
+    Returns ``(id_col, embedding array<double>)``; empty-token docs get
+    the zero vector.
+
+    Determinism: buckets are md5-derived (engine-replayable); the tf
+    weight is the one transcendental, rounded to 6 dp at the
+    (doc, bucket) grain; the squared norm decimal-accumulates
+    (order-free), so components hash-compare after a final 8 dp round.
+
+    Scale: one groupBy (doc, bucket) with map-side combine (≤ dim rows
+    out per doc), one groupBy (doc) to assemble the dense array —
+    everything else row-local. dim is a constant: the embedding adds
+    8·dim bytes/doc, so bandwidth stays bounded regardless of text
+    length.
+    """
+    from jetro_spark.functions.arrays import let_
+    from jetro_spark.llm.sampling import hash_bucket
+    from jetro_spark.llm.text import normalize_text, ws_tokens
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    tl = docs.select(F.col(id_col), F.explode(toks).alias("__t")) \
+        .select(id_col, (hash_bucket(F.col("__t"), seed) % dim)
+                .cast("int").alias("__b"))
+    tw = (tl.groupBy(id_col, "__b")
+          .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6).alias("__w")))
+    vec = (tw.groupBy(id_col)
+           .agg(F.map_from_entries(
+               F.collect_list(F.struct("__b", "__w"))).alias("__m")))
+    arr = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.coalesce(
+                          F.element_at("__m", i.cast("int")), F.lit(0.0)))
+    # squared-norm via DECIMAL accumulation: each square is a
+    # deterministic IEEE product of identical doubles, the decimal cut
+    # makes the SUM order-free, so the norm is engine-identical without
+    # assuming any engine's float fold order
+    emb = let_(arr, lambda a: let_(
+        F.aggregate(a, F.lit(0).cast("decimal(28,12)"),
+                    lambda acc, x: (acc + (x * x).cast("decimal(28,12)"))
+                    .cast("decimal(28,12)")).cast("double"),
+        lambda ss: F.when(ss > 0, F.transform(
+            a, lambda x: x / F.sqrt(ss))).otherwise(a)))
+    return (docs.select(F.col(id_col))
+            .join(vec, id_col, "left")
+            .select(id_col,
+                    F.coalesce(
+                        emb,
+                        F.array_repeat(F.lit(0.0), dim)).alias("embedding")))

@@ -239,3 +239,38 @@ def test_ngram_lm_external_train_measures_target_similarity(spark):
     out = {r["doc_id"]: r["lm_score"]
            for r in RK.ngram_lm_score(raw, train=train).collect()}
     assert out[0] > out[1]   # target-like text scores higher
+
+
+# ------------------------------------------------- hashed embeddings
+
+def test_hashed_embedding_is_unit_norm_and_similarity_ordered(spark):
+    from jetro_spark.llm.similarity import cosine, hashed_embedding
+
+    d = _docs(spark, [
+        "spark shuffles data across the cluster",
+        "spark shuffles data across the big cluster",   # near-dup of 0
+        "bananas oranges apples pears grapes melons",   # unrelated
+    ])
+    e = hashed_embedding(d, dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in e.collect()}
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    a = e.alias("a").filter(F.col("doc_id") == 0) \
+        .select(F.col("embedding").alias("ea"))
+    pairs = a.crossJoin(e.filter(F.col("doc_id") > 0)
+                        .select("doc_id", "embedding"))
+    sims = {r["doc_id"]: r["s"]
+            for r in pairs.select(
+                "doc_id",
+                cosine(F.col("ea"), F.col("embedding")).alias("s")).collect()}
+    assert sims[1] > 0.9 > sims[2]
+
+
+def test_hashed_embedding_empty_text_zero_vector(spark):
+    from jetro_spark.llm.similarity import hashed_embedding
+
+    d = _docs(spark, ["", "some words"])
+    rows = {r["doc_id"]: r["embedding"]
+            for r in hashed_embedding(d, dim=16).collect()}
+    assert rows[0] == [0.0] * 16
+    assert any(x != 0.0 for x in rows[1])
