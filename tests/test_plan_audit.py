@@ -43,13 +43,14 @@ _ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
                 # baseline as ann_ivf_trained; the PQ retrieval path
                 # itself is equi-join + window only
                 "ann_pq",
-                # bm25/pmi attach corpus totals by joining a ONE-ROW
-                # aggregate frame on a literal key; Catalyst folds the
+                # bm25/pmi/ngram_lm attach corpus totals (N+Σdl, the
+                # token totals, |V|) by joining a ONE-ROW aggregate
+                # frame on a literal key; Catalyst folds the
                 # always-true condition and plans a 1-row-broadcast
                 # nested loop — the canonical scalar attach (build side
                 # is an Aggregate, never input data; asserted below in
                 # test_scalar_attach_builds_are_aggregates)
-                "bm25_topk", "pmi_colloc"}
+                "bm25_topk", "pmi_colloc", "ngram_lm"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}
@@ -96,7 +97,8 @@ def test_scalar_attach_builds_are_aggregates(plans):
     HashAggregate (the 1-row frame) and at most the expected number of
     nested loops — a regression that nested-loops actual DATA would
     inflate the count or drop the global aggregate."""
-    for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1)):
+    for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1),
+                        ("ngram_lm", 1)):
         p = plans[name]
         assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
         assert p.count("BroadcastNestedLoopJoin") <= n_max, name
