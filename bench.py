@@ -85,6 +85,7 @@ HEADLINE = [
     "weighted_sample",
     "ngram_lm",
     "hash_embed",
+    "funnel",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -19,7 +19,7 @@ from jetro_spark.operators.profiling import (
     key_skew,
     profile_table,
 )
-from jetro_spark.operators.timeseries import sessionize
+from jetro_spark.operators.timeseries import funnel, sessionize
 from jetro_spark.session import load_tables
 
 
@@ -124,6 +124,23 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user, later steps bound
+    to one day of the step-0 match. One pushdown-filtered scan + one
+    groupBy(user) + a row-local first-after-previous array fold; the
+    oracle derives each step INDEPENDENTLY as a chain of min()-after-
+    previous CTE joins — two different formulations of the same
+    semantics."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    # representation-safe ts normalization, like q_sessionize
+    from jetro_spark.timeutil import ts_to_timestamp
+    ev = ev.withColumn("ts", ts_to_timestamp(
+        F.col("ts"), dict(ev.dtypes).get("ts", "")))
+    out = funnel(ev, ["view", "click", "purchase"],
+                 within_us=86_400_000_000)
+    return out.select("user_id", "steps_completed", "t0", "t1", "t2")
+
+
 QUERIES = {
     "group_quantiles": q_group_quantiles,
     "group_quantiles_spread": q_group_quantiles_spread,
@@ -132,6 +149,7 @@ QUERIES = {
     "profile_approx": q_profile_approx,
     "key_skew": q_key_skew,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
     "check_constraints": q_check_constraints,
 }
 
@@ -165,7 +183,38 @@ def _profile_col_sql(col: str) -> str:
     """
 
 
+_FUNNEL_SQL = """
+    WITH f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s0 AS (
+      SELECT user_id, min(us) AS t0 FROM f
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT f.user_id, min(us) AS t1
+      FROM f JOIN s0 USING (user_id)
+      WHERE event_type = 'click' AND us > t0
+        AND us <= t0 + 86400000000 GROUP BY f.user_id
+    ), s2 AS (
+      SELECT f.user_id, min(us) AS t2
+      FROM f JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+      WHERE event_type = 'purchase' AND us > t1
+        AND us <= t0 + 86400000000 GROUP BY f.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                     WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed,
+           t0, t1, t2
+    FROM (SELECT DISTINCT user_id FROM f) u
+    LEFT JOIN s0 USING (user_id)
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+"""
+
 ORACLES = {
+    "funnel": _FUNNEL_SQL,
     "group_quantiles": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
     "group_quantiles_spread": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
     "histogram": """

@@ -131,3 +131,65 @@ def rollup_gapfill(
         (F.col("bucket") * F.lit(width_us)).alias("bucket_start_us"),
         *[c.alias(name) for name, c in out_cols.items()],
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: per user, step i matches at the
+    EARLIEST event of ``steps[i]`` strictly after step i-1's matched
+    time (step 0 = the user's earliest step-0 event); with
+    ``within_us``, every later step must also land within that many
+    microseconds of the step-0 match. The standard product-analytics
+    funnel (strictly-increasing-time variant).
+
+    Returns one row per user having at least one event of a funnel
+    type: ``(user_col, steps_completed, t0..t{k-1})`` — ti = matched
+    epoch micros (null from the first unmatched step on).
+
+    Scale: events filter to the funnel types FIRST (a pushdown-able
+    predicate — at 100 TB the scan prunes everything else), then ONE
+    groupBy(user) collects each step's sorted time list; the
+    first-after-previous scan is a row-local array fold. State per user
+    is its funnel-type event times only. No joins, no per-step passes,
+    no window over an unpartitioned axis.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    dt = dict(events.dtypes).get(time_col, "")
+    # same axis convention as time_bucket: timestamps → epoch micros,
+    # NUMERIC columns taken as a raw µs axis as-is (bigint nano-epochs
+    # normalize upstream via timeutil, as the gate queries do)
+    us = (ts_to_micros(F.col(time_col), dt)
+          if dt.startswith("timestamp") else F.col(time_col).cast("long"))
+    ev = events.filter(F.col(type_col).isin(*steps))
+    grouped = ev.groupBy(user_col).agg(*[
+        F.sort_array(F.collect_list(
+            F.when(F.col(type_col) == s, us))).alias(f"__a{i}")
+        for i, s in enumerate(steps)])
+    # F.get: null on empty/out-of-range (element_at THROWS under ANSI)
+    out = grouped.withColumn("__t0", F.get("__a0", 0))
+    for i in range(1, len(steps)):
+        prev = F.col(f"__t{i - 1}")
+        cond = (lambda p: (lambda x: x > p))(prev)
+        if within_us is not None:
+            cond = (lambda p: (lambda x: (x > p)
+                    & (x <= F.col("__t0") + within_us)))(prev)
+        out = out.withColumn(
+            f"__t{i}",
+            F.get(F.filter(F.col(f"__a{i}"), cond), 0))
+    # deepest matched step wins; the chain nulls forward (t_j non-null
+    # implies t_0..t_j all matched), so test from the last step down
+    done: Column = F.lit(0)
+    for j in range(len(steps)):
+        done = F.when(F.col(f"__t{j}").isNotNull(), j + 1).otherwise(done)
+    return out.select(
+        F.col(user_col),
+        done.cast("int").alias("steps_completed"),
+        *[F.col(f"__t{i}").alias(f"t{i}") for i in range(len(steps))])
