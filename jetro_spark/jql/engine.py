@@ -768,6 +768,25 @@ class JetroTables:
             return None
         return self._method_stage(df, step, env, order)
 
+    def _rematerialize_order(self, df: DataFrame, order: list):
+        """Materialize the order keys into the hidden ``__ord{i}`` slots
+        and return ``(df, slot_order)``. Every key is computed in ONE
+        projection against the INPUT df before the old hidden columns
+        are dropped: the sequential withColumn loop this replaces
+        overwrote ``__ord0`` first, so a later entry referencing an
+        existing hidden column by name (stable sort's scan-order id, a
+        prior sort's carry) read the freshly clobbered value instead
+        (r8 fuzz catch)."""
+        tmp = df.select("*", *[col.alias(f"__ordc{i}")
+                               for i, (col, _d) in enumerate(order)])
+        stale = [c2 for c2 in tmp.columns
+                 if c2.startswith("__ord") and not c2.startswith("__ordc")]
+        df = tmp.drop(*stale)
+        for i in range(len(order)):
+            df = df.withColumnRenamed(f"__ordc{i}", f"__ord{i}")
+        return df, [(F.col(f"__ord{i}"), d)
+                    for i, (_c, d) in enumerate(order)]
+
     def _select_carry(self, df: DataFrame, body: A.Node, env: Env,
                       order: list | None) -> DataFrame:
         """_select_body, but when a sort order is live the sort keys ride
@@ -776,9 +795,12 @@ class JetroTables:
         projection dropped the original key columns."""
         if not order:
             return self._select_body(df, body, env)
-        for i, (col, _desc) in enumerate(order):
-            df = df.withColumn(f"__ord{i}", col)
-            env = self._row_env(df)
+        df, _ = self._rematerialize_order(df, order)
+        # keep the CALLER's env: rebuilding from df here dropped any
+        # lambda-param binding (`map(x => ...)` under a live sort
+        # compiled x.* to the missing-field null — r8 fuzz catch); bare
+        # field refs resolve by name against the final df either way,
+        # and the hidden __ord columns are only read via `extras`
         extras = [F.col(f"__ord{i}") for i in range(len(order))]
         tc = self.c.compile(body, env)
         if isinstance(tc.dtype, T.StructType):
@@ -882,6 +904,21 @@ class JetroTables:
                 keys = [(elem_tc().col, body.op not in asc_ops)]
             else:
                 keys = [key_col(a.value) for a in args]
+            # stable sort (doc mode = Rust Vec::sort_by, r8 fuzz catch:
+            # mass ties from a patch stage made instability observable):
+            # ties keep their prior pipeline order — append the carried
+            # order as secondary keys; with no carried order yet the
+            # document order IS the scan order, captured as a
+            # partition-prefixed monotonic id (unique name per stage —
+            # a later sort must not clobber a column an earlier order
+            # list still references by name).
+            if order:
+                keys = keys + list(order)
+            else:
+                self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+                sid = f"__ord_s{self._sort_seq}"
+                df = df.withColumn(sid, F.monotonically_increasing_id())
+                keys = keys + [(F.col(sid), False)]
             self._order = keys
             return df.orderBy(*[c.desc() if d else c.asc() for c, d in keys])
         if name == "take":
@@ -988,9 +1025,8 @@ class JetroTables:
                 return None
             self._scalar = True
             from pyspark.sql.window import Window
+            df, order = self._rematerialize_order(df, order)
             w = Window.orderBy(*_order_by(order))
-            for i, (col, _desc) in enumerate(order):
-                df = df.withColumn(f"__ord{i}", col)
             vis = _vis_cols(df)
             extras = [F.col(f"__ord{i}") for i in range(len(order))]
             cur = (F.col(vis[0]) if len(vis) == 1
@@ -1105,7 +1141,20 @@ class JetroTables:
             # as one all-null row like first/last/nth (r7 soak catch)
             col, _ = key_col(args[0].value)
             o = col.asc() if name == "min_by" else col.desc()
-            return self._pad_single_null(df.orderBy(o).limit(1))
+            # extreme_by_apply takes strict improvements only
+            # (array.rs:341-371): ties keep the FIRST element in
+            # pipeline order. Append the carried order — or the scan
+            # order as a monotonic-id surrogate — as secondary sort
+            # keys (r8 soak catch: a patch stage collapsing values to
+            # a constant made the arbitrary tie-break observable).
+            if order:
+                sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
+                return self._pad_single_null(
+                    df.orderBy(o, *sec).limit(1))
+            df = df.withColumn("__ord_mb", F.monotonically_increasing_id())
+            return self._pad_single_null(
+                df.orderBy(o, F.col("__ord_mb").asc()).limit(1)
+                .drop("__ord_mb"))
         if name == "group_by":
             return R.group_collect(df, key_str_col(args[0].value))
         if name == "count_by":
@@ -1188,12 +1237,6 @@ class JetroTables:
                     return df.limit(0)
                 return None
             if name == "union":
-                if order is not None:
-                    # the appended table's DOCUMENT order (new elements
-                    # come after ours, in theirs) is not expressible
-                    # relationally → doc fallback keeps order fidelity
-                    return None
-                self._order = None
                 a3 = df.select(*vis).alias("__set_a")
                 o3 = other.select(*vis).alias("__set_o")
                 cond = None
@@ -1201,8 +1244,52 @@ class JetroTables:
                     eq2 = (F.col(f"__set_a.{v2}")
                            .eqNullSafe(F.col(f"__set_o.{v2}")))
                     cond = eq2 if cond is None else (cond & eq2)
-                newbies = o3.join(a3, cond, "left_anti")
-                return df.select(*vis).unionByName(newbies)
+                if order is None:
+                    self._order = None
+                    newbies = o3.join(a3, cond, "left_anti")
+                    return df.select(*vis).unionByName(newbies)
+                # ordered (r8; was a doc fallback): receiver rows keep
+                # their pipeline order and come first; appended rows
+                # (other-side values absent from the receiver, dups and
+                # all — union_apply never extends a_keys,
+                # collection.rs:611-626) follow in the other table's own
+                # order, tagged with a monotonic id (partition-prefixed,
+                # so it reproduces the scan order the doc path collects
+                # in). Sort spec = (priority, receiver keys, append id);
+                # the cross-group nulls in each key are tie-constant
+                # within their group. Hidden names carry a per-stage
+                # unique prefix: Column refs resolve by NAME at action
+                # time, so a second union overwriting `__ordu0` would
+                # corrupt an order list still pointing at it.
+                self._setop_seq = getattr(self, "_setop_seq", 0) + 1
+                p2 = f"__ordu{self._setop_seq}_"
+                recv = df
+                for i2, (c3, _d3) in enumerate(order):
+                    recv = recv.withColumn(f"{p2}k{i2}", c3)
+                o_tag = (other.select(*vis)
+                         .withColumn(f"{p2}id",
+                                     F.monotonically_increasing_id())
+                         .alias("__set_o"))
+                newbies = o_tag.join(a3, cond, "left_anti")
+                ord_ts = [recv.schema[f"{p2}k{i2}"].dataType
+                          for i2 in range(len(order))]
+                recv2 = recv.select(
+                    *vis,
+                    *[F.col(f"{p2}k{i2}") for i2 in range(len(order))],
+                    F.lit(None).cast("long").alias(f"{p2}id"),
+                    F.lit(0).alias(f"{p2}pri"))
+                newb2 = newbies.select(
+                    *vis,
+                    *[F.lit(None).cast(t2).alias(f"{p2}k{i2}")
+                      for i2, t2 in enumerate(ord_ts)],
+                    F.col(f"{p2}id"),
+                    F.lit(1).alias(f"{p2}pri"))
+                self._order = (
+                    [(F.col(f"{p2}pri"), False)] +
+                    [(F.col(f"{p2}k{i2}"), d3)
+                     for i2, (_c3, d3) in enumerate(order)] +
+                    [(F.col(f"{p2}id"), False)])
+                return recv2.unionByName(newb2)
             a2, o2 = df.alias("__set_a"), other.select(*vis).alias("__set_o")
             cond = None
             for v2 in vis:

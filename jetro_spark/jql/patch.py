@@ -50,8 +50,20 @@ def compile_patch(comp, n: A.Patch, env):
     """Entry point: comp is the Compiler instance."""
     target = comp.compile(n.target, env)
     if target.row:
-        raise PatchError("patch requires a document value (relational rows "
-                         "are patched via withColumn at the table level)")
+        # relational row target (`map(patch @ {...})` in a table
+        # pipeline — r8): materialize the row as a struct column and
+        # patch that; the struct-typed result explodes back to columns
+        # in _select_body. Hidden __ord order-carry columns are not part
+        # of the element value and stay out of the patched document.
+        if not isinstance(target.dtype, T.StructType):
+            raise PatchError(
+                "patch requires a document value (relational rows "
+                "are patched via withColumn at the table level)")
+        fields = [f for f in target.dtype.fields
+                  if not f.name.startswith("__ord")]
+        target = TC(F.struct(*[F.col(f.name).alias(f.name)
+                               for f in fields]),
+                    T.StructType(fields))
     orig = target
     col, dt = target.col, target.dtype
     for cl in n.clauses:

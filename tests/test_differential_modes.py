@@ -50,8 +50,17 @@ _MID = st.sampled_from([
     ".take_while(x => x.k < 11)", ".drop_while(x => x.k < 5)",
     ".enumerate().map(value)",
     # array-set stages against a second table (r7 rewrite: null-safe
-    # anti/semi joins + first-seen dedup; ordered union doc-falls-back)
+    # anti/semi joins + first-seen dedup; r8: ordered union lowers too —
+    # receiver-first tagged union, no doc fallback)
     ".diff($.u)", ".intersect($.u)", ".union($.u)",
+    # r8: lambda-param map (caught the _select_carry env clobber — the
+    # bound param compiled to missing-field null under a live sort) and
+    # patch stages (now lowered relationally via row-struct materialize)
+    ".map(x => {k: x.k, v: x.v})",
+    ".map(patch @ {v: @ * 2.0})",
+    ".map(patch @ {g: DELETE})",
+    ".map(patch @ {v: 0.0 when @.v > 40.0})",
+    ".map(patch @ {w: 7.5})",
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",
@@ -69,6 +78,11 @@ _SCALAR_MID = st.sampled_from([
     ".map(v).compact()",
     # scalar dedup + value-removal (keep-first-seen order semantics)
     ".map(g).unique()", ".map(v).remove(74.0)",
+    # r8: expression-level deep search in the relational projection
+    # (plan-time schema walk over a constructed object)
+    ".map(x => let d = {a: {t: x.v}, b: {t: 1.0}} in d..t.sum())",
+    ".map(x => let d = {a: {t: x.v}, b: {u: 2}} in d..find(@.t != null)"
+    ".len())",
 ])
 
 # keyed-reducer sinks: doc mode returns an ordered object / winner row,

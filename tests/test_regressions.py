@@ -434,3 +434,113 @@ def test_canonical_object_keys_and_union_widening(spark):
     out = T.query("$.s.sort(k).union($.u).map(v).pairwise().first()")
     cells = out.collect()
     assert len(cells) == 1 and cells[0][0] == [0.0, 1.0]
+
+
+def test_ordered_union_lowers_relationally(spark):
+    """Round-8: an ordered pipeline ending in `.union(table)` used to
+    collapse to the single-task doc fallback (refused outright above
+    the size ceiling). It now lowers: receiver rows first in pipeline
+    order, appended rows after in the other table's own order —
+    union_apply's exact sequence (collection.rs:611-626), including
+    other-side duplicates (a_keys never grows)."""
+    import warnings
+
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "g": f"g{i % 3}"} for i in range(6)]
+    # w has a dup value absent from s — appended TWICE, after s's rows
+    extra = [{"k": 9, "g": "gx"}, {"k": 9, "g": "gx"}, {"k": 1, "g": "g1"}]
+    jt = Jetro.from_value(spark, {"s": rows, "u": extra})
+    t = spark.createDataFrame([(r["k"], r["g"]) for r in rows],
+                              "k long, g string")
+    t2 = spark.createDataFrame([(r["k"], r["g"]) for r in extra],
+                               "k long, g string")
+    tables = JetroTables(spark, {"s": t, "u": t2})
+
+    def rel(e):
+        with warnings.catch_warnings(record=True) as wl:
+            warnings.simplefilter("always")
+            df = tables.query(e)
+            out = [tuple(r[c] for c in df.columns
+                         if not c.startswith("__ord"))
+                   for r in df.collect()]
+        assert not any("fallback" in str(w.message) for w in wl), \
+            f"{e!r} doc-fell-back"
+        return out
+
+    # ORDER-exact equivalence with doc mode, fallback-free
+    for e in ["$.s.sort(-k).union($.u)",
+              "$.s.sort(k).take(2).union($.u)",
+              "$.s.sort(k).union($.u).union($.u)"]:
+        doc = jt.collect(e)
+        assert rel(e) == [(d["k"], d["g"]) for d in doc], e
+    # position sinks see the combined order: appended dups come last
+    assert rel("$.s.sort(-k).union($.u).last()") == [(9, "gx")]
+    assert rel("$.s.sort(-k).union($.u).nth(6)") == [(9, "gx")]
+    assert rel("$.s.sort(-k).union($.u).count()") == [(8,)]
+    assert jt.collect("$.s.sort(-k).union($.u).count()") == 8
+
+
+def test_relational_sort_is_stable(spark):
+    """Round-8 fuzz catch (patch-stage vocab): doc mode's sort is a
+    STABLE sort (Rust Vec::sort_by), so ties keep their prior pipeline
+    order — but the relational orderBy broke ties arbitrarily. A patch
+    stage collapsing half the values to 0.0 made the instability
+    observable through order-sensitive sinks. The lowering now appends
+    the carried order (or the scan order, as a partition-prefixed
+    monotonic id on the first sort) as secondary sort keys."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 100), "g": f"g{i % 3}"}
+            for i in range(24)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t})
+    exprs = [
+        # second sort with mass ties (the falsifying shape)
+        "$.s.sort(k).map(patch @ {v: 0.0 when @.v > 40.0})"
+        ".sort(x => -x.v).last()",
+        # first sort already tied -> ties keep SCAN order
+        "$.s.sort(g).first(7)",
+        "$.s.sort(g).nth(10)",
+        "$.s.sort(g).map(patch @ {v: 1.0 when @.v > 0.0}).sort(v).take(9)",
+    ]
+    for e in exprs:
+        doc = jt.collect(e)
+        got = [{c: r[c] for c in d.columns if not c.startswith("__ord")}
+               for d in [tables.query(e)] for r in d.collect()]
+        want = doc if isinstance(doc, list) else [doc]
+        assert got == want, e
+
+
+def test_min_by_max_by_tie_breaks_in_pipeline_order(spark):
+    """Round-8 soak catch: extreme_by_apply (array.rs:341-371) takes
+    strict improvements only, so TIES keep the first element in
+    document order — but the relational lowering ordered by the key
+    alone and let Spark break ties arbitrarily. A patch stage
+    collapsing half the values to 0.0 falsified it. Ties now break on
+    the carried pipeline order (or the scan-order surrogate)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 100), "g": f"g{i % 3}"}
+            for i in range(24)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t})
+    exprs = [
+        # the falsifying shape: two sorts, then mass ties from a patch
+        "$.s.sort(k).sort(-v).map(patch @ {v: 0.0 when @.v > 40.0})"
+        ".min_by(v)",
+        "$.s.sort(-k).map(patch @ {v: 1.0 when @.v > 10.0}).max_by(v)",
+        # no prior sort: ties keep SCAN order
+        "$.s.map(patch @ {v: 0.0 when @.v > 40.0}).min_by(v)",
+        "$.s.min_by(g)",
+        "$.s.max_by(g)",
+    ]
+    for e in exprs:
+        doc = jt.collect(e)
+        got = [{c: r[c] for c in d.columns if not c.startswith("__ord")}
+               for d in [tables.query(e)] for r in d.collect()]
+        assert got == [doc], e
