@@ -14,8 +14,12 @@ import bench
 
 def _fake(n):
     names = bench.HEADLINE + [f"bl_q{i}" for i in range(1, 14)]
-    names = (names * (n // len(names) + 1))[:n]
-    names = [f"{nm}_{i}" for i, nm in enumerate(names)]
+    if n <= len(names):
+        # the REAL emit population: actual query names, actual lengths
+        names = names[:n]
+    else:
+        names = (names * (n // len(names) + 1))[:n]
+        names = [f"{nm}_{i}" for i, nm in enumerate(names)]
     timings = {nm: round(0.1 + i * 0.001, 4) for i, nm in enumerate(names)}
     disp = {nm: {"min": 0.1, "median": 0.12, "max": 0.19, "spread_pct": 88.7}
             for nm in names}
@@ -23,6 +27,8 @@ def _fake(n):
 
 
 def test_compact_line_bounded_and_parseable(tmp_path):
+    # exactly the real population: every headline query + the 13 bl_q
+    # doc rows — at THIS scale the spread map must survive intact
     timings, disp = _fake(len(bench.HEADLINE) + 13)
     line = bench.emit(timings, disp, 0.1, 12.34,
                       detail_path=str(tmp_path / "d.json"))
