@@ -1522,3 +1522,81 @@ ORACLES["hash_embed"] = f"""
                  8) AS v
     FROM cells c JOIN norms n USING (doc_id)
 """
+
+
+# --- r8 corpus-prep composition: span dedup -> LM filter -> split ------------
+
+
+def q_pipeline_prep2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 additions composed end-to-end under one plan: repeated-
+    span removal → length gate → self-trained bigram-LM quality filter
+    over the DEDUPED text → deterministic train/val split. Like
+    pipeline_demo, the oracle replays the whole chain as CTEs (the
+    dedup_spans WITH block reused verbatim + the integer-micro LM mean
+    + the md5 split CASE) — proving the r8 operators COMPOSE."""
+    from jetro_spark.llm.dedup import dedup_spans_global
+    from jetro_spark.llm.ranking import ngram_lm_score
+    from jetro_spark.llm.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    dd = dedup_spans_global(d, n=8).filter(F.col("n_kept") >= 30)
+    lm = ngram_lm_score(
+        dd.select("doc_id", F.col("text_dedup").alias("text")), alpha=0.1)
+    j = dd.join(lm, "doc_id").filter(F.col("lm_score") > -3.4)
+    out = hash_split(j, "doc_id", {"train": 0.9, "val": 0.1}, seed=11)
+    return out.select("doc_id", "n_kept", "lm_score", "split")
+
+
+QUERIES["pipeline_prep2"] = q_pipeline_prep2
+
+_SPANS_CTES = ORACLES["dedup_spans"].rsplit("SELECT t.doc_id", 1)[0]
+_TOKS_DD = _TOKS.replace("trim(text)", "trim(text_dedup)")
+_P2_FRAC = _frac_of("doc_id::VARCHAR", 11)
+
+ORACLES["pipeline_prep2"] = _SPANS_CTES + f"""
+    , dd AS (
+      SELECT t.doc_id,
+             coalesce(r.text_dedup, '') AS text_dedup,
+             CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept
+      FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+      WHERE coalesce(r.n_kept, 0) >= 30
+    ), t2 AS (
+      SELECT doc_id, {_TOKS_DD} AS t FROM dd
+    ), occ2 AS (
+      SELECT doc_id, split_part(p, ' ', 1) AS w1,
+             split_part(p, ' ', 2) AS w2
+      FROM (SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, greatest(len(t) - 1, 0))])
+                   AS p
+            FROM t2)
+    ), uni2 AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM t2) GROUP BY w
+    ), bic2 AS (
+      SELECT w1, w2, count(*) AS c12 FROM occ2 GROUP BY w1, w2
+    ), v2 AS (
+      SELECT count(*) AS v FROM uni2
+    ), sums2 AS (
+      SELECT doc_id,
+             CAST(sum(round(ln(
+                 (coalesce(c12, 0) + 0.1::DOUBLE)
+                 / (coalesce(c1, 0) + 0.1::DOUBLE * v)), 6)::DECIMAL(28,10))
+               * 1000000 AS BIGINT) AS s6,
+             count(*) AS c
+      FROM occ2
+      LEFT JOIN bic2 USING (w1, w2)
+      LEFT JOIN uni2 ON uni2.w = occ2.w1, v2
+      GROUP BY doc_id
+    ), scored2 AS (
+      SELECT doc_id,
+             (((2 * abs(s6) + c) // (2 * c))
+              * (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)) / 1000000.0
+               AS lm_score
+      FROM sums2
+    )
+    SELECT dd.doc_id, dd.n_kept, s.lm_score,
+           CASE WHEN {_P2_FRAC} < 0.9 THEN 'train' ELSE 'val' END AS split
+    FROM dd JOIN scored2 s USING (doc_id)
+    WHERE s.lm_score > -3.4
+"""
