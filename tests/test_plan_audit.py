@@ -50,7 +50,10 @@ _ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
                 # nested loop — the canonical scalar attach (build side
                 # is an Aggregate, never input data; asserted below in
                 # test_scalar_attach_builds_are_aggregates)
-                "bm25_topk", "pmi_colloc", "ngram_lm"}
+                "bm25_topk", "pmi_colloc", "ngram_lm",
+                # pipeline_prep2 composes ngram_lm and inherits its
+                # 1-row |V| attach
+                "pipeline_prep2"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}
@@ -98,7 +101,7 @@ def test_scalar_attach_builds_are_aggregates(plans):
     nested loops — a regression that nested-loops actual DATA would
     inflate the count or drop the global aggregate."""
     for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1),
-                        ("ngram_lm", 1)):
+                        ("ngram_lm", 1), ("pipeline_prep2", 1)):
         p = plans[name]
         assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
         assert p.count("BroadcastNestedLoopJoin") <= n_max, name
