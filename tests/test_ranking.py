@@ -274,3 +274,29 @@ def test_hashed_embedding_empty_text_zero_vector(spark):
             for r in hashed_embedding(d, dim=16).collect()}
     assert rows[0] == [0.0] * 16
     assert any(x != 0.0 for x in rows[1])
+
+
+def test_hashed_embedding_composes_with_semantic_dedup(spark):
+    """Model-free text SemDeDup: hashed_embedding feeds semantic_dedup
+    directly, so near-duplicate TEXT drops with no learned embedder
+    anywhere — the composition the embedding exists for."""
+    from jetro_spark.llm.dedup import semantic_dedup
+    from jetro_spark.llm.similarity import hashed_embedding, seed_centroids
+
+    base = "spark shuffles data across the cluster nodes every stage"
+    # ids 0/1 seed the two k-means cells (seed_centroids takes lowest
+    # ids), so the near-dup PAIR (2, 3) lands together in one cell —
+    # SemDeDup only compares within a cell
+    d = _docs(spark, [
+        "bananas oranges apples pears grapes melons fruit bowl salad",
+        "compilers lower typed expressions into machine code today",
+        base,
+        base + " now",                                  # near-dup of 2
+    ])
+    emb = hashed_embedding(d, dim=64)
+    cents = seed_centroids(emb, 2, id_col="doc_id", vec_col="embedding")
+    kept = semantic_dedup(emb, cents, id_col="doc_id",
+                          vec_col="embedding", threshold=0.9)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert len({2, 3} & ids) == 1      # one of the near-dup pair dropped
+    assert {0, 1} <= ids               # distinct texts survive
