@@ -394,6 +394,42 @@ _WINDOW_STAGES = {"lag", "lead", "rolling_sum", "rolling_avg", "rolling_min",
                   "rolling_max", "cummax", "cummin", "cum_max", "cum_min",
                   "diff_window", "pct_change", "zscore"}
 
+# Stages whose semantics are defined by the pipeline's SEQUENCE order.
+# With no .sort(...) upstream they historically collapsed to the doc
+# fallback; since r8 they lower off the scan-order surrogate whenever
+# the physical row order still IS the document order (see _scan_ok).
+_ORDER_HUNGRY = _WINDOW_STAGES | {
+    "last", "nth", "enumerate", "chunk", "pairwise", "reverse",
+    "take_while", "drop_while", "takewhile", "dropwhile", "accumulate",
+    "window", "unique", "distinct", "unique_by",
+    # set ops keep the RECEIVER's document order (and ordered union
+    # appends the other table's own order) — route unsorted pipelines
+    # through the order-restoring branches so the output sequence stays
+    # doc-faithful (r8 2500-soak catch: diff's left_anti shuffle order
+    # leaked into a downstream accumulate)
+    "diff", "intersect", "union"}
+
+# Stages after which the PHYSICAL row order still equals the document
+# order when no explicit order is carried: narrow transformations
+# (filter/projection/generate/limit — no exchange, partition order
+# kept) and single-row/scalar sinks (any order of one row is every
+# order). A stage outside this set that completes with no carried
+# order invalidates the scan-order surrogate for the rest of the
+# pipeline (its output row order is shuffle-arbitrary).
+_SCAN_KEEPERS = {
+    "filter", "map", "take", "drop", "skip", "first", "flat_map", "explode",
+    "compact", "flatten", "remove", "find", "min_by", "max_by",
+    "count", "len", "sum", "avg", "min", "max", "any", "all", "exists",
+    "approx_count_distinct", "to_json", "to_csv", "to_tsv", "join",
+    "includes", "index_of", "indices_of", "partition"}
+
+
+def _keeps_scan_order(step) -> bool:
+    if isinstance(step, (A.InlineFilter, A.MapShape, A.Index, A.Slice,
+                         A.Quantifier)):
+        return True
+    return isinstance(step, A.Method) and step.name in _SCAN_KEEPERS
+
 
 class JetroDocs:
     """Multi-document engine — the reference's ``JetroEngine`` (explicit
@@ -483,6 +519,11 @@ class JetroTables:
         # a .sort(...) stage and threaded through order-preserving stages
         # so positional analytics (lag/rolling/... §2.6) can window on it
         self._order: list | None = None
+        # True while the current pipeline's PHYSICAL row order still is
+        # its document order (root scan + order-preserving stages) — the
+        # precondition for the scan-order surrogate _maybe_scan_order
+        # hands to order-dependent stages on unsorted pipelines
+        self._scan_ok: bool = True
         # True when the pipeline's element is a bare scalar (after
         # `map(v)`), False for object rows — a single-column DataFrame is
         # ambiguous (`map({v: v})` also has one column), so the engine
@@ -710,6 +751,7 @@ class JetroTables:
     def _pipeline(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
         saved, self._order = self._order, None
         saved_sc, self._scalar = self._scalar, False
+        saved_scan, self._scan_ok = self._scan_ok, True
         try:
             i = 0
             while i < len(steps):
@@ -718,11 +760,17 @@ class JetroTables:
                 out = self._stage(df, step)
                 if out is None:
                     return self._doc_fallback(df, steps[i:], pre_order)
+                if self._order is None and not _keeps_scan_order(step):
+                    # a reordering stage ran with no carried order: the
+                    # physical order is now shuffle-arbitrary, so the
+                    # scan-order surrogate is off the table downstream
+                    self._scan_ok = False
                 df = out
                 i += 1
         finally:
             self._order = saved
             self._scalar = saved_sc
+            self._scan_ok = saved_scan
         hidden = [c for c in df.columns if c.startswith("__ord")]
         return df.drop(*hidden) if hidden else df
 
@@ -746,7 +794,10 @@ class JetroTables:
             if i >= 0:
                 self._order = order
                 return df.offset(i).limit(1)
-            if order is not None:  # [-n]: inverted-sort offset, like nth
+            # [-n]: inverted-sort offset, like nth (scan-order surrogate
+            # when unsorted, r8)
+            df, order = self._maybe_scan_order(df, order)
+            if order is not None:
                 inv = df.orderBy(*[c2.asc() if d else c2.desc()
                                    for c2, d in order])
                 self._order = order
@@ -767,6 +818,21 @@ class JetroTables:
         if not isinstance(step, A.Method):
             return None
         return self._method_stage(df, step, env, order)
+
+    def _maybe_scan_order(self, df: DataFrame, order: list | None):
+        """Hand an order-dependent stage the SCAN-ORDER surrogate when
+        no order is carried but the physical row order still is the
+        document order (r8): a partition-prefixed monotonic id sorts to
+        exactly the sequence the doc fallback would have collected in —
+        so `$.t.take_while(...)`, `.reverse()`, `.pairwise()` etc. on an
+        unsorted table lower instead of collapsing to one task. Unique
+        hidden name per use (Column refs resolve by name)."""
+        if order is not None or not self._scan_ok:
+            return df, order
+        self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+        sid = f"__ord_sc{self._sort_seq}"
+        return (df.withColumn(sid, F.monotonically_increasing_id()),
+                [(F.col(sid), False)])
 
     def _rematerialize_order(self, df: DataFrame, order: list):
         """Materialize the order keys into the hidden ``__ord{i}`` slots
@@ -817,6 +883,8 @@ class JetroTables:
                       order: list | None = None) -> DataFrame | None:
         name, args = step.name, step.args
         c = self.c
+        if name in _ORDER_HUNGRY:
+            df, order = self._maybe_scan_order(df, order)
 
         def elem_tc() -> TC:
             # what a lambda param binds to: the row struct for object
@@ -1085,7 +1153,14 @@ class JetroTables:
             self._scalar = True
             return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
-            return self._first_seen_dedup(df, order)
+            out = self._first_seen_dedup(df, order)
+            # the dedup restored the pipeline order physically — keep it
+            # carried so downstream position stages stay faithful (with
+            # the r8 surrogate this also fixes `$.t.unique().first()` on
+            # unsorted tables: distinct()'s shuffle order is arbitrary,
+            # first-seen order is not)
+            self._order = order
+            return out
         if name == "unique_by":
             col, _ = key_col(args[0].value)
             out = R.unique_by(df, col)
@@ -1107,13 +1182,24 @@ class JetroTables:
             return df.agg(F.count(F.lit(1)).alias("value"))
         if name in ("sum", "avg", "min", "max"):
             from jetro_spark.jql.compiler import _skips_numeric_fold
+            was_scalar = self._scalar
             self._scalar = True
             if args:
                 vt = c.compile(args[0].value, env)
                 col, cdt = vt.col, vt.dtype
             else:
-                col = F.col(df.columns[0])
-                cdt = df.schema[df.columns[0]].dataType
+                vis = _vis_cols(df)
+                if not was_scalar:
+                    # no-arg reducer over OBJECT rows: the element is a
+                    # document, which num_fold SKIPS — sum [] = 0.0,
+                    # min/max/avg Null (r8 unsorted fuzz catch: the old
+                    # code summed whatever column happened to be first)
+                    base = F.first(F.lit(None).cast("double"))
+                    agg = (F.coalesce(base, F.lit(0.0))
+                           if name == "sum" else base)
+                    return df.limit(0).agg(agg.alias("value"))
+                col = F.col(vis[0])
+                cdt = df.schema[vis[0]].dataType
             if _skips_numeric_fold(cdt):
                 # the reference's numeric reducers observe NO element of
                 # this type (num_fold skips non-Int/Float) → sum 0,
@@ -1665,7 +1751,7 @@ class JetroTables:
                 .orderBy("__pri").limit(1).drop("__pri"))
 
     def _window_stage(self, df: DataFrame, name: str, args,
-                      order: list | None) -> DataFrame:
+                      order: list | None) -> DataFrame | None:
         """Positional analytics over the pipeline's sequence order (§2.6).
 
         Document mode treats the pipeline as one ordered array; a Spark
@@ -1681,9 +1767,11 @@ class JetroTables:
         from pyspark.sql.window import Window
 
         if order is None:
-            raise CompileError(
-                f"{name}: a relational pipeline has no intrinsic row "
-                "order; add a .sort(...) before positional analytics")
+            # unordered AND the scan-order surrogate is unavailable (a
+            # shuffle upstream made row order arbitrary): the doc
+            # fallback preserves semantics — raising here was a
+            # one-sided error vs doc mode (r8 unsorted-pipeline fuzz)
+            return None
         data = _vis_cols(df)
         if len(data) != 1:
             raise CompileError(
@@ -1861,7 +1949,16 @@ class JetroTables:
         # (r7 soak catch)
         if (isinstance(tc.dtype, T.ArrayType) and not is_objrepr(tc.dtype)
                 and not _element_sink(steps[-1] if steps else None)):
-            out = out.select(F.explode_outer("value").alias(name))
+            # a NULL result stays one null row (the scalar-Null
+            # representation), but an EMPTY list must explode to ZERO
+            # rows — explode_outer conflated the two, minting a phantom
+            # null element from an empty pipeline (r8 unsorted-soak
+            # catch: a mass-filtered frame reaching a fallback stage)
+            arr2 = F.when(F.col("value").isNull(),
+                          F.array(F.lit(None)
+                                  .cast(tc.dtype.elementType))) \
+                .otherwise(F.col("value"))
+            out = out.select(F.explode(arr2).alias(name))
             if isinstance(tc.dtype.elementType, T.StructType):
                 out = out.select(f"{name}.*")
         return out

@@ -222,3 +222,43 @@ def test_keyed_reducers_agree(spark, mids, sink):
         assert doc_cmp == _norm(rel_out), expr
     else:  # unique_by: same element multiset (first-wins keeps by g)
         assert _norm(doc_out) == _norm(rel_out), expr
+
+
+@settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_MID, max_size=3), st.lists(_SCALAR_MID, max_size=1),
+       _SINK)
+def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
+    """r8 scan-order surrogate: pipelines with NO leading .sort(k) — the
+    document order is the SCAN order, which order-dependent stages
+    (reverse/take_while/pairwise/enumerate/window stages/unique...) now
+    lower from via a monotonic-id surrogate instead of collapsing to the
+    doc fallback. Both modes must still walk the same sequence; stages
+    that invalidate the scan order (joins, unordered set ops, keyed
+    groups) flip the surrogate off and fall back exactly as before."""
+    from jetro_spark.jql.compiler import CompileError
+
+    expr = "$.s" + "".join(mids) + "".join(scalars) + sink
+    jt = Jetro.from_value(spark, DOC)
+    doc_err = rel_err = False
+    doc_out = rel_out = None
+    try:
+        doc_out = jt.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        rel_out = _rel_result(
+            JetroTables(spark, {"s": _table(spark),
+                                "u": _table_u(spark)}).query(expr))
+    except CompileError:
+        rel_err = True
+    assert doc_err == rel_err, (
+        f"one-sided error for {expr!r}: doc_err={doc_err} rel_err={rel_err}")
+    if doc_err:
+        return
+    if sink in (".first()", ".last()", ".nth(2)", ".min()", ".max()",
+                ".sum()", ".count()", ".find_index(x => x > 40)",
+                ".includes(74.0)", ".index_of(74.0)", ".includes({q: 1})"):
+        doc_out = [doc_out]
+    assert _norm(doc_out) == _norm(rel_out), (
+        f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")

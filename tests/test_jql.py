@@ -246,13 +246,23 @@ def test_rel_equi_join(rel, tables):
 
 def test_rel_doc_fallback_warns(rel, tables):
     import warnings as W
+
+    # r8: unsorted reverse() LOWERS via the scan-order surrogate — no
+    # fallback warning, same reversed-scan-order result
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
         df = rel.query("$.nation.map(n_name).reverse()")
         rows = df.collect()
-    assert any("single-task" in str(w.message) for w in rec)
+    assert not any("single-task" in str(w.message) for w in rec)
     want = [r["n_name"] for r in tables["nation"].collect()]
     assert [r["n_name"] for r in rows] == list(reversed(want))
+    # a genuinely unlowerable stage (general accumulate fold) still
+    # takes the warned single-task path
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        rel.query("$.nation.map(n_nationkey)"
+                  ".accumulate((a, x) => a * x)").collect()
+    assert any("single-task" in str(w.message) for w in rec)
 
 
 # ------------------------------- multi-generator comprehensions (§2.5)

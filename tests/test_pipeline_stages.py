@@ -105,12 +105,21 @@ def test_fallback_allows_unknown_size_estimates(spark, seq_tables,
         assert len(out.collect()) == 7
 
 
-def test_unordered_last_still_falls_back(spark, seq_tables):
-    """Without a .sort the table has no order — last() keeps the honest
-    (warned) doc-fallback path rather than inventing a row order."""
+def test_unordered_last_lowers_via_scan_order(spark, seq_tables):
+    """r8: without a .sort, last() lowers off the scan-order surrogate
+    (the document order IS the scan order) — no fallback; after a stage
+    that breaks scan order (a join with no carried order) the honest
+    warned doc-fallback path remains."""
+    import warnings as W
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = JetroTables(spark, seq_tables).query("$.s.last()").collect()
+    assert not any("no relational lowering" in str(w.message) for w in rec)
+    assert len(out) == 1 and out[0]["k"] == 6   # the scan-last row
     with pytest.warns(UserWarning, match="no relational lowering"):
-        out = JetroTables(spark, seq_tables).query("$.s.last()")
-        assert len(out.collect()) == 1
+        JetroTables(spark, seq_tables).query(
+            "$.s.equi_join($.s, 'k', 'k').last()").collect()
 
 
 def test_doc_mode_equivalence(spark, seq_tables):

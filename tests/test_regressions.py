@@ -544,3 +544,53 @@ def test_min_by_max_by_tie_breaks_in_pipeline_order(spark):
         got = [{c: r[c] for c in d.columns if not c.startswith("__ord")}
                for d in [tables.query(e)] for r in d.collect()]
         assert got == [doc], e
+
+
+def test_unsorted_pipelines_scan_order_fidelity(spark):
+    """Round-8 scan-order surrogate catches (2500-example unsorted
+    soak): (a) set ops on an UNSORTED pipeline keep the receiver's
+    document order — diff's left_anti shuffle order used to leak into a
+    downstream accumulate; (b) an EMPTY frame reaching a doc-fallback
+    stage must produce zero rows, not the phantom null element
+    explode_outer minted from the empty collected array; (c) no-arg
+    numeric reducers over OBJECT rows num_fold-skip."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 100), "g": f"g{i % 3}"}
+            for i in range(12)]
+    extra = rows[:5] + [{"k": 99, "v": 7.5, "g": "g9"}]
+    jt = Jetro.from_value(spark, {"s": rows, "u": extra})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    u = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in extra],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "u": u})
+
+    def rel(e):
+        df = tables.query(e)
+        return [tuple(r[c] for c in df.columns
+                      if not c.startswith("__ord")) for r in df.collect()]
+
+    # (a) diff keeps receiver scan order: prefix sums are order-exact
+    e = "$.s.diff($.u).map(v).accumulate((a, x) => a + x)"
+    assert [r[0] for r in rel(e)] == jt.collect(e)
+    # unsorted union appends in the other table's own order
+    e2 = "$.s.take(3).union($.u).map(k)"
+    assert [r[0] for r in rel(e2)] == jt.collect(e2)
+    # (b) empty frame into a fallback stage -> zero rows
+    e3 = "$.s.drop_while(x => x.k < 5).intersect($.u).map(v).remove(74.0)"
+    assert jt.collect(e3) == []
+    assert rel(e3) == []
+    # (c) object-row reducers follow num_fold (sum [] = 0, min Null)
+    assert rel("$.s.sum()") == [(0.0,)] and jt.collect("$.s.sum()") == 0.0
+    assert rel("$.s.min()") == [(None,)]
+    # order-dependent stages straight off the unsorted table
+    for e4 in ["$.s.reverse().first()", "$.s.last()", "$.s.nth(-2)",
+               "$.s.map(v).unique().first()",
+               "$.s.take_while(x => x.k < 7).map(k)"]:
+        doc = jt.collect(e4)
+        got = rel(e4)
+        want = doc if isinstance(doc, list) else [doc]
+        flat = [r[0] if len(r) == 1 else dict(zip(["k", "v", "g"], r))
+                for r in got]
+        assert flat == want, e4
