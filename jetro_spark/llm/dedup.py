@@ -538,14 +538,19 @@ def dedup_spans_global(
 
     Scale shape (100 TB): the same three skew-safe shuffles as
     :func:`dedup_lines_global`, plus one per-doc coverage dedup —
-    1. owner election groups by (xxhash64(gram), gram): map-side
-       partials collapse hot grams (boilerplate) before the exchange;
-    2. occurrence join back per hash bucket, string equality
-       disambiguating inside the bucket (exact under collision), AQE
-       splitting residual hot buckets;
-    3. covered-index expansion is n rows per duplicated occurrence,
-       deduped by (doc, index) — proportional to the text actually
-       being removed, not the corpus;
+    1. grams are reduced to a 128-bit fingerprint (two independent
+       xxhash64 seeds) AT THE SCAN, so the n-token gram STRING never
+       rides an exchange — r8 shuffled the full text of every gram
+       (~n× corpus bytes through the election at n=20; r9 advice).
+       Collision safety is the same argument ``dedup_exact`` already
+       accepts for hash identity, squared: 2⁻¹²⁸-scale across any
+       realistic gram population;
+    2. owner election groups by the fingerprint: map-side partials
+       collapse hot grams (boilerplate) before the exchange;
+    3. occurrence join back per fingerprint (16-byte keys), AQE
+       splitting residual hot buckets; covered-index expansion is n
+       rows per duplicated occurrence, deduped by (doc, index) —
+       proportional to the text actually being removed, not the corpus;
     4. token anti-join + per-doc rebuild, both keyed by doc id.
     No all-pairs joins; Python never touches the data.
     """
@@ -559,17 +564,22 @@ def dedup_spans_global(
         ).otherwise(F.array().cast("array<string>")))
     grams = df.select(F.col(id_col),
                       F.posexplode(grams_arr).alias("__g_pos", "__g"))
-    keyed = grams.withColumn("__g_h", F.xxhash64("__g"))
-    owners = (keyed.groupBy("__g_h", "__g")
+    # project the gram text away before ANY exchange: 2×8 B fingerprint
+    # instead of the n-token string (xxhash64 with a literal prefix is
+    # an independently-seeded second hash)
+    keyed = grams.select(F.col(id_col), "__g_pos",
+                         F.xxhash64("__g").alias("__h1"),
+                         F.xxhash64(F.lit(0x9E3779B9), "__g").alias("__h2"))
+    owners = (keyed.groupBy("__h1", "__h2")
               .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                   F.col("__g_pos").alias("i"))).alias("__own"),
                    F.count(F.lit(1)).alias("__cnt"))
               .filter(F.col("__cnt") > 1)
-              .select(F.col("__g_h").alias("__own_h"),
-                      F.col("__g").alias("__own_g"), "__own"))
+              .select(F.col("__h1").alias("__own_h1"),
+                      F.col("__h2").alias("__own_h2"), "__own"))
     dup_occ = (keyed.join(owners,
-                          (F.col("__g_h") == F.col("__own_h"))
-                          & (F.col("__g") == F.col("__own_g")))
+                          (F.col("__h1") == F.col("__own_h1"))
+                          & (F.col("__h2") == F.col("__own_h2")))
                .filter(~((F.col(id_col) == F.col("__own.d"))
                          & (F.col("__g_pos") == F.col("__own.i")))))
     covered = (dup_occ
