@@ -4,9 +4,10 @@ Model (brief: "treat image/audio/video as opaque binary columns with
 typed metadata"): a row = {content: binary, meta: struct<mime, width,
 height, n_frames, duration_ms, sample_rate>}. The Spark-side plumbing —
 schemas, Arrow-batched mapInPandas, partition shape — is real and
-tested; the actual codec calls are STUBBED (this container ships no
-image/audio libraries): decode raises NotImplementedError unless
-`fake=True` selects the deterministic fake used by tests.
+tested. Codecs auto-wire when a public library is importable (PIL for
+images, soundfile or the stdlib ``wave`` module for audio); otherwise
+decode raises NotImplementedError unless `fake=True` selects the
+deterministic fake used by the oracle gate.
 
 At 100 TB: binary payloads stay columnar (parquet binary), metadata
 predicates push down (filter on meta.mime never touches content bytes),
@@ -92,6 +93,75 @@ def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
             pdf["meta"] = [
                 {**(m or {}), "width": w, "height": h}
                 for m, w, h in zip(meta, widths, heights)
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def _fake_audio_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic fake audio decode → (sample_rate, n_frames,
+    duration_ms), hash-derived like :func:`_fake_decode`."""
+    h = hashlib.sha256(content or b"").digest()
+    rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n_frames = 1000 + int.from_bytes(h[1:4], "big") % 100_000
+    return rate, n_frames, n_frames * 1000 // rate
+
+
+def decode_audio(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Fill meta.sample_rate/n_frames/duration_ms by decoding content.
+    Arrow-batched mapInPandas; output schema = input schema (meta
+    updated in place) — the audio twin of :func:`decode_images`.
+
+    Real codec auto-wiring (r9, mirroring the r8 PIL pattern):
+    ``soundfile`` (libsndfile — any format) when importable, else the
+    stdlib ``wave`` module for WAV/PCM bytes; the deterministic fake
+    stays the oracle-gate path so correctness rows never depend on an
+    optional dependency. Imports live INSIDE the task so executors
+    probe their own environment, not the driver's."""
+    schema = df.schema
+
+    def run(batches: Iterator) -> Iterator:
+        sf = None
+        if not fake:
+            try:
+                import soundfile as sf  # noqa: PLC0415
+            except ImportError:
+                sf = None
+        import io
+        import wave
+
+        def real_decode(raw: bytes) -> tuple[int, int, int]:
+            if sf is not None:
+                with sf.SoundFile(io.BytesIO(raw)) as snd:
+                    rate, nf = snd.samplerate, len(snd)
+                    return rate, nf, nf * 1000 // rate
+            try:
+                with wave.open(io.BytesIO(raw)) as w:
+                    rate, nf = w.getframerate(), w.getnframes()
+                    return rate, nf, nf * 1000 // rate
+            except wave.Error as exc:
+                raise NotImplementedError(
+                    "non-WAV audio decode needs soundfile (pip install "
+                    "soundfile) — not shipped in this container; pass "
+                    "fake=True for the deterministic test double") from exc
+
+        for pdf in batches:
+            rates, frames, durs = [], [], []
+            for content in pdf["content"]:
+                raw = bytes(content) if content is not None else b""
+                if fake:
+                    rate, nf, ms = _fake_audio_decode(raw)
+                else:
+                    rate, nf, ms = real_decode(raw)
+                rates.append(rate)
+                frames.append(nf)
+                durs.append(ms)
+            meta = pdf["meta"]
+            pdf["meta"] = [
+                {**(m or {}), "sample_rate": r, "n_frames": nf,
+                 "duration_ms": ms}
+                for m, r, nf, ms in zip(meta, rates, frames, durs)
             ]
             yield pdf
 
