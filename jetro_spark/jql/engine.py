@@ -757,6 +757,11 @@ class JetroTables:
             while i < len(steps):
                 step = steps[i]
                 pre_order = self._order
+                # terminal-stage hint: the relational contract owes no
+                # order on the FINAL result (multiset compare), so an
+                # order-preserving join can skip its receiver-order sort
+                # when nothing downstream will read it
+                self._is_last_stage = (i == len(steps) - 1)
                 out = self._stage(df, step)
                 if out is None:
                     return self._doc_fallback(df, steps[i:], pre_order)
@@ -983,10 +988,16 @@ class JetroTables:
             if order:
                 keys = keys + list(order)
             else:
-                self._sort_seq = getattr(self, "_sort_seq", 0) + 1
-                sid = f"__ord_s{self._sort_seq}"
-                df = df.withColumn(sid, F.monotonically_increasing_id())
-                keys = keys + [(F.col(sid), False)]
+                # the tie-break surrogate is only valid while physical
+                # row order still IS the document order — after an
+                # order-destroying stage (equi_join, keyed group) a
+                # monotonic id numbers shuffle-arbitrary rows and ties
+                # diverge from doc mode's deterministic pipeline order
+                # (r9 advice catch) → warned doc fallback instead
+                df, scan = self._maybe_scan_order(df, None)
+                if scan is None:
+                    return None
+                keys = keys + list(scan)
             self._order = keys
             return df.orderBy(*[c.desc() if d else c.asc() for c, d in keys])
         if name == "take":
@@ -1233,14 +1244,17 @@ class JetroTables:
             # order as a monotonic-id surrogate — as secondary sort
             # keys (r8 soak catch: a patch stage collapsing values to
             # a constant made the arbitrary tie-break observable).
-            if order:
-                sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
-                return self._pad_single_null(
-                    df.orderBy(o, *sec).limit(1))
-            df = df.withColumn("__ord_mb", F.monotonically_increasing_id())
-            return self._pad_single_null(
-                df.orderBy(o, F.col("__ord_mb").asc()).limit(1)
-                .drop("__ord_mb"))
+            if not order:
+                # same _scan_ok gate as the _ORDER_HUNGRY stages: after
+                # an order-destroying stage the monotonic-id surrogate
+                # numbers shuffle-arbitrary rows, so a tie here would
+                # diverge from doc mode's first-in-pipeline-order winner
+                # (r9 advice catch) → warned doc fallback
+                df, order = self._maybe_scan_order(df, None)
+                if order is None:
+                    return None
+            sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
+            return self._pad_single_null(df.orderBy(o, *sec).limit(1))
         if name == "group_by":
             return R.group_collect(df, key_str_col(args[0].value))
         if name == "count_by":
@@ -1251,13 +1265,23 @@ class JetroTables:
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
+            # equi_join_apply walks the RECEIVER in order (array.rs:
+            # 489-548) and each receiver row yields ≤1 output row, so
+            # the receiver's order IS the output's document order. When
+            # no order is carried, mint the scan-order surrogate (r9) —
+            # previously the join went out unordered, _scan_ok flipped
+            # off, and every order-dependent downstream stage (or a
+            # min_by tie) doc-fell-back or silently diverged. Skip the
+            # sort when the join is the pipeline's LAST stage: the
+            # relational contract owes no final-result order.
+            if order is None and not getattr(self, "_is_last_stage", False):
+                df, order = self._maybe_scan_order(df, order)
             out = R.equi_join(df, other, _lit_str(args[1].value),
                               _lit_str(args[2].value))
             if order is None:
                 return out
-            # equi_join_apply walks the RECEIVER in order (array.rs:
-            # 489-548) — restore the pipeline order the join shuffle
-            # destroyed so position sinks downstream stay faithful
+            # restore the pipeline order the join shuffle destroyed so
+            # position sinks downstream stay faithful
             self._order = order
             return out.orderBy(*_order_by(order))
         if name == "explode":

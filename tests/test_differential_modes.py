@@ -57,6 +57,13 @@ _MID = st.sampled_from([
     # bound param compiled to missing-field null under a live sort) and
     # patch stages (now lowered relationally via row-struct materialize)
     ".map(x => {k: x.k, v: x.v})",
+    # r9: order-DESTROYING mid-stage (advice catch — min_by/max_by and
+    # the stable-sort tie-break minted scan-order surrogates after a
+    # join, numbering shuffle-arbitrary rows; equi_join now carries the
+    # receiver's order through the join instead). Same columns both
+    # sides, right-wins merge; combined with the tie-making patch
+    # stages below this makes post-join tie-breaks observable.
+    '.equi_join($.u, "k", "k")',
     ".map(patch @ {v: @ * 2.0})",
     ".map(patch @ {g: DELETE})",
     ".map(patch @ {v: 0.0 when @.v > 40.0})",

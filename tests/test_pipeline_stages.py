@@ -107,9 +107,11 @@ def test_fallback_allows_unknown_size_estimates(spark, seq_tables,
 
 def test_unordered_last_lowers_via_scan_order(spark, seq_tables):
     """r8: without a .sort, last() lowers off the scan-order surrogate
-    (the document order IS the scan order) — no fallback; after a stage
-    that breaks scan order (a join with no carried order) the honest
-    warned doc-fallback path remains."""
+    (the document order IS the scan order) — no fallback. r9: equi_join
+    now CARRIES the receiver's scan order through the join (each
+    receiver row yields ≤1 output row, array.rs:489-548), so a
+    downstream last() also lowers relationally AND returns the
+    doc-order last row, not a shuffle-arbitrary one."""
     import warnings as W
 
     with W.catch_warnings(record=True) as rec:
@@ -117,9 +119,12 @@ def test_unordered_last_lowers_via_scan_order(spark, seq_tables):
         out = JetroTables(spark, seq_tables).query("$.s.last()").collect()
     assert not any("no relational lowering" in str(w.message) for w in rec)
     assert len(out) == 1 and out[0]["k"] == 6   # the scan-last row
-    with pytest.warns(UserWarning, match="no relational lowering"):
-        JetroTables(spark, seq_tables).query(
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = JetroTables(spark, seq_tables).query(
             "$.s.equi_join($.s, 'k', 'k').last()").collect()
+    assert not any("no relational lowering" in str(w.message) for w in rec)
+    assert len(out) == 1 and out[0]["k"] == 6   # receiver-order last
 
 
 def test_doc_mode_equivalence(spark, seq_tables):

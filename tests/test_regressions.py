@@ -594,3 +594,50 @@ def test_unsorted_pipelines_scan_order_fidelity(spark):
         flat = [r[0] if len(r) == 1 else dict(zip(["k", "v", "g"], r))
                 for r in got]
         assert flat == want, e4
+
+
+def test_post_join_ties_and_order_follow_doc_mode(spark):
+    """Round-9 advice catch: min_by/max_by (and the stable-sort
+    tie-break) minted a monotonically_increasing_id surrogate
+    UNCONDITIONALLY, bypassing the _scan_ok gate — after an
+    order-destroying stage the id numbers shuffle-arbitrary rows, so
+    ties diverged from doc mode's deterministic pipeline order. Fixed
+    two ways: equi_join now CARRIES the receiver's scan order through
+    the join (each receiver row yields ≤1 output row), and the
+    tie-break surrogates route through _maybe_scan_order so an
+    order-broken pipeline falls back honestly instead of guessing."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 100), "g": f"g{i % 3}"}
+            for i in range(24)]
+    dim = [{"g": f"g{i}", "w": float(i)} for i in range(3)]
+    jt = Jetro.from_value(spark, {"s": rows, "d": dim})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    d = spark.createDataFrame([(r["g"], r["w"]) for r in dim],
+                              "g string, w double")
+    tables = JetroTables(spark, {"s": t, "d": d})
+
+    exprs = [
+        # the advice's falsifying shape: post-join mass ties (every row
+        # of a group carries the same w) — the winner must be the
+        # FIRST receiver row in document order, in both modes
+        '$.s.equi_join($.d, "g", "g").min_by(w)',
+        '$.s.equi_join($.d, "g", "g").max_by(w)',
+        # patch-collapsed ties after the join
+        '$.s.equi_join($.d, "g", "g").map(patch @ {v: 0.0 when @.v > 30.0})'
+        '.min_by(v)',
+        # stable sort after the join: ties keep receiver order
+        '$.s.equi_join($.d, "g", "g").sort(w).map(k)',
+        # positional stages read the carried receiver order
+        '$.s.equi_join($.d, "g", "g").take_while(x => x.k < 9).map(k)',
+        '$.s.equi_join($.d, "g", "g").reverse().first()',
+    ]
+    for e in exprs:
+        doc = jt.collect(e)
+        df = tables.query(e)
+        got = [{c: r[c] for c in df.columns if not c.startswith("__ord")}
+               for r in df.collect()]
+        flat = [r if len(r) > 1 else next(iter(r.values())) for r in got]
+        want = doc if isinstance(doc, list) else [doc]
+        assert flat == want, e
