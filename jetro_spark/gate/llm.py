@@ -331,27 +331,40 @@ ORACLES = {
                count(DISTINCT {_NORM}) AS n_norm
         FROM (SELECT DISTINCT ON ({_NORM}) text FROM documents ORDER BY {_NORM}, doc_id)
     """,
-    # the length-ratio prefilter is IMPLIED by the threshold (jaccard
-    # >= t  =>  |A| >= |A∩B| >= t|A∪B| >= t|B|, symmetric), so it drops
-    # most pairs before the expensive list_intersect without changing
-    # the result set; jaccard is computed once in a subquery, not twice
-    # (SELECT + WHERE)
+    # BANDED oracle since r9 — no all-pairs: candidates come from a
+    # prefix-filter equi-join (Bayardo et al. 2007, "Scaling Up All
+    # Pairs Similarity Search"): under ANY global token order, a pair
+    # with jaccard >= t MUST share a token inside each side's
+    # (n - ceil(t*n) + 1)-prefix, so joining prefix tokens is COMPLETE
+    # (a deterministic guarantee like simhash's pigeonhole band).
+    # The length-ratio prefilter is additionally implied by the
+    # threshold (jaccard >= t => |A| >= t|B|, symmetric). This makes
+    # the oracle sweep-runnable at sf0.1 instead of quadratic-skipped.
     "dedup_lsh": f"""
         WITH d AS (
           SELECT doc_id, {_NORM} AS t FROM documents
-        ), s AS (
+        ), s AS MATERIALIZED (
           SELECT doc_id,
-                 list_distinct([substr(t, i, 5)
-                                for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh
+                 list_sort(list_distinct([substr(t, i, 5)
+                                for i in generate_series(1, greatest(len(t)-4, 0))])) AS sh
           FROM d
+        ), pref AS MATERIALIZED (
+          SELECT doc_id, len(sh) AS n,
+                 unnest(list_slice(sh, 1,
+                        len(sh) - ceil(0.8 * len(sh))::INT + 1)) AS tok
+          FROM s WHERE len(sh) > 0
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM pref a JOIN pref b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+           AND a.n >= 0.8 * b.n AND b.n >= 0.8 * a.n
         ), j AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-          FROM s a, s b
-          WHERE a.doc_id < b.doc_id
-            AND len(a.sh) >= 0.8 * len(b.sh)
-            AND len(b.sh) >= 0.8 * len(a.sh)
+          SELECT a_id, b_id,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          FROM cand
+          JOIN s sa ON sa.doc_id = cand.a_id
+          JOIN s sb ON sb.doc_id = cand.b_id
         )
         SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8
     """,
@@ -545,18 +558,28 @@ ORACLES["dedup_cluster"] = f"""
       SELECT doc_id, {_NORM} AS t FROM documents
     ), s AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct([substr(t, i, 5)
-                            for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh
+             list_sort(list_distinct([substr(t, i, 5)
+                            for i in generate_series(1, greatest(len(t)-4, 0))])) AS sh
       FROM d
+    ), pref AS MATERIALIZED (
+      -- prefix-filter candidate generation (see dedup_lsh: complete
+      -- under the Bayardo prefix lemma; banded since r9, no all-pairs)
+      SELECT doc_id, len(sh) AS n,
+             unnest(list_slice(sh, 1,
+                    len(sh) - ceil(0.8 * len(sh))::INT + 1)) AS tok
+      FROM s WHERE len(sh) > 0
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND a.n >= 0.8 * b.n AND b.n >= 0.8 * a.n
     ), pairs AS MATERIALIZED (
-      -- length-ratio prefilter implied by the threshold (see dedup_lsh)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM s a, s b
-      WHERE a.doc_id < b.doc_id
-        AND len(a.sh) >= 0.8 * len(b.sh)
-        AND len(b.sh) >= 0.8 * len(a.sh)
-        AND len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      SELECT a_id, b_id
+      FROM cand
+      JOIN s sa ON sa.doc_id = cand.a_id
+      JOIN s sb ON sb.doc_id = cand.b_id
+      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
     ), edges AS MATERIALIZED (
       SELECT a_id AS src, b_id AS dst FROM pairs
       UNION SELECT b_id, a_id FROM pairs
@@ -707,12 +730,13 @@ ORACLES["mm_frames"] = """
 """
 # simhash_pairs HARD oracle (round 7): the signature's per-token hash
 # is md5-derived (llm/dedup.py simhash), which DuckDB reproduces
-# bit-identically, so the full pipeline replays in SQL. The final
-# output is equivalently ALL pairs with hamming(sig_a, sig_b) <= 3:
-# with 4 bands of 8 bits and max_hamming=3 the pigeonhole principle
-# makes the banded candidate set COMPLETE (a deterministic guarantee,
-# not probabilistic — also pinned by the band-completeness pytest leg,
-# tests/test_llm.py::test_simhash_band_completeness).
+# bit-identically, so the full pipeline replays in SQL. BANDED since
+# r9 — candidates come from a bucket equi-join on 4 disjoint 8-bit
+# bands of the signature: with max_hamming=3 < 4 bands the pigeonhole
+# principle makes the banded candidate set COMPLETE (a deterministic
+# guarantee, not probabilistic — also pinned by the band-completeness
+# pytest leg, tests/test_llm.py::test_simhash_band_completeness), so
+# the oracle sweep-runs at sf0.1 instead of being quadratic-skipped.
 # Horner decode of the first 8 md5 hex chars -> unsigned 32-bit BIGINT
 _MD5_32 = "(" * 8 + " * 16 + ".join(
     f"strpos('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
@@ -722,18 +746,24 @@ ORACLES["simhash_pairs"] = f"""
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ), hs AS (
       SELECT doc_id, list_transform(toks, tk -> {_MD5_32}) AS hs FROM t
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
       SELECT doc_id,
              list_sum([CASE WHEN 2 * list_sum([(h // (1::BIGINT << i)) % 2
                                                for h in hs]) > len(hs)
                             THEN (1::BIGINT << i) ELSE 0::BIGINT END
                        for i in generate_series(0, 31)])::BIGINT AS sig
       FROM hs
+    ), keys AS MATERIALIZED (
+      SELECT doc_id, sig, band, (sig >> (band * 8)) % 256 AS key
+      FROM sigs, unnest(generate_series(0, 3)) AS u(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.sig AS sa, b.sig AS sb
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
-    FROM sigs a, sigs b
-    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+    SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 

@@ -141,6 +141,33 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "steps_completed", "t0", "t1", "t2")
 
 
+def q_funnel_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 funnel variant: PER-STEP conversion windows — every step must
+    land within 6 h of the PREVIOUS step's match (within="step"), not
+    of the funnel start."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    from jetro_spark.timeutil import ts_to_timestamp
+    ev = ev.withColumn("ts", ts_to_timestamp(
+        F.col("ts"), dict(ev.dtypes).get("ts", "")))
+    out = funnel(ev, ["view", "click", "purchase"],
+                 within_us=21_600_000_000, within="step")
+    return out.select("user_id", "steps_completed", "t0", "t1", "t2")
+
+
+def q_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 funnel variant: any-order SET COMPLETION — a step matches at
+    the user's earliest event of that type within one day of their
+    first funnel-type event; steps_completed counts matched steps, not
+    an ordered prefix."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    from jetro_spark.timeutil import ts_to_timestamp
+    ev = ev.withColumn("ts", ts_to_timestamp(
+        F.col("ts"), dict(ev.dtypes).get("ts", "")))
+    out = funnel(ev, ["view", "click", "purchase"],
+                 within_us=86_400_000_000, mode="unordered")
+    return out.select("user_id", "steps_completed", "t0", "t1", "t2")
+
+
 QUERIES = {
     "group_quantiles": q_group_quantiles,
     "group_quantiles_spread": q_group_quantiles_spread,
@@ -150,6 +177,8 @@ QUERIES = {
     "key_skew": q_key_skew,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
+    "funnel_step": q_funnel_step,
+    "funnel_unordered": q_funnel_unordered,
     "check_constraints": q_check_constraints,
 }
 
@@ -213,8 +242,69 @@ _FUNNEL_SQL = """
     LEFT JOIN s2 USING (user_id)
 """
 
+_FUNNEL_STEP_SQL = """
+    WITH f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s0 AS (
+      SELECT user_id, min(us) AS t0 FROM f
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT f.user_id, min(us) AS t1
+      FROM f JOIN s0 USING (user_id)
+      WHERE event_type = 'click' AND us > t0
+        AND us <= t0 + 21600000000 GROUP BY f.user_id
+    ), s2 AS (
+      SELECT f.user_id, min(us) AS t2
+      FROM f JOIN s1 USING (user_id)
+      WHERE event_type = 'purchase' AND us > t1
+        AND us <= t1 + 21600000000 GROUP BY f.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                     WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed,
+           t0, t1, t2
+    FROM (SELECT DISTINCT user_id FROM f) u
+    LEFT JOIN s0 USING (user_id)
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+"""
+
+_FUNNEL_UNORDERED_SQL = """
+    WITH f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), a AS (
+      SELECT user_id, min(us) AS anchor FROM f GROUP BY user_id
+    ), s0 AS (
+      SELECT f.user_id, min(us) AS t0 FROM f JOIN a USING (user_id)
+      WHERE event_type = 'view' AND us <= anchor + 86400000000
+      GROUP BY f.user_id
+    ), s1 AS (
+      SELECT f.user_id, min(us) AS t1 FROM f JOIN a USING (user_id)
+      WHERE event_type = 'click' AND us <= anchor + 86400000000
+      GROUP BY f.user_id
+    ), s2 AS (
+      SELECT f.user_id, min(us) AS t2 FROM f JOIN a USING (user_id)
+      WHERE event_type = 'purchase' AND us <= anchor + 86400000000
+      GROUP BY f.user_id
+    )
+    SELECT u.user_id,
+           CAST((t0 IS NOT NULL)::INT + (t1 IS NOT NULL)::INT
+                + (t2 IS NOT NULL)::INT AS INTEGER) AS steps_completed,
+           t0, t1, t2
+    FROM (SELECT DISTINCT user_id FROM f) u
+    LEFT JOIN s0 USING (user_id)
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+"""
+
 ORACLES = {
     "funnel": _FUNNEL_SQL,
+    "funnel_step": _FUNNEL_STEP_SQL,
+    "funnel_unordered": _FUNNEL_UNORDERED_SQL,
     "group_quantiles": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
     "group_quantiles_spread": _quantile_sql([0.25, 0.5, 0.75, 0.99]),
     "histogram": """

@@ -141,17 +141,31 @@ def funnel(
     type_col: str = "event_type",
     time_col: str = "ts",
     within_us: int | None = None,
+    within: str = "start",
+    mode: str = "ordered",
 ) -> DataFrame:
-    """Ordered conversion funnel: per user, step i matches at the
-    EARLIEST event of ``steps[i]`` strictly after step i-1's matched
-    time (step 0 = the user's earliest step-0 event); with
-    ``within_us``, every later step must also land within that many
-    microseconds of the step-0 match. The standard product-analytics
-    funnel (strictly-increasing-time variant).
+    """Conversion funnel: per user, step i matches at the EARLIEST
+    event of ``steps[i]`` strictly after step i-1's matched time
+    (step 0 = the user's earliest step-0 event). The standard
+    product-analytics funnel (strictly-increasing-time variant).
+
+    ``within_us`` bounds later steps; ``within`` picks the anchor (r9):
+    - ``"start"``: every later step lands within ``within_us`` of the
+      STEP-0 match (the whole funnel fits one window);
+    - ``"step"``: every step lands within ``within_us`` of the
+      PREVIOUS step's match (per-step conversion windows).
+
+    ``mode="unordered"`` (r9) is set-completion instead: step i
+    matches at the user's earliest event of ``steps[i]`` regardless of
+    order; ``steps_completed`` counts matched steps (not a prefix
+    chain); with ``within_us``, a step only counts inside
+    ``within_us`` of the user's FIRST funnel-type event (``within``
+    is ignored — there is no step chain to anchor on).
 
     Returns one row per user having at least one event of a funnel
     type: ``(user_col, steps_completed, t0..t{k-1})`` — ti = matched
-    epoch micros (null from the first unmatched step on).
+    epoch micros (ordered mode: null from the first unmatched step
+    on; unordered mode: null per absent step).
 
     Scale: events filter to the funnel types FIRST (a pushdown-able
     predicate — at 100 TB the scan prunes everything else), then ONE
@@ -162,6 +176,11 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if within not in ("start", "step"):
+        raise ValueError(f"within must be 'start' or 'step', got {within!r}")
+    if mode not in ("ordered", "unordered"):
+        raise ValueError(
+            f"mode must be 'ordered' or 'unordered', got {mode!r}")
     dt = dict(events.dtypes).get(time_col, "")
     # same axis convention as time_bucket: timestamps → epoch micros,
     # NUMERIC columns taken as a raw µs axis as-is (bigint nano-epochs
@@ -173,20 +192,41 @@ def funnel(
         F.sort_array(F.collect_list(
             F.when(F.col(type_col) == s, us))).alias(f"__a{i}")
         for i, s in enumerate(steps)])
+    if mode == "unordered":
+        # set completion: earliest event per step, independent of
+        # order; the optional window anchors on the user's FIRST
+        # funnel-type event (the min over every step's earliest)
+        anchor = F.least(*[F.get(f"__a{i}", 0) for i in range(len(steps))])
+        out = grouped
+        for i in range(len(steps)):
+            t = F.get(f"__a{i}", 0)
+            if within_us is not None:
+                t = F.get(F.filter(
+                    F.col(f"__a{i}"),
+                    (lambda a: (lambda x: x <= a + within_us))(anchor)), 0)
+            out = out.withColumn(f"__t{i}", t)
+        done: Column = sum(
+            (F.col(f"__t{j}").isNotNull().cast("int")
+             for j in range(len(steps))), F.lit(0))
+        return out.select(
+            F.col(user_col),
+            done.cast("int").alias("steps_completed"),
+            *[F.col(f"__t{i}").alias(f"t{i}") for i in range(len(steps))])
     # F.get: null on empty/out-of-range (element_at THROWS under ANSI)
     out = grouped.withColumn("__t0", F.get("__a0", 0))
     for i in range(1, len(steps)):
         prev = F.col(f"__t{i - 1}")
         cond = (lambda p: (lambda x: x > p))(prev)
         if within_us is not None:
-            cond = (lambda p: (lambda x: (x > p)
-                    & (x <= F.col("__t0") + within_us)))(prev)
+            bound = (F.col("__t0") if within == "start" else prev)
+            cond = (lambda p, b: (lambda x: (x > p)
+                    & (x <= b + within_us)))(prev, bound)
         out = out.withColumn(
             f"__t{i}",
             F.get(F.filter(F.col(f"__a{i}"), cond), 0))
     # deepest matched step wins; the chain nulls forward (t_j non-null
     # implies t_0..t_j all matched), so test from the last step down
-    done: Column = F.lit(0)
+    done = F.lit(0)
     for j in range(len(steps)):
         done = F.when(F.col(f"__t{j}").isNotNull(), j + 1).otherwise(done)
     return out.select(

@@ -30,11 +30,10 @@ import duckdb
 # Rows whose DuckDB oracle is an exhaustive all-pairs replay — correct
 # but quadratic, so the sweep mode skips them (their Spark plans are
 # linear/banded; value semantics are pinned at sf0.01 + by pytest).
-ALL_PAIRS_ORACLES = {"dedup_lsh", "dedup_cluster", "embed_neardup",
-                     "simhash_pairs",
-                     # leak_split reuses dedup_cluster's quadratic
-                     # closure oracle (its Spark plan is banded LSH)
-                     "leak_split"}
+# r9 promoted dedup_lsh / dedup_cluster / leak_split (Bayardo
+# prefix-filter candidate join) and simhash_pairs (pigeonhole band
+# bucket join) to BANDED oracles that sweep-run at sf0.1.
+ALL_PAIRS_ORACLES = {"embed_neardup"}
 
 args = sys.argv[1:]
 SWEEP = "--sweep" in args
