@@ -150,6 +150,47 @@ def mixture_interleave(
     return out
 
 
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture re-weighting (the multilingual-
+    pretraining standard, e.g. mBERT/XLM-R exponentiated sampling,
+    UniMax's precursor): a group with corpus share ``p_i`` gets
+    sampling weight ``q_i = p_i^alpha / Σ_j p_j^alpha``. ``alpha < 1``
+    flattens the distribution (upsamples small languages/domains
+    without the head swallowing the mix); ``alpha = 1`` is natural
+    sampling, ``alpha = 0`` uniform.
+
+    Returns one row per group: ``(group_col, n, p, q)`` — counts,
+    natural share, and temperature share, each rounded (6 dp) so the
+    values hash-compare across engines. Feed ``q / p`` per group into
+    :func:`mixture_interleave` rates to realize the mix.
+
+    Scale: one vocabulary-sized groupBy; the two normalizers (total
+    rows, Σ p^alpha) are one-row aggregates attached via the bm25
+    scalar-attach pattern — nothing beyond group cardinality ever
+    re-shuffles. p^alpha is the one transcendental, rounded to 12 dp
+    before the decimal-exact (order-free) Σ accumulation.
+    """
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").cast("double").alias("__tot"))
+    pa = (cnt.join(F.broadcast(tot), F.lit(1) == F.lit(1))
+          .select(group_col, "n",
+                  (F.col("n") / F.col("__tot")).alias("__p"),
+                  F.round(F.pow(F.col("n") / F.col("__tot"), alpha), 12)
+                  .alias("__pa")))
+    z = pa.agg(F.sum(F.col("__pa").cast("decimal(28,12)"))
+               .cast("double").alias("__z"))
+    return (pa.join(F.broadcast(z), F.lit(1) == F.lit(1))
+            .select(group_col,
+                    F.col("n").cast("long").alias("n"),
+                    F.round("__p", 6).alias("p"),
+                    F.round(F.col("__pa") / F.col("__z"), 6).alias("q")))
+
+
 def cap_per_key(
     df: DataFrame,
     group_col: str | Column,

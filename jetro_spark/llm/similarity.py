@@ -524,6 +524,7 @@ def hashed_embedding(
     text_col: str = "text",
     dim: int = 64,
     seed: int = 9,
+    idf: bool = False,
 ) -> DataFrame:
     """Feature-hashing document embedding (the HashingTF / "hashing
     trick" vectorizer): tokens hash into ``dim`` buckets, bucket values
@@ -531,6 +532,15 @@ def hashed_embedding(
     L2-normalized — a deterministic, model-free text embedding that
     plugs straight into this package's ANN / SemDeDup / embed_neardup
     operators when no learned embedder is available.
+
+    ``idf=True`` (r9) upgrades the weights to TF-IDF: each bucket's tf
+    weight is scaled by the smooth inverse document frequency
+    ``ln((N+1)/(df_b+1)) + 1`` (the sklearn TfidfVectorizer
+    convention), with df at the BUCKET grain so the statistics table
+    stays ≤ dim rows — broadcast back, plus the corpus size N as a
+    one-row-aggregate scalar attach (the bm25 pattern). Down-weights
+    ubiquitous vocabulary so near-dup and topic similarity stop being
+    dominated by stopword mass.
 
     Returns ``(id_col, embedding array<double>)``; empty-token docs get
     the zero vector.
@@ -556,6 +566,19 @@ def hashed_embedding(
                 .cast("int").alias("__b"))
     tw = (tl.groupBy(id_col, "__b")
           .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6).alias("__w")))
+    if idf:
+        # bucket document frequency (≤ dim rows, broadcast) and corpus
+        # size N (one-row aggregate joined on a folded always-true key
+        # — the canonical scalar attach, never input data)
+        dfb = tw.groupBy("__b").agg(F.count(F.lit(1)).alias("__df"))
+        nrow = docs.agg(F.count(F.lit(1)).alias("__n"))
+        tw = (tw.join(F.broadcast(dfb), "__b")
+              .join(F.broadcast(nrow), F.lit(1) == F.lit(1))
+              .select(id_col, "__b",
+                      F.round(F.col("__w") * F.round(
+                          F.log((F.col("__n") + 1.0)
+                                / (F.col("__df") + 1.0)) + 1.0, 6),
+                          6).alias("__w")))
     vec = (tw.groupBy(id_col)
            .agg(F.map_from_entries(
                F.collect_list(F.struct("__b", "__w"))).alias("__m")))

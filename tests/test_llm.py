@@ -821,3 +821,51 @@ def test_canonicalize_url(spark):
         ("http://h.example.com/", "example.com"),
         ("http://h.example.com:8080/q", "example.com"),
     ]
+
+
+def test_temperature_weights(spark):
+    """r9: q_i = p_i^alpha / sum p^alpha. alpha=1 -> natural shares;
+    alpha=0 -> uniform; alpha=0.5 flattens (small group's q > its p)."""
+    from jetro_spark.llm.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "id long, src string")
+    for alpha, expect in ((1.0, {"big": 0.9, "small": 0.1}),
+                          (0.0, {"big": 0.5, "small": 0.5})):
+        rows = {r["src"]: r["q"]
+                for r in temperature_weights(df, "src", alpha=alpha).collect()}
+        assert rows == pytest.approx(expect, abs=1e-6), alpha
+    half = {r["src"]: r for r in
+            temperature_weights(df, "src", alpha=0.5).collect()}
+    assert half["small"]["q"] > half["small"]["p"]
+    assert half["big"]["q"] < half["big"]["p"]
+    assert abs(sum(r["q"] for r in half.values()) - 1.0) < 1e-5
+    assert half["big"]["n"] == 90
+
+
+def test_hashed_embedding_idf_downweights_ubiquitous_tokens(spark):
+    """r9: with idf=True a token present in EVERY doc contributes less
+    relative weight than a rare token; with idf=False their tf weights
+    tie. Also: both variants stay unit-norm."""
+    from jetro_spark.llm.similarity import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(0, "common rare0"), (1, "common rare1"), (2, "common rare2"),
+         (3, "common rare3")], "doc_id long, text string")
+    import math
+
+    def vec(idf):
+        return {r["doc_id"]: r["embedding"]
+                for r in hashed_embedding(docs, dim=32, idf=idf).collect()}
+
+    for idf in (False, True):
+        for v in vec(idf).values():
+            assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+    # locate the two buckets of doc 0: common (df=4) vs rare0 (df=1)
+    plain, idfv = vec(False)[0], vec(True)[0]
+    nz = [i for i, x in enumerate(plain) if x > 0]
+    assert len(nz) == 2
+    # tf-only: equal weights; tf-idf: the ubiquitous token is smaller
+    assert abs(plain[nz[0]] - plain[nz[1]]) < 1e-9
+    assert min(idfv[nz[0]], idfv[nz[1]]) < max(idfv[nz[0]], idfv[nz[1]])

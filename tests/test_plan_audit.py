@@ -53,7 +53,12 @@ _ALLPAIRS_OK = {"ann_topk", "embed_neardup", "rollup_gapfill",
                 "bm25_topk", "pmi_colloc", "ngram_lm",
                 # pipeline_prep2 composes ngram_lm and inherits its
                 # 1-row |V| attach
-                "pipeline_prep2"}
+                "pipeline_prep2",
+                # tfidf_embed attaches corpus size N as the same 1-row
+                # aggregate scalar attach (r9); temp_mixture attaches
+                # its two normalizers (total rows, sum p^alpha) the
+                # same way over a group-cardinality frame (r9)
+                "tfidf_embed", "temp_mixture"}
 
 # mapInPandas/stateful rows whose plan is dominated by the Python stage.
 _SKIP = {"mm_decode", "mm_frames"}
@@ -101,7 +106,13 @@ def test_scalar_attach_builds_are_aggregates(plans):
     nested loops — a regression that nested-loops actual DATA would
     inflate the count or drop the global aggregate."""
     for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1),
-                        ("ngram_lm", 1), ("pipeline_prep2", 1)):
+                        ("ngram_lm", 1), ("pipeline_prep2", 1),
+                        ("tfidf_embed", 1),
+                        # temp_mixture: 2 real attaches, but the Σp^α
+                        # normalizer's subtree re-prints the first
+                        # attach under itself (tree rendering of a DAG;
+                        # the exchange is reused at runtime) — 3 in text
+                        ("temp_mixture", 3)):
         p = plans[name]
         assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
         assert p.count("BroadcastNestedLoopJoin") <= n_max, name
