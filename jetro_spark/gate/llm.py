@@ -1581,6 +1581,55 @@ def q_temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["temp_mixture"] = q_temp_mixture
 
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: PII redaction — every third doc gets a synthetic email +
+    phone appended (doc_id-derived, both engines build the same text),
+    then pii_mask replaces the shapes with <EMAIL>/<PHONE> tokens.
+    Row-local regexp_replace chain; counts are pre-mask."""
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    synth = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 doc_id.cast("string"), F.lit("@example.com or call "),
+                 F.lit("+1 (555) 000-"),
+                 F.lpad((doc_id % 10_000).cast("string"), 4, "0"))
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", synth.alias("text"))
+    return (t.select(
+        "doc_id",
+        TX.pii_mask(F.col("text")).alias("masked"),
+        TX.pii_counts(F.col("text")).alias("__p"))
+        .select("doc_id", "masked",
+                F.col("__p.n_email").alias("n_email"),
+                F.col("__p.n_phone").alias("n_phone")))
+
+
+QUERIES["pii_mask"] = q_pii_mask
+
+ORACLES["pii_mask"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || doc_id
+                       || '@example.com or call +1 (555) 000-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS masked,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_email,
+           len(regexp_extract_all(text,
+               '\+?[0-9][0-9()\-. ]{7,}[0-9]'))::BIGINT AS n_phone
+    FROM t
+"""
+
 ORACLES["temp_mixture"] = """
     WITH c AS (
       SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -201,6 +201,18 @@ def pii_counts(c: Column) -> Column:
     )
 
 
+def pii_mask(c: Column, *, email_token: str = "<EMAIL>",
+             phone_token: str = "<PHONE>") -> Column:
+    """Redact email / phone shapes in place (r9) — the masking
+    counterpart of :func:`pii_counts` (which only counts). Emails are
+    replaced FIRST so a number inside an address (user123@host) never
+    half-matches the phone shape afterwards. Pure row-local
+    regexp_replace — scan-speed, engine-replayable."""
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, email_token),
+        PHONE_RE, phone_token)
+
+
 def word_ngrams(c: Column, n: int) -> Column:
     """Word n-grams of the normalized text (space-joined, order kept,
     duplicates kept — unlike word_shingles' distinct set). Empty array

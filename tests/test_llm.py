@@ -869,3 +869,19 @@ def test_hashed_embedding_idf_downweights_ubiquitous_tokens(spark):
     # tf-only: equal weights; tf-idf: the ubiquitous token is smaller
     assert abs(plain[nz[0]] - plain[nz[1]]) < 1e-9
     assert min(idfv[nz[0]], idfv[nz[1]]) < max(idfv[nz[0]], idfv[nz[1]])
+
+
+def test_pii_mask(spark):
+    """r9: emails masked before phones (a number inside an address must
+    never half-match the phone shape); non-PII text untouched."""
+    df = spark.createDataFrame(
+        [("write to jane.doe+x@mail.example.org today",),
+         ("call +1 (555) 010-4242 or 555-010-9999 now",),
+         ("user123456789@host.example.com",),   # digits inside an email
+         ("no pii here at all",)], ["text"])
+    got = [r["m"] for r in
+           df.select(TX.pii_mask(F.col("text")).alias("m")).collect()]
+    assert got[0] == "write to <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "<EMAIL>"          # NOT "<EMAIL>...<PHONE>" debris
+    assert got[3] == "no pii here at all"
