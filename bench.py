@@ -86,6 +86,14 @@ HEADLINE = [
     "ngram_lm",
     "hash_embed",
     "funnel",
+    # r09 additions: funnel variants, TF-IDF hash embedding (bucket-df
+    # broadcast + corpus-N scalar attach), temperature mixture weights,
+    # and in-place PII redaction (row-local regex chain)
+    "funnel_step",
+    "funnel_unordered",
+    "tfidf_embed",
+    "temp_mixture",
+    "pii_mask",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -66,17 +66,23 @@ _TIER1 = [
     "bm25_topk",
     # window builtins
     "win_lag_lead", "win_zscore",
-    # time series
-    "time_bucket", "rollup_gapfill", "sessionize",
+    # time series ("rollup_gapfill" rotated out in r9 for funnel_step —
+    # the new funnel-variant family must be driver-visible; rotated-out
+    # rows still run in the full local gate)
+    "time_bucket", "funnel_step", "sessionize",
     # profiling / contracts
     "group_quantiles", "profile_table", "check_constraints",
     # JQL language (doc + relational modes)
     "jql_filter_map", "jql_patch", "jql_window", "jql_comprehension",
     "jql_variant_deep", "deep_search",
-    # LLM-pipeline operators
+    # LLM-pipeline operators (r9 rotations: ann_topk → temp_mixture so
+    # the sampling family gets a tier-1 rep — ann_ivf_trained already
+    # embeds the brute-force recall baseline in-plan; label_centroids →
+    # tfidf_embed; text_stats → pii_mask — quality_filters keeps the
+    # text-stats style covered)
     "dedup_exact", "dedup_lsh", "dedup_cluster", "simhash_pairs",
-    "ann_topk",
-    "ann_ivf_trained", "label_centroids", "mm_decode", "text_stats",
+    "temp_mixture",
+    "ann_ivf_trained", "tfidf_embed", "mm_decode", "pii_mask",
     "quality_filters", "pipeline_demo", "pack_cumsum",
     # HOFs / streaming / doc-suite
     "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
