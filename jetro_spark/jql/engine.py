@@ -752,6 +752,7 @@ class JetroTables:
         saved, self._order = self._order, None
         saved_sc, self._scalar = self._scalar, False
         saved_scan, self._scan_ok = self._scan_ok, True
+        saved_last = getattr(self, "_is_last_stage", False)
         try:
             i = 0
             while i < len(steps):
@@ -776,6 +777,7 @@ class JetroTables:
             self._order = saved
             self._scalar = saved_sc
             self._scan_ok = saved_scan
+            self._is_last_stage = saved_last
         hidden = [c for c in df.columns if c.startswith("__ord")]
         return df.drop(*hidden) if hidden else df
 
@@ -1262,6 +1264,10 @@ class JetroTables:
         if name == "index_by":
             return R.index_by(df, key_str_col(args[0].value))
         if name == "equi_join":
+            # read the hint BEFORE resolving the table arg: a
+            # sub-pipeline arg ($.u.filter(...)) re-enters _pipeline
+            # and would clobber _is_last_stage with ITS last stage
+            is_last = getattr(self, "_is_last_stage", False)
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
@@ -1274,7 +1280,7 @@ class JetroTables:
             # min_by tie) doc-fell-back or silently diverged. Skip the
             # sort when the join is the pipeline's LAST stage: the
             # relational contract owes no final-result order.
-            if order is None and not getattr(self, "_is_last_stage", False):
+            if order is None and not is_last:
                 df, order = self._maybe_scan_order(df, order)
             out = R.equi_join(df, other, _lit_str(args[1].value),
                               _lit_str(args[2].value))

@@ -641,3 +641,34 @@ def test_post_join_ties_and_order_follow_doc_mode(spark):
         flat = [r if len(r) > 1 else next(iter(r.values())) for r in got]
         want = doc if isinstance(doc, list) else [doc]
         assert flat == want, e
+
+
+def test_equi_join_subpipeline_arg_keeps_receiver_order(spark):
+    """Round-9 re-entrancy guard: a SUB-PIPELINE table arg
+    ($.d.filter(...)) re-enters _pipeline, whose own last stage used to
+    clobber the _is_last_stage hint before the equi_join handler read
+    it — silently skipping the receiver-order sort mid-pipeline. The
+    hint is now read before arg resolution and save/restored across
+    nested pipelines."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 100), "g": f"g{i % 3}"}
+            for i in range(24)]
+    dim = [{"g": f"g{i}", "w": float(i)} for i in range(3)]
+    jt = Jetro.from_value(spark, {"s": rows, "d": dim})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    d = spark.createDataFrame([(r["g"], r["w"]) for r in dim],
+                              "g string, w double")
+    tables = JetroTables(spark, {"s": t, "d": d})
+    for e in ('$.s.equi_join($.d.filter(w >= 1.0), "g", "g").last()',
+              '$.s.equi_join($.d.filter(w >= 0.0), "g", "g").min_by(w)',
+              '$.s.equi_join($.d.sort(g).take(2), "g", "g")'
+              '.take_while(x => x.k < 9).map(k)'):
+        doc = jt.collect(e)
+        df = tables.query(e)
+        got = [{c: r[c] for c in df.columns if not c.startswith("__ord")}
+               for r in df.collect()]
+        flat = [r if len(r) > 1 else next(iter(r.values())) for r in got]
+        want = doc if isinstance(doc, list) else [doc]
+        assert flat == want, e
