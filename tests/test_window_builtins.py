@@ -138,17 +138,21 @@ def test_relational_zscore(spark, seq_tables):
 def test_relational_unsorted_windows_follow_scan_order(spark, seq_tables):
     """r8: positional analytics on an UNSORTED pipeline lower off the
     scan-order surrogate (doc mode windows over document order — the
-    scan order); when a shuffle has made row order arbitrary they fall
-    back (warned), never raise a one-sided error doc mode doesn't."""
+    scan order). r9: equi_join CARRIES the receiver's order through the
+    join, so post-join windows ALSO lower relationally — no fallback,
+    and the sequence is the doc-mode receiver order, not
+    shuffle-arbitrary."""
     vals, _ = rel(spark, seq_tables, "$.s.map(v).lag(1)")
     assert vals == [None, 3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
     import warnings as W
 
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
-        JetroTables(spark, seq_tables).query(
+        out = JetroTables(spark, seq_tables).query(
             "$.s.equi_join($.s, 'k', 'k').map(v).lag(1)").collect()
-    assert any("no relational lowering" in str(w.message) for w in rec)
+    assert not any("no relational lowering" in str(w.message) for w in rec)
+    got = [r[0] for r in out]
+    assert got == [None, 3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
 
 
 def test_relational_matches_doc_mode(spark, seq_tables):
