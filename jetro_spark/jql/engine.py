@@ -431,6 +431,25 @@ def _keeps_scan_order(step) -> bool:
     return isinstance(step, A.Method) and step.name in _SCAN_KEEPERS
 
 
+# Stages that never READ the pipeline's order: projections, filters,
+# order-insensitive reducers (multiset semantics), and keyed reducers
+# whose doc/relational comparison contract is order-normalized
+# (count_by). Everything else — positional stages, windows, sorts
+# (stable ties), min_by/max_by (ties), first-seen/last-wins keyed
+# reducers (unique_by, index_by, group_by's collected group order),
+# find_index/index_of, and any stage that might doc-fallback — is
+# conservatively treated as an order CONSUMER.
+_ORDER_BLIND = {"map", "filter", "count_by", "sum", "avg", "min", "max",
+                "len", "count", "any", "all", "approx_count_distinct",
+                "includes", "compact", "equi_join", "explode", "implode"}
+
+
+def _order_blind(step) -> bool:
+    if isinstance(step, (A.InlineFilter, A.MapShape, A.Quantifier)):
+        return True
+    return isinstance(step, A.Method) and step.name in _ORDER_BLIND
+
+
 class JetroDocs:
     """Multi-document engine — the reference's ``JetroEngine`` (explicit
     plan cache + shared VM for long-lived multi-document use,
@@ -752,17 +771,19 @@ class JetroTables:
         saved, self._order = self._order, None
         saved_sc, self._scalar = self._scalar, False
         saved_scan, self._scan_ok = self._scan_ok, True
-        saved_last = getattr(self, "_is_last_stage", False)
+        saved_last = getattr(self, "_tail_reads_order", True)
         try:
             i = 0
             while i < len(steps):
                 step = steps[i]
                 pre_order = self._order
-                # terminal-stage hint: the relational contract owes no
-                # order on the FINAL result (multiset compare), so an
-                # order-preserving join can skip its receiver-order sort
-                # when nothing downstream will read it
-                self._is_last_stage = (i == len(steps) - 1)
+                # order-demand lookahead: the relational contract owes
+                # no order on the FINAL result (multiset compare), so an
+                # order-preserving join only pays its receiver-order
+                # sort when some REMAINING stage actually reads order
+                # (positional, window, tie-sensitive, or unknown)
+                self._tail_reads_order = any(
+                    not _order_blind(s) for s in steps[i + 1:])
                 out = self._stage(df, step)
                 if out is None:
                     return self._doc_fallback(df, steps[i:], pre_order)
@@ -777,7 +798,7 @@ class JetroTables:
             self._order = saved
             self._scalar = saved_sc
             self._scan_ok = saved_scan
-            self._is_last_stage = saved_last
+            self._tail_reads_order = saved_last
         hidden = [c for c in df.columns if c.startswith("__ord")]
         return df.drop(*hidden) if hidden else df
 
@@ -1266,8 +1287,8 @@ class JetroTables:
         if name == "equi_join":
             # read the hint BEFORE resolving the table arg: a
             # sub-pipeline arg ($.u.filter(...)) re-enters _pipeline
-            # and would clobber _is_last_stage with ITS last stage
-            is_last = getattr(self, "_is_last_stage", False)
+            # and would clobber the lookahead with ITS tail
+            tail_reads = getattr(self, "_tail_reads_order", True)
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
@@ -1278,9 +1299,12 @@ class JetroTables:
             # previously the join went out unordered, _scan_ok flipped
             # off, and every order-dependent downstream stage (or a
             # min_by tie) doc-fell-back or silently diverged. Skip the
-            # sort when the join is the pipeline's LAST stage: the
-            # relational contract owes no final-result order.
-            if order is None and not is_last:
+            # sort when NO remaining stage reads order (lookahead in
+            # _pipeline): the relational contract owes no final-result
+            # order, and a post-join .map/.filter/.count_by chain must
+            # not pay a full sort it never observes (r9 bench catch:
+            # jql_equi_join +104% under the last-stage-only hint).
+            if order is None and tail_reads:
                 df, order = self._maybe_scan_order(df, order)
             out = R.equi_join(df, other, _lit_str(args[1].value),
                               _lit_str(args[2].value))
