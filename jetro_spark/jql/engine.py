@@ -407,7 +407,14 @@ _ORDER_HUNGRY = _WINDOW_STAGES | {
     # through the order-restoring branches so the output sequence stays
     # doc-faithful (r8 2500-soak catch: diff's left_anti shuffle order
     # leaked into a downstream accumulate)
-    "diff", "intersect", "union"}
+    "diff", "intersect", "union",
+    # keyed reducers whose doc semantics read pipeline order: group_by
+    # collects groups IN ORDER, index_by/pivot are last-wins, pivot3 /
+    # group_shape collect per-cell/per-group sequences (r9 —
+    # collect_list arrival order is arbitrary under real multi-mapper
+    # shuffles; these now sort collected elements by a scan-order
+    # surrogate and fall back honestly when order is unrecoverable)
+    "group_by", "index_by", "implode", "pivot", "group_shape"}
 
 # Stages after which the PHYSICAL row order still equals the document
 # order when no explicit order is carried: narrow transformations
@@ -1278,12 +1285,30 @@ class JetroTables:
                     return None
             sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
             return self._pad_single_null(df.orderBy(o, *sec).limit(1))
+        def doc_ord():
+            """Fresh doc-order surrogate for ordered keyed collects.
+            Valid because _maybe_scan_order already vetted this df
+            (order carried ⇒ physically materialized; else scan-order
+            surrogate minted) — physical row order IS pipeline order,
+            and a partition-prefixed monotonic id captures it."""
+            self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+            sid = f"__ord_go{self._sort_seq}"
+            return df.withColumn(sid, F.monotonically_increasing_id()), sid
+
         if name == "group_by":
-            return R.group_collect(df, key_str_col(args[0].value))
+            if order is None:
+                return None   # order-broken pipeline → warned fallback
+            d2, go = doc_ord()
+            return R.group_collect(d2, key_str_col(args[0].value),
+                                   order=go, payload_cols=_vis_cols(df))
         if name == "count_by":
             return R.count_by(df, key_str_col(args[0].value))
         if name == "index_by":
-            return R.index_by(df, key_str_col(args[0].value))
+            if order is None:
+                return None
+            d2, go = doc_ord()
+            return R.index_by(d2, key_str_col(args[0].value), order=go,
+                              payload_cols=_vis_cols(df))
         if name == "equi_join":
             # read the hint BEFORE resolving the table arg: a
             # sub-pipeline arg ($.u.filter(...)) re-enters _pipeline
@@ -1317,7 +1342,14 @@ class JetroTables:
         if name == "explode":
             return R.explode_field(df, _name_str(args[0].value))
         if name == "implode":
-            return R.implode(df, _name_str(args[0].value))
+            if order is None:
+                return None
+            fld = _name_str(args[0].value)
+            d2, go = doc_ord()
+            return R.implode(d2, fld,
+                             group_cols=[c2 for c2 in _vis_cols(df)
+                                         if c2 != fld],
+                             order=go)
         if name == "pivot":
             # pivot keys stringify via val_to_key like every other
             # keyed reducer (pivot_apply keys an IndexMap) — render
@@ -1330,13 +1362,16 @@ class JetroTables:
                         _canon_str(F.col(kn), d3.schema[kn].dataType),
                         F.lit("null")))
                 return d3
+            if order is None:
+                return None   # last-wins / first-per-cell read order
+            d2, go = doc_ord()
             if len(args) == 2:
                 kn = _name_str(args[0].value)
-                return R.pivot2(keyed_df(df, kn), kn,
-                                _name_str(args[1].value))
+                return R.pivot2(keyed_df(d2, kn), kn,
+                                _name_str(args[1].value), order=go)
             rn2, cn = _name_str(args[0].value), _name_str(args[1].value)
-            return R.pivot3(keyed_df(df, rn2, cn), rn2, cn,
-                            _name_str(args[2].value))
+            return R.pivot3(keyed_df(d2, rn2, cn), rn2, cn,
+                            _name_str(args[2].value), order=go)
         if name in ("to_csv", "to_tsv"):
             self._scalar = True
             # Relational form of the §2.1 sink: one formatted line per
@@ -1672,10 +1707,16 @@ class JetroTables:
                 elem_dt = T.StructType(
                     [f for f in df.schema.fields if f.name in vis])
             key_fn, _kd = c._lam(args[0].value, env, elem_dt)
+            if order is None:
+                return None   # group sequences read pipeline order (r9)
+            df, go = doc_ord()
             # struct wrapper: collect_list drops bare null elements, doc
-            # group arrays keep them
+            # group arrays keep them; sorted by the doc-order surrogate
+            # so the per-key sequence is pipeline order, not shuffle
+            # arrival order (r9)
             wrapped = F.transform(
-                F.collect_list(F.struct(elem.alias("__e"))),
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(go).alias("__o"), elem.alias("__e")))),
                 lambda s: s["__e"])
             grouped = (df.groupBy(key_fn(elem).cast("string").alias("key"))
                        .agg(wrapped.alias("__grp")))

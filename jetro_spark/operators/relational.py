@@ -46,10 +46,20 @@ def equi_join(
     return joined.select(*out)
 
 
-def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
+def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key",
+                  order: str | Column | None = None,
+                  payload_cols: list[str] | None = None) -> DataFrame:
     """Relational ``group_by``: one row per key with the collected group.
     Key is STRINGIFIED to match jetro's object-key semantics
     (reference: jc/util.rs:216-226, ops/array.rs:947-965).
+
+    ``order`` (r9): collect_list's element order is shuffle-ARRIVAL
+    order — deterministic-looking on one mapper, arbitrary under real
+    multi-mapper exchanges — while doc mode keeps groups in pipeline
+    order. Pass an order column (the engine passes a scan-order
+    surrogate) to sort each collected group exactly; ``payload_cols``
+    restricts the collected struct (the engine passes the visible
+    columns so hidden ``__ord`` carries never leak into group values).
 
     SCALE NOTE: collect_list materializes every row-struct of a group on
     ONE executor — jetro-faithful, but a hot key at 100 TB OOMs that
@@ -57,10 +67,20 @@ def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key") -> D
     the groupBy instead (see gate's q_group_collect projection); keep
     full-group collection for genuinely small groups."""
     k = F.col(key) if isinstance(key, str) else key
-    return (
-        df.groupBy(k.cast("string").alias(key_alias))
-        .agg(F.collect_list(F.struct(*df.columns)).alias("value"))
-    )
+    cols = payload_cols if payload_cols is not None else list(df.columns)
+    payload = F.struct(*[F.col(c) for c in cols])
+    if order is None:
+        return (
+            df.groupBy(k.cast("string").alias(key_alias))
+            .agg(F.collect_list(payload).alias("value"))
+        )
+    o = F.col(order) if isinstance(order, str) else order
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct(o.alias("__o"),
+                                             payload.alias("__p")))),
+        lambda s: s["__p"])
+    return (df.groupBy(k.cast("string").alias(key_alias))
+            .agg(arr.alias("value")))
 
 
 def count_by(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
@@ -71,12 +91,15 @@ def count_by(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFr
 
 
 def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None,
-             key_alias: str = "key") -> DataFrame:
+             key_alias: str = "key",
+             payload_cols: list[str] | None = None) -> DataFrame:
     """Relational ``index_by``: one row per key, LAST occurrence wins.
 
     Jetro's "last" is positional (document order). Relationally the caller
     supplies ``order`` (a column defining that order); max_by gives the
-    winner in one shuffle. Reference: ops/array.rs:988-1004."""
+    winner in one shuffle. ``payload_cols`` (r9) restricts the winner
+    struct so hidden ``__ord`` carries never leak into the value.
+    Reference: ops/array.rs:988-1004."""
     k = F.col(key) if isinstance(key, str) else key
     if order is None:
         # Jetro's "last" is document order; synthesize a stable surrogate
@@ -85,9 +108,11 @@ def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None
         # nondeterministic across partitionings/AQE re-runs.
         df = df.withColumn("__doc_ord", F.monotonically_increasing_id())
         order = "__doc_ord"
-        payload = F.struct(*[c for c in df.columns if c != "__doc_ord"])
+        cols = payload_cols if payload_cols is not None else \
+            [c for c in df.columns if c != "__doc_ord"]
     else:
-        payload = F.struct(*df.columns)
+        cols = payload_cols if payload_cols is not None else list(df.columns)
+    payload = F.struct(*[F.col(c) for c in cols])
     o = F.col(order) if isinstance(order, str) else order
     return df.groupBy(k.cast("string").alias(key_alias)).agg(
         F.max_by(payload, o).alias("value")
@@ -136,12 +161,19 @@ def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = Non
     )
 
 
-def pivot3(df: DataFrame, row: str, col: str, val: str, values: list | None = None) -> DataFrame:
+def pivot3(df: DataFrame, row: str, col: str, val: str, values: list | None = None,
+           order: str | Column | None = None) -> DataFrame:
     """``pivot(row, col, val)`` → grid, first value per cell.
     Reference: ops/array.rs:550-618. Relational = Spark's native pivot;
-    pass ``values`` when known to skip the extra distinct-scan job."""
+    pass ``values`` when known to skip the extra distinct-scan job.
+    ``order`` (r9): "first per cell" is DOCUMENT order — F.first over a
+    shuffled group is arbitrary; with an order column the cell winner
+    is an exact min_by."""
     p = df.groupBy(row).pivot(col, values) if values else df.groupBy(row).pivot(col)
-    return p.agg(F.first(val))
+    if order is None:
+        return p.agg(F.first(val))
+    o = F.col(order) if isinstance(order, str) else order
+    return p.agg(F.min_by(F.col(val), o))
 
 
 def explode_field(df: DataFrame, field: str, alias: str | None = None) -> DataFrame:
@@ -152,8 +184,23 @@ def explode_field(df: DataFrame, field: str, alias: str | None = None) -> DataFr
     return df.select(*others, F.explode(F.col(field)).alias(alias))
 
 
-def implode(df: DataFrame, field: str, group_cols: list[str] | None = None) -> DataFrame:
+def implode(df: DataFrame, field: str, group_cols: list[str] | None = None,
+            order: str | Column | None = None) -> DataFrame:
     """``implode(field)``: inverse of explode — collapse rows sharing all
-    other columns back into an array. Reference: ops/collection.rs:525-555."""
-    group_cols = group_cols or [c for c in df.columns if c != field]
-    return df.groupBy(*group_cols).agg(F.collect_list(F.col(field)).alias(field))
+    other columns back into an array. ``order`` (r9): sort each
+    collected array by the given column — collect_list arrival order is
+    arbitrary under multi-mapper shuffles, doc mode keeps pipeline
+    order. Reference: ops/collection.rs:525-555."""
+    group_cols = group_cols or [c for c in df.columns
+                                if c != field and not c.startswith("__ord")]
+    if order is None:
+        return df.groupBy(*group_cols).agg(
+            F.collect_list(F.col(field)).alias(field))
+    o = F.col(order) if isinstance(order, str) else order
+    # null elements wrap to a null STRUCT so collect_list still drops
+    # them — identical null semantics to the unordered path
+    wrapped = F.when(F.col(field).isNotNull(),
+                     F.struct(o.alias("__o"), F.col(field).alias("__v")))
+    arr = F.transform(F.array_sort(F.collect_list(wrapped)),
+                      lambda s: s["__v"])
+    return df.groupBy(*group_cols).agg(arr.alias(field))

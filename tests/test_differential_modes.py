@@ -93,9 +93,13 @@ _SCALAR_MID = st.sampled_from([
 ])
 
 # keyed-reducer sinks: doc mode returns an ordered object / winner row,
-# relational mode returns (key, value) rows — normalized before compare
+# relational mode returns (key, value) rows — normalized before compare.
+# r9 adds group_by/index_by: their per-key SEQUENCES / last-wins
+# winners read pipeline order, which the relational lowerings now
+# realize via sorted collects over a doc-order surrogate.
 _KEYED_SINK = st.sampled_from([
     ".count_by(g)", ".min_by(v)", ".max_by(v)", ".unique_by(g)",
+    ".group_by(g)", ".index_by(g)",
 ])
 _SINK = st.sampled_from([
     "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
@@ -227,6 +231,21 @@ def test_keyed_reducers_agree(spark, mids, sink):
     elif sink.startswith((".min_by", ".max_by")):
         doc_cmp = _norm([doc_out] if isinstance(doc_out, dict) else doc_out)
         assert doc_cmp == _norm(rel_out), expr
+    elif sink.startswith((".group_by", ".index_by")):
+        # doc: ordered {key: group-array / winner-row}; rel: rows of
+        # {key, value} (or ONE objrepr cell on a doc fallback). Key
+        # ORDER is not owed (same as count_by), but each group's
+        # SEQUENCE / each last-wins winner must match exactly — the r9
+        # ordered-collect contract.
+        def _j(v):
+            return json.dumps(v, sort_keys=True, default=float)
+        doc_cmp = sorted((k, _j(v)) for k, v in doc_out.items()) \
+            if isinstance(doc_out, dict) else []
+        if len(rel_out) == 1 and isinstance(rel_out[0], list):
+            rel_cmp = sorted((e["key"], _j(e["value"])) for e in rel_out[0])
+        else:
+            rel_cmp = sorted((r["key"], _j(r["value"])) for r in rel_out)
+        assert doc_cmp == rel_cmp, expr
     else:  # unique_by: same element multiset (first-wins keeps by g)
         assert _norm(doc_out) == _norm(rel_out), expr
 

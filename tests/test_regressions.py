@@ -672,3 +672,46 @@ def test_equi_join_subpipeline_arg_keeps_receiver_order(spark):
         flat = [r if len(r) > 1 else next(iter(r.values())) for r in got]
         want = doc if isinstance(doc, list) else [doc]
         assert flat == want, e
+
+
+def test_keyed_reducers_keep_pipeline_order_across_mappers(spark):
+    """Round-9: collect_list's element order is shuffle-ARRIVAL order —
+    deterministic-looking on one mapper (every earlier probe), arbitrary
+    under real multi-mapper exchanges — while doc mode keeps groups in
+    pipeline order and last-wins reducers pick the pipeline-last row.
+    group_by/index_by/implode/pivot/group_shape now sort collected
+    elements by a doc-order surrogate; also pinned: hidden __ord carry
+    columns no longer leak into group value structs. The 16-way
+    repartition forces the multi-mapper shuffle that falsified the
+    pre-r9 lowering."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 19997), "g": f"g{i % 3}"}
+            for i in range(2000)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(16)
+    tables = JetroTables(spark, {"s": t})
+
+    e = "$.s.sort(-v).group_by(g)"
+    doc = jt.collect(e)
+    rel = tables.query(e).collect()
+    assert {k: [x["k"] for x in v] for k, v in doc.items()} == \
+        {r["key"]: [x["k"] for x in r["value"]] for r in rel}
+
+    e2 = "$.s.sort(-v).index_by(g)"
+    doc2 = jt.collect(e2)
+    rel2 = tables.query(e2).collect()
+    assert {k: v["k"] for k, v in doc2.items()} == \
+        {r["key"]: r["value"]["k"] for r in rel2}
+
+    e3 = "$.s.sort(v).map({g: g, k: k}).implode(k)"
+    doc3 = sorted((d["g"], tuple(d["k"])) for d in jt.collect(e3))
+    rel3 = sorted((r["g"], tuple(r["k"]))
+                  for r in tables.query(e3).collect())
+    assert doc3 == rel3
+
+    # hidden-carry leak: value structs stay (k, g) only
+    sch = tables.query(
+        '$.s.sort(-v).map({k: k, g: g}).group_by(g)').schema.simpleString()
+    assert "__ord" not in sch
