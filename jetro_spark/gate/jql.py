@@ -26,6 +26,20 @@ def _q(expr: str):
     return fn
 
 
+def _flatten_groups(expr: str):
+    """Run a group_by jql expression and flatten (key, value-array) to
+    scalar-typed (key, pos, okey) rows — pos pins the within-group
+    ORDER so the driver hash checks the r9 sorted-collect contract."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir, register=False)
+        df = JetroTables(spark, tables).query(expr)
+        return (df.select("key", F.posexplode("value").alias("pos", "e"))
+                .select("key", F.col("pos").cast("long").alias("pos"),
+                        F.col("e.o_orderkey").alias("okey")))
+    fn.__doc__ = f"jql (flattened groups): {expr}"
+    return fn
+
+
 def q_jql_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-document engine (JetroEngine analog): one JSON document per
     orders row, ONE compiled plan over the whole DataFrame — document
@@ -185,6 +199,13 @@ QUERIES = {
     "jql_map_max": _q("$.orders.map(o_totalprice).max()"),
     # keyed reducer (stringified key, jetro object semantics)
     "jql_count_by": _q("$.orders.count_by(o_orderpriority)"),
+    # r9 ordered group collect: group sequences are PIPELINE order
+    # (sorted by the unique o_orderkey so the order is oracle-exact);
+    # flattened via posexplode because gate outputs are scalar-typed —
+    # pos IS the order contract the r9 sorted-collect realizes
+    "jql_group_by": _flatten_groups(
+        "$.orders.filter(o_totalprice > 150000).sort(-o_orderkey)"
+        ".group_by(o_orderpriority)"),
     # comprehension → filter+project without materialization
     "jql_comprehension": _q(
         "[o.o_orderkey for o in $.orders if o.o_totalprice > 150000]"),
@@ -378,6 +399,13 @@ ORACLES = {
     "jql_count_by": """
         SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS value
         FROM orders GROUP BY o_orderpriority
+    """,
+    "jql_group_by": """
+        SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey DESC) - 1 AS pos,
+               o_orderkey AS okey
+        FROM orders WHERE o_totalprice > 150000
     """,
     "jql_comprehension": """
         SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
