@@ -102,6 +102,9 @@ HEADLINE = [
     "jql_sort_take",
     "jql_equi_join",
     "jql_count_by",
+    # r09: ordered group collect through the JQL compiler (doc-order
+    # surrogate + per-group array sort — the pipeline-order contract)
+    "jql_group_by",
 ]
 
 
