@@ -1581,6 +1581,31 @@ def q_temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["temp_mixture"] = q_temp_mixture
 
+def q_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: cross-source n-gram overlap matrix — distinct 3-grams shared
+    by each unordered source pair. Gram group-sets are bounded by the
+    number of groups, so the per-gram pair explosion is ≤ C(G,2)."""
+    return TX.gram_overlap_matrix(_docs(spark, sf_dir), "source", n=3)
+
+
+QUERIES["gram_overlap"] = q_gram_overlap
+
+_GRAMS3 = ("[array_to_string(toks[i:i+2], ' ') "
+           "for i in generate_series(1, greatest(len(toks) - 2, 0))]")
+
+ORACLES["gram_overlap"] = f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT DISTINCT source AS grp, tok FROM (
+        SELECT source, unnest(list_distinct({_GRAMS3})) AS tok FROM t)
+    )
+    SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS n_shared
+    FROM g a JOIN g b ON a.tok = b.tok AND a.grp < b.grp
+    GROUP BY 1, 2
+"""
+
+
 def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: PII redaction — every third doc gets a synthetic email +
     phone appended (doc_id-derived, both engines build the same text),

@@ -486,6 +486,44 @@ def decontaminate(corpus, bench, **kw):
         .drop("n_overlap", "contaminated")
 
 
+def gram_overlap_matrix(df, group_col: str = "source",
+                        text_col: str = "text", *, n: int = 3):
+    """Cross-group n-gram overlap matrix (r9): for every UNORDERED pair
+    of groups (a < b), how many distinct word n-grams appear in BOTH —
+    the corpus-level contamination/diversity instrument (e.g. how much
+    a crawl slice shares with a curated slice, or train-source overlap
+    before mixing; the pairwise generalization of decontaminate's
+    corpus-vs-benchmark flags).
+
+    Returns ``(src_a, src_b, n_shared)`` with src_a < src_b.
+
+    Scale shape: grams reduce to DISTINCT (gram-hash, group) pairs with
+    map-side combine; one groupBy(gram) collects the gram's GROUP SET —
+    bounded by the number of groups G (tens), never by corpus size — so
+    the pair explosion per gram is ≤ C(G,2) rows, aggregated
+    immediately. No all-pairs over documents, no gram strings past the
+    first exchange (64-bit xxhash identity, the dedup_exact argument).
+    """
+    gg = (df.select(F.col(group_col).alias("__grp"),
+                    F.explode(F.array_distinct(
+                        word_ngrams(F.col(text_col), n))).alias("__g"))
+          .select("__grp", F.xxhash64("__g").alias("__h"))
+          .distinct())
+    sets = gg.groupBy("__h").agg(
+        F.array_sort(F.collect_set("__grp")).alias("__gs"))
+    pairs = (sets.filter(F.size("__gs") >= 2)
+             .select(F.explode(let_(
+                 F.col("__gs"),
+                 lambda gs: F.flatten(F.transform(
+                     gs, lambda a, i: F.transform(
+                         F.slice(gs, i + 2, F.size(gs)),
+                         lambda b: F.struct(a.alias("a"), b.alias("b")))))
+             )).alias("__p")))
+    return (pairs.groupBy(F.col("__p.a").alias("src_a"),
+                          F.col("__p.b").alias("src_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 def junk_ratio(c: Column) -> Column:
     """Fraction of characters that are control chars (C0 minus
     tab/newline/CR) or U+FFFD replacement characters — the

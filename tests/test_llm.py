@@ -885,3 +885,16 @@ def test_pii_mask(spark):
     assert got[1] == "call <PHONE> or <PHONE> now"
     assert got[2] == "<EMAIL>"          # NOT "<EMAIL>...<PHONE>" debris
     assert got[3] == "no pii here at all"
+
+
+def test_gram_overlap_matrix(spark):
+    """r9: unordered pair counts of DISTINCT shared word n-grams; a
+    gram appearing in 3 groups contributes to all 3 pairs once."""
+    df = spark.createDataFrame(
+        [("a", "x y z w"), ("a", "x y z q"),      # dup gram within group
+         ("b", "x y z k"), ("c", "x y h k"), ("c", "p q r s")],
+        "source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["n_shared"]
+           for r in TX.gram_overlap_matrix(df, "source", n=3).collect()}
+    # 3-grams: a: {xyz, yzw, yzq}; b: {xyz, yzk}; c: {xyh, yhk, pqr, qrs}
+    assert got == {("a", "b"): 1}
