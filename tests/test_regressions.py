@@ -715,3 +715,28 @@ def test_keyed_reducers_keep_pipeline_order_across_mappers(spark):
     sch = tables.query(
         '$.s.sort(-v).map({k: k, g: g}).group_by(g)').schema.simpleString()
     assert "__ord" not in sch
+
+
+def test_pivot_and_group_shape_order_across_mappers(spark):
+    """Round-9 companions to the keyed-reducer order fix: pivot's
+    last-wins winner and group_shape's per-key sequence must be
+    pipeline-order-exact under a multi-mapper shuffle."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 19997), "g": f"g{i % 3}"}
+            for i in range(2000)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(16)
+    tables = JetroTables(spark, {"s": t})
+
+    e = "$.s.sort(v).pivot(g, k)"
+    doc = jt.collect(e)
+    r = tables.query(e).collect()[0]
+    assert doc == dict(r["pivot"])
+
+    e2 = "$.s.sort(-v).group_shape(x => x.g, a => a.map(k))"
+    doc2 = jt.collect(e2)
+    rel2 = {row["key"]: list(row["value"])
+            for row in tables.query(e2).collect()}
+    assert {k: list(v) for k, v in doc2.items()} == rel2
