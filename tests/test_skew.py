@@ -221,3 +221,36 @@ def test_weighted_sample_degenerate_stratum(spark):
     assert counts["hot"] == k
     assert all(v == k for s, v in counts.items())
     assert len(counts) == 8  # hot + s0..s6
+
+
+def test_ngram_lm_hot_bigram_and_bm25_hot_term(spark):
+    """One boilerplate bigram owns ~half the bigram stream (ngram_lm's
+    count tables and occurrence join see a degenerate key) and one
+    query term matches ~every document (bm25's postings shuffle sees a
+    degenerate term). Both must complete with partition-layout-
+    invariant results at 10^6-token scale."""
+    from jetro_spark.llm.ranking import bm25_scores, ngram_lm_score
+
+    m = 40_000
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        # every doc: 12 boilerplate tokens (11 identical hot bigrams
+        # per doc = ~half the stream) + 12 unique-ish tail tokens
+        F.concat(F.lit("the " * 12),
+                 F.concat_ws(" ", *[
+                     F.concat(F.lit(f"w{j}u"), F.col("id") % 971)
+                     for j in range(12)])).alias("text"))
+
+    lm = ngram_lm_score(docs, alpha=0.1)
+    lm2 = ngram_lm_score(docs.repartition(64), alpha=0.1)
+    assert _checksum(lm) == _checksum(lm2)
+    assert lm.filter(F.col("lm_score").isNull()).count() == 0
+
+    bm = bm25_scores(docs, ["the", "w0u17"], top_k=25)
+    bm2 = bm25_scores(docs.repartition(64), ["the", "w0u17"], top_k=25)
+    assert _checksum(bm) == _checksum(bm2)
+    # the hot term matches every doc; the rare term decides the top-k:
+    # top-k docs must all contain the rare term (doc_id % 971 == 17)
+    assert bm.count() == 25
+    rare_in_topk = bm.filter(F.col("doc_id") % 971 == 17).count()
+    assert rare_in_topk == 25
