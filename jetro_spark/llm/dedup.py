@@ -584,22 +584,63 @@ def dedup_spans_global(
                          & (F.col("__g_pos") == F.col("__own.i")))))
     covered = (dup_occ
                .select(F.col(id_col),
-                       F.explode(F.sequence(
-                           F.col("__g_pos"),
-                           F.col("__g_pos") + (n - 1))).alias("__t_idx"))
-               .distinct())
-    tl = df.select(F.col(id_col),
-                   F.posexplode(toks).alias("__t_idx", "__t"))
-    kept = tl.join(covered, [id_col, "__t_idx"], "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.concat_ws(" ", F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("__t_idx", "__t"))),
-                        lambda s: s["__t"])).alias("text_dedup"),
-                    F.count(F.lit(1)).alias("__nk")))
-    return (df.select(F.col(id_col), F.size(toks).alias("__nt"))
-            .join(rebuilt, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-                    F.coalesce("__nk", F.lit(0)).cast("int").alias("n_kept"),
-                    F.col("__nt").cast("int").alias("n_tokens")))
+                       F.struct(F.col("__g_pos").alias("s"),
+                                (F.col("__g_pos") + (n - 1)).alias("e"))
+                       .alias("__iv")))
+    # r9 rebuild: per-doc COVERED INTERVALS instead of exploding every
+    # token of the corpus. The r8 tail posexploded the whole token
+    # stream, anti-joined it against n-expanded covered indices, and
+    # re-collected per doc — three more corpus-token-sized exchanges.
+    # Now exchange 3 carries ONE row per duplicated occurrence
+    # (proportional to text being removed), and the rebuild is
+    # row-local: merge the sorted intervals (each fold step touches the
+    # merged list, which stays small — consecutive duplicated grams
+    # collapse into one run), then concatenate the complement slices.
+    spans = (covered.groupBy(id_col)
+             .agg(F.array_sort(F.collect_list("__iv")).alias("__ivs")))
+    empty_iv = F.array().cast("array<struct<s:int,e:int>>")
+    empty_tk = F.array().cast("array<string>")
+
+    def merge_ivs(ivs: Column) -> Column:
+        def step(acc, iv):
+            last = F.element_at(acc, F.size(acc))
+            return (F.when(F.size(acc) == 0, F.array(iv))
+                    .when(iv["s"] > last["e"] + 1, F.concat(acc, F.array(iv)))
+                    .otherwise(F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.struct(
+                            last["s"].alias("s"),
+                            F.greatest(last["e"], iv["e"]).alias("e"))))))
+        return F.aggregate(ivs, empty_iv, step)
+
+    def kept_tokens(tk: Column, merged: Column) -> Column:
+        # cursor walk over merged disjoint intervals: emit the gap
+        # before each, then the tail after the last
+        zero = F.struct(F.lit(0).alias("cur"), empty_tk.alias("acc"))
+
+        def step(st, iv):
+            gap = F.when(iv["s"] > st["cur"],
+                         F.slice(tk, st["cur"] + 1, iv["s"] - st["cur"])
+                         ).otherwise(empty_tk)
+            return F.struct(
+                F.greatest(st["cur"], iv["e"] + 1).alias("cur"),
+                F.concat(st["acc"], gap).alias("acc"))
+
+        def fin(st):
+            tail = F.when(F.size(tk) > st["cur"],
+                          F.slice(tk, st["cur"] + 1,
+                                  F.size(tk) - st["cur"])).otherwise(empty_tk)
+            return F.concat(st["acc"], tail)
+
+        return F.aggregate(merged, zero, step, fin)
+
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    joined = base.join(spans, id_col, "left")
+    kept = let_(F.col("__tk"), lambda tk: let_(
+        merge_ivs(F.coalesce(F.col("__ivs"), empty_iv)),
+        lambda merged: kept_tokens(tk, merged)))
+    return joined.select(
+        F.col(id_col),
+        let_(kept, lambda k: F.concat_ws(" ", k)).alias("text_dedup"),
+        let_(kept, lambda k: F.size(k)).cast("int").alias("n_kept"),
+        F.size("__tk").cast("int").alias("n_tokens"))
