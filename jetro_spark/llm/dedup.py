@@ -469,15 +469,21 @@ def dedup_lines_global(
     Returns (id, text_dedup, n_kept, n_lines) — the rebuilt text plus
     kept/total line counts for filtering downstream.
 
-    Scale shape (100 TB): three shuffles, all skew-safe —
-    1. owner election groups by (xxhash64(line), line): map-side
-       partial aggregation collapses hot lines (empty lines,
-       boilerplate) BEFORE the shuffle, so a line owning half the
-       corpus ships once per input partition, not once per occurrence;
-    2. occurrence join back on the same key: per-hash buckets, string
-       equality only disambiguates inside a bucket (exact even under a
-       64-bit collision), AQE splits residual hot buckets;
-    3. document rebuild groups by id (bounded by lines-per-doc).
+    Scale shape (100 TB): three shuffles, all skew-safe, none carrying
+    line TEXT (r9 — previously line strings rode the election AND the
+    whole kept-line stream rode the rebuild):
+    1. min_chars-exempt lines are dropped at the SCAN (they can never
+       be removed, and empty/short boilerplate lines were the hottest
+       election keys); survivors reduce to a 128-bit fingerprint (two
+       independent xxhash64 seeds — the dedup_spans collision
+       argument), so the election groups 16-byte keys with map-side
+       partials collapsing hot lines before the exchange;
+    2. occurrence join back per fingerprint, AQE splitting residual
+       hot buckets, filtered to NON-owner occurrences of duplicated
+       lines only — rows proportional to text being REMOVED;
+    3. removed line-INDEX sets group by id (small arrays); the rebuild
+       is a row-local index filter over the doc's own split — the
+       corpus's kept text never re-shuffles.
     No all-pairs anywhere; Python never touches the data.
     """
     # \Q...\E so `sep` is literal (Spark's split takes a Java regex);
@@ -485,34 +491,35 @@ def dedup_lines_global(
     parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
     lines = df.select(F.col(id_col),
                       F.posexplode(parts).alias("__ln_idx", "__ln"))
-    keyed = lines.withColumn("__ln_h", F.xxhash64("__ln"))
-    # owners share keyed's lineage — alias both sides or the self-join
-    # hash condition resolves trivially-true and drops out of the key
-    owners = (keyed.groupBy("__ln_h", "__ln")
+    keyed = (lines.filter(F.length("__ln") >= min_chars)
+             .select(F.col(id_col), "__ln_idx",
+                     F.xxhash64("__ln").alias("__h1"),
+                     F.xxhash64(F.lit(0x9E3779B9), "__ln").alias("__h2")))
+    owners = (keyed.groupBy("__h1", "__h2")
               .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                   F.col("__ln_idx").alias("i")))
-                   .alias("__own"))
-              .select(F.col("__ln_h").alias("__own_h"),
-                      F.col("__ln").alias("__own_ln"),
-                      "__own"))
-    kept = (keyed.join(owners,
-                       (F.col("__ln_h") == F.col("__own_h"))
-                       & (F.col("__ln") == F.col("__own_ln")))
-            .filter((F.length("__ln") < min_chars)
-                    | ((F.col(id_col) == F.col("__own.d"))
-                       & (F.col("__ln_idx") == F.col("__own.i")))))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.concat_ws(sep, F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("__ln_idx", "__ln"))),
-                        lambda s: s["__ln"])).alias("text_dedup"),
-                    F.count(F.lit(1)).alias("__nk")))
-    return (df.select(F.col(id_col), F.size(parts).alias("__nl"))
-            .join(rebuilt, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-                    F.coalesce("__nk", F.lit(0)).cast("int").alias("n_kept"),
-                    F.col("__nl").cast("int").alias("n_lines")))
+                   .alias("__own"),
+                   F.count(F.lit(1)).alias("__cnt"))
+              .filter(F.col("__cnt") > 1)
+              .select(F.col("__h1").alias("__own_h1"),
+                      F.col("__h2").alias("__own_h2"), "__own"))
+    removed = (keyed.join(owners,
+                          (F.col("__h1") == F.col("__own_h1"))
+                          & (F.col("__h2") == F.col("__own_h2")))
+               .filter(~((F.col(id_col) == F.col("__own.d"))
+                         & (F.col("__ln_idx") == F.col("__own.i"))))
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_set("__ln_idx")).alias("__rm")))
+    empty_ix = F.array().cast("array<int>")
+    joined = (df.select(F.col(id_col), parts.alias("__ps"))
+              .join(removed, id_col, "left"))
+    kept = let_(F.coalesce(F.col("__rm"), empty_ix), lambda rm: F.filter(
+        F.col("__ps"), lambda p, i: ~F.array_contains(rm, i)))
+    return joined.select(
+        F.col(id_col),
+        let_(kept, lambda k: F.concat_ws(sep, k)).alias("text_dedup"),
+        let_(kept, lambda k: F.size(k)).cast("int").alias("n_kept"),
+        F.size("__ps").cast("int").alias("n_lines"))
 
 
 def dedup_spans_global(

@@ -194,18 +194,21 @@ def test_range_join_is_hash_join_on_bins(plans):
 
 
 def test_dedup_spans_exchanges_never_carry_gram_text(plans):
-    """r9: dedup_spans elects owners on a 128-bit gram fingerprint —
-    the n-token gram STRING must be projected away before ANY exchange
-    (r8 shuffled ~n x corpus bytes of gram text through the election).
-    Every Exchange's output schema in the plan must be __g-free."""
-    p = plans["dedup_spans"]
-    offenders = [
-        line.strip()[:140] for line in p.splitlines()
-        if line.strip().lstrip(":+- ").startswith(
-            ("Exchange ", "HashAggregate", "SortAggregate",
-             "ObjectHashAggregate", "SortMergeJoin", "BroadcastHashJoin",
-             "ShuffledHashJoin"))
-        and "__g#" in line]
-    assert offenders == [], offenders
-    # the fingerprint keys ARE what shuffles / joins
-    assert "__h1" in p and "__h2" in p
+    """r9: dedup_spans and dedup_lines elect owners on a 128-bit
+    fingerprint — the gram/line STRING must be projected away before
+    ANY exchange (r8 shuffled ~n x corpus bytes of gram text through
+    the election, and the whole kept-line stream through the line
+    rebuild). Every Exchange/aggregate/join line must be text-free."""
+    for name, marker in (("dedup_spans", "__g#"),
+                         ("dedup_lines", "__ln#")):
+        p = plans[name]
+        offenders = [
+            line.strip()[:140] for line in p.splitlines()
+            if line.strip().lstrip(":+- ").startswith(
+                ("Exchange ", "HashAggregate", "SortAggregate",
+                 "ObjectHashAggregate", "SortMergeJoin",
+                 "BroadcastHashJoin", "ShuffledHashJoin"))
+            and marker in line]
+        assert offenders == [], (name, offenders)
+        # the fingerprint keys ARE what shuffles / joins
+        assert "__h1" in p and "__h2" in p, name
