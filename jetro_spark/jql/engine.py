@@ -448,7 +448,7 @@ def _keeps_scan_order(step) -> bool:
 # conservatively treated as an order CONSUMER.
 _ORDER_BLIND = {"map", "filter", "count_by", "sum", "avg", "min", "max",
                 "len", "count", "any", "all", "approx_count_distinct",
-                "includes", "compact", "equi_join", "explode", "implode"}
+                "includes", "compact", "equi_join", "explode"}
 
 
 def _order_blind(step) -> bool:
@@ -1346,10 +1346,22 @@ class JetroTables:
                 return None
             fld = _name_str(args[0].value)
             d2, go = doc_ord()
-            return R.implode(d2, fld,
-                             group_cols=[c2 for c2 in _vis_cols(df)
-                                         if c2 != fld],
-                             order=go)
+            # implode's OUTPUT ROW ORDER is doc-observable too: groups
+            # appear in first-occurrence order, and a downstream
+            # positional stage reads it (r9 fuzz catch: implode(v)
+            # .first() returned a shuffle-arbitrary group). Restore it
+            # via min(doc-order) per group — skipped when the tail is
+            # order-blind, like equi_join's receiver-order sort.
+            tail_reads = getattr(self, "_tail_reads_order", True)
+            imp_ord = f"__ord_imp{self._sort_seq}" if tail_reads else None
+            out = R.implode(d2, fld,
+                            group_cols=[c2 for c2 in _vis_cols(df)
+                                        if c2 != fld],
+                            order=go, emit_order=imp_ord)
+            if not tail_reads:
+                return out
+            self._order = [(F.col(imp_ord), False)]
+            return out.orderBy(F.col(imp_ord).asc())
         if name == "pivot":
             # pivot keys stringify via val_to_key like every other
             # keyed reducer (pivot_apply keys an IndexMap) — render

@@ -185,11 +185,14 @@ def explode_field(df: DataFrame, field: str, alias: str | None = None) -> DataFr
 
 
 def implode(df: DataFrame, field: str, group_cols: list[str] | None = None,
-            order: str | Column | None = None) -> DataFrame:
+            order: str | Column | None = None,
+            emit_order: str | None = None) -> DataFrame:
     """``implode(field)``: inverse of explode — collapse rows sharing all
     other columns back into an array. ``order`` (r9): sort each
     collected array by the given column — collect_list arrival order is
     arbitrary under multi-mapper shuffles, doc mode keeps pipeline
+    order. ``emit_order`` additionally outputs min(order) per group so
+    the caller can restore the doc-observable first-occurrence GROUP
     order. Reference: ops/collection.rs:525-555."""
     group_cols = group_cols or [c for c in df.columns
                                 if c != field and not c.startswith("__ord")]
@@ -203,4 +206,7 @@ def implode(df: DataFrame, field: str, group_cols: list[str] | None = None,
                      F.struct(o.alias("__o"), F.col(field).alias("__v")))
     arr = F.transform(F.array_sort(F.collect_list(wrapped)),
                       lambda s: s["__v"])
-    return df.groupBy(*group_cols).agg(arr.alias(field))
+    aggs = [arr.alias(field)]
+    if emit_order is not None:
+        aggs.append(F.min(o).alias(emit_order))
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -64,6 +64,12 @@ _MID = st.sampled_from([
     # sides, right-wins merge; combined with the tie-making patch
     # stages below this makes post-join tie-breaks observable.
     '.equi_join($.u, "k", "k")',
+    # r9 ordered-collect lowerings as MID stages: implode collapses
+    # rows sharing the other fields into a pipeline-ordered array and
+    # explode undoes it — a shape round-trip that must keep sequence
+    # and element fidelity in both modes
+    ".map({g: g, v: v}).implode(v)",
+    ".map({g: g, v: v}).implode(v).explode(v)",
     ".map(patch @ {v: @ * 2.0})",
     ".map(patch @ {g: DELETE})",
     ".map(patch @ {v: 0.0 when @.v > 40.0})",
