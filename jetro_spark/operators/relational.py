@@ -154,10 +154,16 @@ def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = Non
         else F.monotonically_increasing_id()
     d = df.withColumn("__ord", o)
     winners = d.groupBy(F.col(key).alias("__k")).agg(
-        F.max_by(F.col(value), F.col("__ord")).alias("__v")
+        F.max_by(F.col(value), F.col("__ord")).alias("__v"),
+        # doc pivot keys an IndexMap: entry ORDER is first-seen key
+        # order (r9 — collect_list arrival order was arbitrary)
+        F.min(F.col("__ord")).alias("__fo"),
     )
+    entries = F.transform(
+        F.array_sort(F.collect_list(F.struct("__fo", "__k", "__v"))),
+        lambda s: F.struct(s["__k"].alias("__k"), s["__v"].alias("__v")))
     return winners.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("__k", "__v"))).alias("pivot")
+        F.map_from_entries(entries).alias("pivot")
     )
 
 
