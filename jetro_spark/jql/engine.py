@@ -948,13 +948,18 @@ class JetroTables:
         def key_col(node):
             n2, desc = node, False
             if isinstance(n2, A.Neg):
+                # direct `sort(-key)` is the documented DESCENDING
+                # syntax (purely syntactic — works on any key type)
                 n2, desc = n2.expr, True
             if isinstance(n2, A.Lambda):
-                body = n2.body
-                if isinstance(body, A.Neg):
-                    body, desc = body.expr, not desc
+                # a LAMBDA body is an expression evaluated per element:
+                # `x => -x.v` really negates (r9 soak catch — stripping
+                # the Neg silently desc-sorted non-numeric keys that
+                # doc mode type-errors on, e.g. an imploded array).
+                # For numeric keys, asc-by-negated ≡ desc, so nothing
+                # changes where it was valid.
                 env2 = env.bind(n2.params[0], elem_tc())
-                return c.compile(body, env2).col, desc
+                return c.compile(n2.body, env2).col, desc
             col = c.compile(n2, env).col
             return col, desc
 
@@ -1317,6 +1322,19 @@ class JetroTables:
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
+            lk, rk = _lit_str(args[1].value), _lit_str(args[2].value)
+            # a MISSING key field is a per-row null lookup in doc mode
+            # (equi_join_apply: null keys drop), so the join is empty —
+            # synthesize a typed null key instead of failing analysis
+            # (r9 soak catch: implode(v).equi_join(...) raised where
+            # doc mode returned the empty result)
+            if lk not in _vis_cols(df):
+                dt2 = (other.schema[rk].dataType if rk in other.columns
+                       else T.StringType())
+                df = df.withColumn(lk, F.lit(None).cast(dt2))
+            if rk not in other.columns:
+                dt2 = df.schema[lk].dataType
+                other = other.withColumn(rk, F.lit(None).cast(dt2))
             # equi_join_apply walks the RECEIVER in order (array.rs:
             # 489-548) and each receiver row yields ≤1 output row, so
             # the receiver's order IS the output's document order. When
@@ -1331,8 +1349,7 @@ class JetroTables:
             # jql_equi_join +104% under the last-stage-only hint).
             if order is None and tail_reads:
                 df, order = self._maybe_scan_order(df, order)
-            out = R.equi_join(df, other, _lit_str(args[1].value),
-                              _lit_str(args[2].value))
+            out = R.equi_join(df, other, lk, rk)
             if order is None:
                 return out
             # restore the pipeline order the join shuffle destroyed so

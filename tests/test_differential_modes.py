@@ -217,11 +217,28 @@ def _table_u(spark):
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=2), _KEYED_SINK)
 def test_keyed_reducers_agree(spark, mids, sink):
+    from jetro_spark.jql.compiler import CompileError
+
     expr = "$.s.sort(k)" + "".join(mids) + sink
     jt = Jetro.from_value(spark, DOC)
-    doc_out = jt.collect(expr)
-    rel_out = _rel_result(JetroTables(
-        spark, {"s": _table(spark), "u": _table_u(spark)}).query(expr))
+    # ill-typed combinations (e.g. implode(v).union($.u) — array vs
+    # double field) must error CONTROLLED in both modes, like the main
+    # differential test treats them
+    doc_err = rel_err = False
+    doc_out = rel_out = None
+    try:
+        doc_out = jt.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        rel_out = _rel_result(JetroTables(
+            spark, {"s": _table(spark), "u": _table_u(spark)}).query(expr))
+    except CompileError:
+        rel_err = True
+    assert doc_err == rel_err, (
+        f"one-sided error for {expr!r}: doc_err={doc_err} rel_err={rel_err}")
+    if doc_err:
+        return
 
     if sink.startswith(".count_by"):
         # doc: ordered {key: n} object ([] when the pipeline is empty);
