@@ -2358,10 +2358,35 @@ def _skips_numeric_fold(dt: T.DataType | None) -> bool:
     return _family(dt) in ("string", "bool", "object", "array")
 
 
+def _numfold_vals(vals: Column, dt: T.DataType | None):
+    """num_fold's runtime leg for VARIANT elements (r9 soak catch):
+    the strict `cast(double)` THREW on a variant holding an array/
+    object (INVALID_VARIANT_CAST) where num_fold silently SKIPS every
+    non-numeric element — kind-dispatch each element and null out the
+    skipped kinds (nulls are compacted by the aggregate)."""
+    if isinstance(dt, T.VariantType):
+        from jetro_spark.functions.arrays import let_
+
+        def numeric_or_null(x):
+            # one schema_of_variant eval per element (let_-bound — HOF
+            # lambdas have no CSE; vkind's when-chain re-evaluated it
+            # ~5x and cost bl_q8 +44%): numeric = not any non-numeric
+            # family. Variant-null try_casts to null anyway.
+            return let_(F.schema_of_variant(x), lambda s: F.when(
+                ~(s.startswith("ARRAY") | s.startswith("OBJECT")
+                  | s.startswith("STRUCT") | (s == "STRING")
+                  | (s == "BOOLEAN")),
+                x.try_cast(T.DoubleType())))
+
+        return F.transform(vals, numeric_or_null), T.DoubleType()
+    return vals, dt
+
+
 def m_sum(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
         return TC(F.lit(0.0), T.DoubleType())  # every element skipped
+    vals, dt = _numfold_vals(vals, dt)
     return TC(AR.sum_(vals), T.DoubleType())
 
 
@@ -2369,6 +2394,7 @@ def m_avg(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
         return TC(F.lit(None), T.NullType())  # n_obs == 0 → op.empty()
+    vals, dt = _numfold_vals(vals, dt)
     return TC(AR.avg(vals), T.DoubleType())
 
 
