@@ -2157,6 +2157,17 @@ def m_union(self, recv, args, env):
     return TC(AR.union(recv.col, other.col), recv.dtype)
 
 
+def _const_over(recv: TC, c: Column, dt: T.DataType) -> TC:
+    """Constant result that still EVALUATES the receiver: reference
+    pipelines are eager, so an ill-typed receiver errors even when the
+    probe's cross-kind answer is known at compile time (r9 soak catch:
+    a compile-time-false includes() DISCARDED the receiver subtree and
+    masked an ill-typed sort in doc mode, while relational mode
+    analyzes each stage eagerly — one-sided error)."""
+    from jetro_spark.functions.core import let_
+    return TC(let_(recv.col, lambda _: c), dt)
+
+
 def _membership(recv: TC, v: TC) -> TC:
     """Total membership with the reference's includes semantics
     (ops/misc.rs:129-151 includes_apply): strings check substring,
@@ -2177,19 +2188,19 @@ def _membership(recv: TC, v: TC) -> TC:
                   T.BooleanType())
     if isinstance(recv.dtype, T.MapType):
         if vf not in ("string", "unknown", "variant"):
-            return TC(F.lit(False), T.BooleanType())
+            return _const_over(recv, F.lit(False), T.BooleanType())
         return TC(F.coalesce(F.map_contains_key(recv.col, v.col),
                              F.lit(False)), T.BooleanType())
     if isinstance(recv.dtype, T.StructType):
         if vf not in ("string", "unknown", "variant"):
-            return TC(F.lit(False), T.BooleanType())
+            return _const_over(recv, F.lit(False), T.BooleanType())
         names = F.array(*[F.lit(f.name) for f in recv.dtype.fields])
         return TC(F.coalesce(F.array_contains(names, v.col.cast("string")),
                              F.lit(False)), T.BooleanType())
     if is_objrepr(recv.dtype):
         # ordered-object repr (group_by/count_by output): key membership
         if vf not in ("string", "unknown", "variant"):
-            return TC(F.lit(False), T.BooleanType())
+            return _const_over(recv, F.lit(False), T.BooleanType())
         return TC(F.coalesce(
             F.exists(recv.col,
                      lambda x: x.getField("key").eqNullSafe(v.col)),
@@ -2197,7 +2208,7 @@ def _membership(recv: TC, v: TC) -> TC:
     el = _elem(recv)
     if el is not None:
         if not eq_comparable(el, v.dtype):
-            return TC(F.lit(False), T.BooleanType())
+            return _const_over(recv, F.lit(False), T.BooleanType())
         if _cross_renders(el, v.dtype):
             # canonical-string comparison (val_to_key) — Spark's native
             # coercion would ANSI-cast the string side and throw
@@ -2272,7 +2283,7 @@ def m_index_of(self, recv, args, env):
         return TC(S.index_of(recv.col, _const_str(args, 0)), T.LongType())
     v = self.compile(args[0].value, env)
     if _index_absent(recv, v):
-        return TC(F.lit(-1).cast("long"), T.LongType())
+        return _const_over(recv, F.lit(-1).cast("long"), T.LongType())
     return TC(AR.index(recv.col, _reorder_struct_probe(v, _elem(recv))),
               T.LongType())
 
@@ -2283,7 +2294,7 @@ def m_last_index_of(self, recv, args, env):
     # array variant: last 0-based index of value, -1 when absent
     v = self.compile(args[0].value, env)
     if _index_absent(recv, v):
-        return TC(F.lit(-1).cast("long"), T.LongType())
+        return _const_over(recv, F.lit(-1).cast("long"), T.LongType())
     idx = F.array_max(
         AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))))
     return TC(F.coalesce(idx, F.lit(-1).cast("long")), T.LongType())
@@ -2293,7 +2304,8 @@ def m_indices_of(self, recv, args, env):
     v = self.compile(args[0].value, env)
     if _index_absent(recv, v):
         # cross-kind probe: no position ever matches (vals_eq totality)
-        return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
+        return _const_over(recv, F.array().cast("array<long>"),
+                           T.ArrayType(T.LongType()))
     return TC(AR.indices_of(recv.col, _reorder_struct_probe(v, _elem(recv))),
               T.ArrayType(T.LongType()))
 

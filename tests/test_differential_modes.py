@@ -123,6 +123,25 @@ def _norm(x):
     return sorted(json.dumps(e, sort_keys=True, default=float) for e in x)
 
 
+def _assert_same_multiset(doc_out, rel_out, expr):
+    """Multiset compare with the single-field-object fallback: the
+    relational result unwraps 1-column rows (it cannot distinguish a
+    one-field OBJECT pipeline — e.g. after patch DELETEd every other
+    field — from a scalar pipeline), so when the plain compare fails
+    and every doc element is a single-field dict, compare the field
+    VALUES instead."""
+    if _norm(doc_out) == _norm(rel_out):
+        return
+    if (isinstance(doc_out, list) and doc_out
+            and all(isinstance(e, dict) and len(e) == 1 for e in doc_out)):
+        unwrapped = [next(iter(e.values())) for e in doc_out]
+        assert _norm(unwrapped) == _norm(rel_out), (
+            f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+        return
+    assert _norm(doc_out) == _norm(rel_out), (
+        f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+
+
 def _canon_cell(v):
     """Nested Row/list cells (the doc-fallback's single `value` column
     can hold a struct or an objrepr array) → plain dicts/lists."""
@@ -198,8 +217,7 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
                 ".sum()", ".count()", ".find_index(x => x > 40)",
                 ".includes(74.0)", ".index_of(74.0)", ".includes({q: 1})"):
         doc_out = [doc_out]
-    assert _norm(doc_out) == _norm(rel_out), (
-        f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+    _assert_same_multiset(doc_out, rel_out, expr)
 
 
 def _table(spark):
@@ -253,7 +271,15 @@ def test_keyed_reducers_agree(spark, mids, sink):
         assert doc_cmp == rel_cmp, expr
     elif sink.startswith((".min_by", ".max_by")):
         doc_cmp = _norm([doc_out] if isinstance(doc_out, dict) else doc_out)
-        assert doc_cmp == _norm(rel_out), expr
+        rel_cmp = _norm(rel_out)
+        if (doc_cmp != rel_cmp and isinstance(doc_out, dict)
+                and len(doc_out) == 1):
+            # a SINGLE-FIELD winner object (e.g. after patch DELETEd
+            # every other column): _rel_result cannot distinguish a
+            # 1-column object row from a scalar pipeline and unwraps
+            # the bare value — compare against the field value then
+            doc_cmp = _norm([next(iter(doc_out.values()))])
+        assert doc_cmp == rel_cmp, expr
     elif sink.startswith((".group_by", ".index_by")):
         # doc: ordered {key: group-array / winner-row}; rel: rows of
         # {key, value} (or ONE objrepr cell on a doc fallback). Key
@@ -270,7 +296,7 @@ def test_keyed_reducers_agree(spark, mids, sink):
             rel_cmp = sorted((r["key"], _j(r["value"])) for r in rel_out)
         assert doc_cmp == rel_cmp, expr
     else:  # unique_by: same element multiset (first-wins keeps by g)
-        assert _norm(doc_out) == _norm(rel_out), expr
+        _assert_same_multiset(doc_out, rel_out, expr)
 
 
 @settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
@@ -309,5 +335,4 @@ def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
                 ".sum()", ".count()", ".find_index(x => x > 40)",
                 ".includes(74.0)", ".index_of(74.0)", ".includes({q: 1})"):
         doc_out = [doc_out]
-    assert _norm(doc_out) == _norm(rel_out), (
-        f"mode divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+    _assert_same_multiset(doc_out, rel_out, expr)
