@@ -593,6 +593,22 @@ class Compiler:
             if res is None:
                 return None
             return (not res) if node.negated else res
+        if isinstance(node, A.Binary) and node.op in ("<", "<=", ">", ">="):
+            # mirror _ordered_cmp's totality: a cross-kind (or
+            # container/null) ordered comparison is CONSTANT false —
+            # statically decidable, so a schema-changing guarded patch
+            # clause compiles instead of demanding py_eval (r10 soak
+            # catch: `{v: 0.0 when @.v > 40.0}` over an imploded array
+            # column was a one-sided PatchError vs doc mode's false)
+            try:
+                lf = _family(self.compile(node.left, env).dtype)
+                rf = _family(self.compile(node.right, env).dtype)
+            except CompileError:
+                return None
+            known = "unknown" not in (lf, rf) and "variant" not in (lf, rf)
+            if known and (lf != rf or lf in ("object", "array", "null")):
+                return False
+            return None
         return None
 
     def c_Try(self, n: A.Try, env: Env) -> TC:
@@ -2397,7 +2413,11 @@ def _numfold_vals(vals: Column, dt: T.DataType | None):
 def m_sum(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
-        return TC(F.lit(0.0), T.DoubleType())  # every element skipped
+        # every element skipped — but the receiver must still EVALUATE
+        # (eager reference pipelines: an ill-typed upstream stage
+        # errors even when the fold's answer is known; r10 soak catch —
+        # same class as the r9 _const_over probes)
+        return _const_over(TC(vals, dt), F.lit(0.0), T.DoubleType())
     vals, dt = _numfold_vals(vals, dt)
     return TC(AR.sum_(vals), T.DoubleType())
 
@@ -2405,7 +2425,8 @@ def m_sum(self, recv, args, env):
 def m_avg(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
-        return TC(F.lit(None), T.NullType())  # n_obs == 0 → op.empty()
+        # n_obs == 0 → op.empty(), receiver still evaluated (r10)
+        return _const_over(TC(vals, dt), F.lit(None), T.NullType())
     vals, dt = _numfold_vals(vals, dt)
     return TC(AR.avg(vals), T.DoubleType())
 
@@ -2413,14 +2434,20 @@ def m_avg(self, recv, args, env):
 def m_min(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
-        return TC(F.lit(None), T.NullType())
+        return _const_over(TC(vals, dt), F.lit(None), T.NullType())
+    # variant elements take the num_fold runtime leg like sum/avg
+    # (r10 advice: array_min rejects VARIANT ordering, while num_fold
+    # silently skips non-numeric kinds for Min/Max too — common.rs:
+    # 48-58; the nulled-out elements are ignored by array_min)
+    vals, dt = _numfold_vals(vals, dt)
     return TC(F.array_min(vals), dt)
 
 
 def m_max(self, recv, args, env):
     vals, dt = _agg_vals(self, recv, args, env)
     if _skips_numeric_fold(dt):
-        return TC(F.lit(None), T.NullType())
+        return _const_over(TC(vals, dt), F.lit(None), T.NullType())
+    vals, dt = _numfold_vals(vals, dt)
     return TC(F.array_max(vals), dt)
 
 
@@ -2624,6 +2651,16 @@ def m_equi_join(self, recv, args, env):
     ] + list(rst.fields)
     merged = T.StructType(merged_fields)
     rnames = set(rst.fieldNames())
+    if lk not in lst.fieldNames() or rk not in rst.fieldNames():
+        # a MISSING key field is a per-row null lookup: every probe
+        # misses (array.rs:517-531 — None key → continue / never
+        # indexed), so the join is EMPTY — not a FIELD_NOT_FOUND
+        # analysis error (r10 soak catch: relational mode already
+        # synthesized a typed null key here, doc mode errored
+        # one-sidedly). Both sides still evaluate (eager pipelines).
+        return _const_over(TC(F.struct(recv.col, other.col), None),
+                           F.array().cast(T.ArrayType(merged)),
+                           T.ArrayType(merged))
 
     def merge(le: Column, re_: Column) -> Column:
         cols = []

@@ -188,7 +188,8 @@ def _collected_elems(df: DataFrame, elem: Column, order: list | None):
         tagged = df.select(F.row_number().over(w).alias("__oc_rn"),
                            elem.alias("__oc_e"))
         arr = F.transform(
-            F.array_sort(F.collect_list(F.struct("__oc_rn", "__oc_e"))),
+            R.sort_by_field(F.collect_list(F.struct("__oc_rn", "__oc_e")),
+                            "__oc_rn"),
             lambda s: s["__oc_e"])
     else:
         tagged = df
@@ -779,6 +780,7 @@ class JetroTables:
         saved_sc, self._scalar = self._scalar, False
         saved_scan, self._scan_ok = self._scan_ok, True
         saved_last = getattr(self, "_tail_reads_order", True)
+        saved_tail = getattr(self, "_has_tail", False)
         try:
             i = 0
             while i < len(steps):
@@ -791,8 +793,12 @@ class JetroTables:
                 # (positional, window, tie-sensitive, or unknown)
                 self._tail_reads_order = any(
                     not _order_blind(s) for s in steps[i + 1:])
+                self._has_tail = i + 1 < len(steps)
                 out = self._stage(df, step)
                 if out is None:
+                    # single-task fallback emits results in document
+                    # order → trustworthy as a table arg (see below)
+                    self._pipe_end_ordered = True
                     return self._doc_fallback(df, steps[i:], pre_order)
                 if self._order is None and not _keeps_scan_order(step):
                     # a reordering stage ran with no carried order: the
@@ -801,11 +807,20 @@ class JetroTables:
                     self._scan_ok = False
                 df = out
                 i += 1
+            # terminal order trust, read by a CALLER that consumed this
+            # pipeline as a table arg (equi_join's right side needs the
+            # right-ARRAY order, r10 advice): physical row order is the
+            # document order iff an order is carried (carried ⇒
+            # physically materialized, the doc_ord invariant) or the
+            # scan-order surrogate is still valid
+            self._pipe_end_ordered = (self._order is not None
+                                      or self._scan_ok)
         finally:
             self._order = saved
             self._scalar = saved_sc
             self._scan_ok = saved_scan
             self._tail_reads_order = saved_last
+            self._has_tail = saved_tail
         hidden = [c for c in df.columns if c.startswith("__ord")]
         return df.drop(*hidden) if hidden else df
 
@@ -1124,7 +1139,8 @@ class JetroTables:
                            rn.alias("__rn"), elem.alias("__e"))
             out = (d2.groupBy(F.col("__chunk").alias("__ord0"))
                    .agg(F.transform(
-                       F.array_sort(F.collect_list(F.struct("__rn", "__e"))),
+                       R.sort_by_field(
+                           F.collect_list(F.struct("__rn", "__e")), "__rn"),
                        lambda s: s["__e"]).alias("value"))
                    .select("value", "__ord0")
                    .orderBy("__ord0"))
@@ -1304,24 +1320,62 @@ class JetroTables:
             if order is None:
                 return None   # order-broken pipeline → warned fallback
             d2, go = doc_ord()
-            return R.group_collect(d2, key_str_col(args[0].value),
-                                   order=go, payload_cols=_vis_cols(df))
+            # doc group_by keys an IndexMap: its KEY order (first-seen)
+            # is doc-observable when navigation follows (.keys(),
+            # field access, positional stages) — restore it like
+            # implode's group order (r10 soak catch: .group_by(g)
+            # .keys() collected groups in shuffle-arrival order)
+            tail_reads = getattr(self, "_tail_reads_order", True)
+            eo = f"__ord_gb{self._sort_seq}" if tail_reads else None
+            out = R.group_collect(d2, key_str_col(args[0].value),
+                                  order=go, payload_cols=_vis_cols(df),
+                                  emit_order=eo)
+            if eo is None:
+                return out
+            self._order = [(F.col(eo), False)]
+            return out.orderBy(F.col(eo).asc())
         if name == "count_by":
-            return R.count_by(df, key_str_col(args[0].value))
+            # first-seen key order is doc-observable downstream, same
+            # as group_by (r10); count_by is not order-hungry, so mint
+            # the scan surrogate only when a tail actually reads order
+            tail_reads = getattr(self, "_tail_reads_order", True)
+            if not tail_reads:
+                return R.count_by(df, key_str_col(args[0].value))
+            if order is None:
+                df, order = self._maybe_scan_order(df, None)
+                if order is None:
+                    return None   # key order unrecoverable → fallback
+            d2, go = doc_ord()
+            eo = f"__ord_cb{self._sort_seq}"
+            out = R.count_by(d2, key_str_col(args[0].value), order=go,
+                             emit_order=eo)
+            self._order = [(F.col(eo), False)]
+            return out.orderBy(F.col(eo).asc())
         if name == "index_by":
             if order is None:
                 return None
             d2, go = doc_ord()
-            return R.index_by(d2, key_str_col(args[0].value), order=go,
-                              payload_cols=_vis_cols(df))
+            tail_reads = getattr(self, "_tail_reads_order", True)
+            eo = f"__ord_ib{self._sort_seq}" if tail_reads else None
+            out = R.index_by(d2, key_str_col(args[0].value), order=go,
+                             payload_cols=_vis_cols(df), emit_order=eo)
+            if eo is None:
+                return out
+            self._order = [(F.col(eo), False)]
+            return out.orderBy(F.col(eo).asc())
         if name == "equi_join":
             # read the hint BEFORE resolving the table arg: a
             # sub-pipeline arg ($.u.filter(...)) re-enters _pipeline
             # and would clobber the lookahead with ITS tail
             tail_reads = getattr(self, "_tail_reads_order", True)
+            self._pipe_end_ordered = True
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
+            # is the resolved table's physical order its doc order?
+            # (set by _pipeline for sub-pipeline args; a plain table
+            # scan runs an empty pipeline → True)
+            rt_ok = getattr(self, "_pipe_end_ordered", True)
             lk, rk = _lit_str(args[1].value), _lit_str(args[2].value)
             # a MISSING key field is a per-row null lookup in doc mode
             # (equi_join_apply: null keys drop), so the join is empty —
@@ -1349,13 +1403,41 @@ class JetroTables:
             # jql_equi_join +104% under the last-stage-only hint).
             if order is None and tail_reads:
                 df, order = self._maybe_scan_order(df, order)
+            out_order = order
+            if order is not None:
+                # doc output order is (receiver position, RIGHT-ARRAY
+                # position): equi_join_apply indexes ALL right matches
+                # per key in right-array order (array.rs:505-514) and
+                # emits every match per receiver row (array.rs:526-531).
+                # The r9 receiver-only sort left a receiver row's
+                # multiple matches TIED — shuffle-arbitrary under
+                # duplicate right keys (r10 advice). Mint a right-side
+                # doc-order surrogate as the secondary sort key
+                # (appended whenever the receiver-order sort runs at
+                # all — the id mint is a free narrow projection); valid
+                # only when the right table's physical order is its doc
+                # order (plain scan / order-materialized sub-pipeline).
+                # When it isn't: warned doc fallback if a downstream
+                # stage reads order (as before r9), else keep the
+                # receiver-only sort — the ties are unobservable.
+                if not rt_ok:
+                    if tail_reads:
+                        return None
+                    self._order = order
+                    return (R.equi_join(df, other, lk, rk)
+                            .orderBy(*_order_by(order)))
+                self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+                rid = f"__ord_rt{self._sort_seq}"
+                other = other.withColumn(rid,
+                                         F.monotonically_increasing_id())
+                out_order = order + [(F.col(rid), False)]
             out = R.equi_join(df, other, lk, rk)
             if order is None:
                 return out
             # restore the pipeline order the join shuffle destroyed so
             # position sinks downstream stay faithful
-            self._order = order
-            return out.orderBy(*_order_by(order))
+            self._order = out_order
+            return out.orderBy(*_order_by(out_order))
         if name == "explode":
             return R.explode_field(df, _name_str(args[0].value))
         if name == "implode":
@@ -1391,9 +1473,25 @@ class JetroTables:
                         _canon_str(F.col(kn), d3.schema[kn].dataType),
                         F.lit("null")))
                 return d3
+            if getattr(self, "_has_tail", False):
+                # pivot's relational output (one map row / a grid) has
+                # no row-shaped navigation; a following stage read the
+                # rowset as plain rows (r10 soak catch: .pivot(g, k).g2
+                # was a one-sided CompileError, .keys() an uncontrolled
+                # ObjError). Pivot output is one object by contract —
+                # collapse from here and navigate it in doc mode.
+                return None
             if order is None:
                 return None   # last-wins / first-per-cell read order
             d2, go = doc_ord()
+            # a MISSING field arg is a per-row Null in doc mode (key →
+            # "null" bucket, value → null cell) — synthesize a typed
+            # null column instead of crashing the driver-side schema
+            # lookup (r10 soak catch: .map({k,v}).pivot(g, v) raised
+            # PySparkKeyError where doc mode pivoted under "null")
+            for nm in {_name_str(a.value) for a in args}:
+                if nm not in d2.columns:
+                    d2 = d2.withColumn(nm, F.lit(None).cast("string"))
             if len(args) == 2:
                 kn = _name_str(args[0].value)
                 return R.pivot2(keyed_df(d2, kn), kn,
@@ -1711,8 +1809,9 @@ class JetroTables:
                 w = Window.orderBy(*_order_by(order))
                 tagged = df.select(F.row_number().over(w).alias("__p_rn"),
                                    m.alias("__p_m"), elem.alias("__p_e"))
-                arr = F.array_sort(
-                    F.collect_list(F.struct("__p_rn", "__p_m", "__p_e")))
+                arr = R.sort_by_field(
+                    F.collect_list(F.struct("__p_rn", "__p_m", "__p_e")),
+                    "__p_rn")
             else:
                 tagged = df.select(F.lit(0).alias("__p_rn"),
                                    m.alias("__p_m"), elem.alias("__p_e"))
@@ -1736,6 +1835,7 @@ class JetroTables:
                 elem_dt = T.StructType(
                     [f for f in df.schema.fields if f.name in vis])
             key_fn, _kd = c._lam(args[0].value, env, elem_dt)
+            from jetro_spark.jql.compiler import _canon_str
             if order is None:
                 return None   # group sequences read pipeline order (r9)
             df, go = doc_ord()
@@ -1744,14 +1844,33 @@ class JetroTables:
             # so the per-key sequence is pipeline order, not shuffle
             # arrival order (r9)
             wrapped = F.transform(
-                F.array_sort(F.collect_list(
+                R.sort_by_field(F.collect_list(
                     F.struct(F.col(go).alias("__o"), elem.alias("__e")))),
                 lambda s: s["__e"])
-            grouped = (df.groupBy(key_fn(elem).cast("string").alias("key"))
-                       .agg(wrapped.alias("__grp")))
+            # first-seen key order is doc-observable when navigation
+            # follows, like group_by (r10)
+            tail_reads = getattr(self, "_tail_reads_order", True)
+            aggs = [wrapped.alias("__grp")]
+            eo = f"__ord_gs{self._sort_seq}" if tail_reads else None
+            if eo is not None:
+                aggs.append(F.min(F.col(go)).alias(eo))
+            # canonical val_to_key string like every keyed reducer:
+            # Null key renders as "null" (r10 soak catch — the bare
+            # cast left a SQL NULL key where doc mode groups under
+            # "null"), integral doubles drop the trailing .0
+            key_c = F.coalesce(_canon_str(key_fn(elem), _kd),
+                               F.lit("null"))
+            grouped = (df.groupBy(key_c.alias("key"))
+                       .agg(*aggs))
             shape_fn, _sd = c._lam(args[1].value, env, T.ArrayType(elem_dt))
-            return grouped.select(F.col("key"),
-                                  shape_fn(F.col("__grp")).alias("value"))
+            extras = [F.col(eo)] if eo is not None else []
+            out = grouped.select(F.col("key"),
+                                 shape_fn(F.col("__grp")).alias("value"),
+                                 *extras)
+            if eo is None:
+                return out
+            self._order = [(F.col(eo), False)]
+            return out.orderBy(F.col(eo).asc())
         return None
 
     def _accumulate_window(self, df: DataFrame, args, env: Env,

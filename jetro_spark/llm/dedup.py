@@ -487,8 +487,13 @@ def dedup_lines_global(
     No all-pairs anywhere; Python never touches the data.
     """
     # \Q...\E so `sep` is literal (Spark's split takes a Java regex);
-    # -1 keeps trailing empty fields, like DuckDB/python str.split
-    parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+    # -1 keeps trailing empty fields, like DuckDB/python str.split.
+    # NULL text coalesces to a 0-line doc so n_kept/n_lines keep the
+    # pre-r9 0 contract (r10 advice: the row-local rebuild returned
+    # NULL sizes, silently flipping downstream `n_kept > 0` filters)
+    parts = F.coalesce(
+        F.split(F.col(text_col), "\\Q" + sep + "\\E", -1),
+        F.array().cast("array<string>"))
     lines = df.select(F.col(id_col),
                       F.posexplode(parts).alias("__ln_idx", "__ln"))
     keyed = (lines.filter(F.length("__ln") >= min_chars)
@@ -641,7 +646,9 @@ def dedup_spans_global(
 
         return F.aggregate(merged, zero, step, fin)
 
-    base = df.select(F.col(id_col), toks.alias("__tk"))
+    # NULL text → 0-token doc, preserving n_kept/n_tokens = 0 (r10
+    # advice — same contract as dedup_lines_global)
+    base = df.select(F.col(id_col), F.coalesce(toks, empty_tk).alias("__tk"))
     joined = base.join(spans, id_col, "left")
     kept = let_(F.col("__tk"), lambda tk: let_(
         merge_ivs(F.coalesce(F.col("__ivs"), empty_iv)),

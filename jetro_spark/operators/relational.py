@@ -17,6 +17,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def sort_by_field(coll: Column, field: str = "__o") -> Column:
+    """``array_sort`` of collected (order, payload) structs via the
+    COMPARATOR form, comparing ONLY the order field.
+
+    The default lexicographic struct ordering rejects VARIANT / MAP
+    payload fields (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE), which
+    turned group_by/implode/pivot/group_shape over heterogeneous-doc
+    tables (infer_schema unifies conflicting leaves to variant) into a
+    one-sided analysis error doc mode doesn't have (r10 advice). The
+    order field is always a non-null distinct numeric surrogate
+    (monotonic id / row_number), so the comparator is a total order and
+    ties are impossible."""
+    return F.array_sort(
+        coll,
+        lambda l, r: F.when(l[field] < r[field], F.lit(-1))
+                      .when(l[field] > r[field], F.lit(1))
+                      .otherwise(F.lit(0)))
+
+
 def equi_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +67,8 @@ def equi_join(
 
 def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key",
                   order: str | Column | None = None,
-                  payload_cols: list[str] | None = None) -> DataFrame:
+                  payload_cols: list[str] | None = None,
+                  emit_order: str | None = None) -> DataFrame:
     """Relational ``group_by``: one row per key with the collected group.
     Key is STRINGIFIED to match jetro's object-key semantics
     (reference: jc/util.rs:216-226, ops/array.rs:947-965).
@@ -76,23 +96,38 @@ def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key",
         )
     o = F.col(order) if isinstance(order, str) else order
     arr = F.transform(
-        F.array_sort(F.collect_list(F.struct(o.alias("__o"),
-                                             payload.alias("__p")))),
+        sort_by_field(F.collect_list(F.struct(o.alias("__o"),
+                                              payload.alias("__p")))),
         lambda s: s["__p"])
+    aggs = [arr.alias("value")]
+    if emit_order is not None:
+        # doc group_by keys an IndexMap: group ROW order is first-seen
+        # key order, doc-observable by downstream navigation (r10) —
+        # emit min(order) per key so the caller can restore it
+        aggs.append(F.min(o).alias(emit_order))
     return (df.groupBy(k.cast("string").alias(key_alias))
-            .agg(arr.alias("value")))
+            .agg(*aggs))
 
 
-def count_by(df: DataFrame, key: str | Column, key_alias: str = "key") -> DataFrame:
-    """Relational ``count_by`` → (key_str, n).
+def count_by(df: DataFrame, key: str | Column, key_alias: str = "key",
+             order: str | Column | None = None,
+             emit_order: str | None = None) -> DataFrame:
+    """Relational ``count_by`` → (key_str, n). ``order``/``emit_order``
+    (r10): emit min(order) per key so the caller can restore the doc
+    IndexMap's first-seen key order when navigation follows.
     Reference: ops/array.rs:966-987."""
     k = F.col(key) if isinstance(key, str) else key
-    return df.groupBy(k.cast("string").alias(key_alias)).agg(F.count(F.lit(1)).alias("value"))
+    aggs = [F.count(F.lit(1)).alias("value")]
+    if emit_order is not None and order is not None:
+        o = F.col(order) if isinstance(order, str) else order
+        aggs.append(F.min(o).alias(emit_order))
+    return df.groupBy(k.cast("string").alias(key_alias)).agg(*aggs)
 
 
 def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None,
              key_alias: str = "key",
-             payload_cols: list[str] | None = None) -> DataFrame:
+             payload_cols: list[str] | None = None,
+             emit_order: str | None = None) -> DataFrame:
     """Relational ``index_by``: one row per key, LAST occurrence wins.
 
     Jetro's "last" is positional (document order). Relationally the caller
@@ -114,9 +149,11 @@ def index_by(df: DataFrame, key: str | Column, order: str | Column | None = None
         cols = payload_cols if payload_cols is not None else list(df.columns)
     payload = F.struct(*[F.col(c) for c in cols])
     o = F.col(order) if isinstance(order, str) else order
-    return df.groupBy(k.cast("string").alias(key_alias)).agg(
-        F.max_by(payload, o).alias("value")
-    )
+    aggs = [F.max_by(payload, o).alias("value")]
+    if emit_order is not None:
+        # first-seen key order, like group_collect (r10)
+        aggs.append(F.min(o).alias(emit_order))
+    return df.groupBy(k.cast("string").alias(key_alias)).agg(*aggs)
 
 
 def unique_by(df: DataFrame, key: str | Column, order: str | Column | None = None) -> DataFrame:
@@ -160,7 +197,7 @@ def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = Non
         F.min(F.col("__ord")).alias("__fo"),
     )
     entries = F.transform(
-        F.array_sort(F.collect_list(F.struct("__fo", "__k", "__v"))),
+        sort_by_field(F.collect_list(F.struct("__fo", "__k", "__v")), "__fo"),
         lambda s: F.struct(s["__k"].alias("__k"), s["__v"].alias("__v")))
     return winners.groupBy().agg(
         F.map_from_entries(entries).alias("pivot")
@@ -210,7 +247,7 @@ def implode(df: DataFrame, field: str, group_cols: list[str] | None = None,
     # them — identical null semantics to the unordered path
     wrapped = F.when(F.col(field).isNotNull(),
                      F.struct(o.alias("__o"), F.col(field).alias("__v")))
-    arr = F.transform(F.array_sort(F.collect_list(wrapped)),
+    arr = F.transform(sort_by_field(F.collect_list(wrapped)),
                       lambda s: s["__v"])
     aggs = [arr.alias(field)]
     if emit_order is not None:

@@ -64,6 +64,12 @@ _MID = st.sampled_from([
     # sides, right-wins merge; combined with the tie-making patch
     # stages below this makes post-join tie-breaks observable.
     '.equi_join($.u, "k", "k")',
+    # r10: two-join pipelines and an ORDERED sub-pipeline right arg —
+    # the right-array order is now a doc-observable tie-break when a
+    # receiver row has multiple right matches (advice catch), and the
+    # surrogate must come from the right table's own materialized order
+    '.equi_join($.u, "k", "k").equi_join($.u, "k", "k")',
+    '.equi_join($.u.sort(-v), "k", "k")',
     # r9 ordered-collect lowerings as MID stages: implode collapses
     # rows sharing the other fields into a pipeline-ordered array and
     # explode undoes it — a shape round-trip that must keep sequence
@@ -106,6 +112,15 @@ _SCALAR_MID = st.sampled_from([
 _KEYED_SINK = st.sampled_from([
     ".count_by(g)", ".min_by(v)", ".max_by(v)", ".unique_by(g)",
     ".group_by(g)", ".index_by(g)",
+    # r10: the remaining keyed reducers, plus keyed-reducer NAVIGATION —
+    # doc keyed results are insertion-ordered IndexMaps, so .keys()
+    # reads the first-seen KEY order (now restored relationally via a
+    # min(doc-order) emit, like implode's group order), and pivot with
+    # a tail collapses to doc mode (its one-object output has no
+    # row-shaped navigation)
+    ".pivot(g, v)", ".group_shape(x => x.g, a => a.map(v))",
+    ".count_by(g).keys()", ".group_by(g).keys()", ".index_by(g).keys()",
+    '.count_by(g)["g1"]', ".pivot(g, v).keys()",
 ])
 _SINK = st.sampled_from([
     "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
@@ -258,7 +273,28 @@ def test_keyed_reducers_agree(spark, mids, sink):
     if doc_err:
         return
 
-    if sink.startswith(".count_by"):
+    if ".keys()" in sink or sink.endswith('["g1"]'):
+        # keyed-reducer NAVIGATION (r10): key ORDER is the IndexMap's
+        # first-seen order, doc-observable — exact sequence compare
+        doc_cmp = doc_out if isinstance(doc_out, list) else [doc_out]
+        rel_cmp = rel_out if isinstance(rel_out, list) else [rel_out]
+        if len(rel_cmp) == 1 and isinstance(rel_cmp[0], list):
+            rel_cmp = rel_cmp[0]   # one collected array cell
+        assert doc_cmp == rel_cmp, expr
+    elif sink.startswith(".pivot"):
+        # doc: {key: last-wins value} object; rel: ONE map cell (or an
+        # objrepr cell on a doc fallback) — multiset of entries
+        def _j(v):
+            return json.dumps(v, sort_keys=True, default=float)
+        doc_cmp = sorted((k, _j(v)) for k, v in doc_out.items()) \
+            if isinstance(doc_out, dict) else []
+        cell = rel_out[0] if rel_out else {}
+        if isinstance(cell, list):   # objrepr fallback cell
+            rel_cmp = sorted((e["key"], _j(e["value"])) for e in cell)
+        else:
+            rel_cmp = sorted((k, _j(v)) for k, v in dict(cell).items())
+        assert doc_cmp == rel_cmp, expr
+    elif sink.startswith(".count_by"):
         # doc: ordered {key: n} object ([] when the pipeline is empty);
         # rel: rows of {key, value}, or ONE objrepr cell when a stage
         # (e.g. ordered union) doc-fell-back
@@ -280,7 +316,7 @@ def test_keyed_reducers_agree(spark, mids, sink):
             # the bare value — compare against the field value then
             doc_cmp = _norm([next(iter(doc_out.values()))])
         assert doc_cmp == rel_cmp, expr
-    elif sink.startswith((".group_by", ".index_by")):
+    elif sink.startswith((".group_by", ".index_by", ".group_shape")):
         # doc: ordered {key: group-array / winner-row}; rel: rows of
         # {key, value} (or ONE objrepr cell on a doc fallback). Key
         # ORDER is not owed (same as count_by), but each group's

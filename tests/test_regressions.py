@@ -740,3 +740,137 @@ def test_pivot_and_group_shape_order_across_mappers(spark):
     rel2 = {row["key"]: list(row["value"])
             for row in tables.query(e2).collect()}
     assert {k: list(v) for k, v in doc2.items()} == rel2
+
+
+def test_equi_join_duplicate_right_keys_keep_right_array_order(spark):
+    """Round-10 advice: equi_join_apply emits EVERY right match per
+    receiver row, in RIGHT-ARRAY order (array.rs:505-531) — not <=1 row
+    as the r9 order carry assumed. With duplicate right keys the
+    receiver-only sort left a row's matches tied (shuffle-arbitrary);
+    a right-side doc-order surrogate now breaks ties by right-array
+    position, matching doc mode exactly."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i % 4, "v": float(i)} for i in range(12)]
+    # 3 right matches per key, interleaved so right-array order is not
+    # any key- or value-sorted order
+    dim = [{"k": (7 * i) % 4, "b": float(100 + i)} for i in range(12)]
+    jt = Jetro.from_value(spark, {"s": rows, "d": dim})
+    t = spark.createDataFrame([(r["k"], r["v"]) for r in rows],
+                              "k long, v double").repartition(8)
+    d = spark.createDataFrame([(r["k"], r["b"]) for r in dim],
+                              "k long, b double")
+    tables = JetroTables(spark, {"s": t, "d": d})
+    for e in ('$.s.sort(v).equi_join($.d, "k", "k").map(b)',
+              '$.s.sort(v).equi_join($.d, "k", "k").nth(4)',
+              '$.s.sort(v).equi_join($.d, "k", "k")'
+              '.take_while(x => x.b < 110.0).map(v)',
+              '$.s.sort(v).equi_join($.d, "k", "k").reverse().first()',
+              # nested second join: the inner join's output order is
+              # NOT its doc-array order (no order materialized), so the
+              # outer join must refuse the surrogate and doc-fallback
+              # when a positional stage reads the order
+              '$.s.sort(v).equi_join($.d.equi_join($.d, "k", "k"),'
+              ' "k", "k").nth(4)'):
+        from pyspark.sql import Row
+
+        def canon(x):
+            if isinstance(x, Row):
+                return {k: canon(v2) for k, v2 in x.asDict().items()}
+            return x
+
+        doc = jt.collect(e)
+        df = tables.query(e)
+        got = [{c: canon(r[c]) for c in df.columns
+                if not c.startswith("__ord")} for r in df.collect()]
+        flat = [r if len(r) > 1 else next(iter(r.values())) for r in got]
+        want = doc if isinstance(doc, list) else [doc]
+        assert flat == want, e
+
+
+def test_keyed_collects_over_variant_and_map_payloads(spark):
+    """Round-10 advice: the r9 ordered collects sorted
+    struct(order, payload) with the DEFAULT struct ordering, which
+    Spark rejects when the payload holds VARIANT or MAP fields
+    (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE) — a one-sided analysis
+    error vs doc mode for heterogeneous-doc tables. sort_by_field now
+    compares ONLY the numeric order surrogate (comparator form)."""
+    import json as _json
+
+    from jetro_spark.jql.engine import JetroTables
+
+    docs = [{"g": "a", "v": 1}, {"g": "b", "v": [2, 3]},
+            {"g": "a", "v": {"x": 4}}, {"g": "b", "v": "s"}]
+    t = (spark.createDataFrame(
+            [(i, d["g"], _json.dumps(d["v"])) for i, d in enumerate(docs)],
+            "i long, g string, vj string")
+         .select("g", F.parse_json("vj").alias("v")))
+    mt = spark.createDataFrame([("a", {"x": 1}), ("b", {"y": 2}),
+                                ("a", {"z": 3})],
+                               "g string, m map<string,int>")
+    tables = JetroTables(spark, {"t": t, "mt": mt})
+
+    # group_by: per-key sequences keep pipeline order, variant payload
+    out = tables.query("$.t.sort(g).group_by(g)")
+    rows = {r["key"]: j for r, j in zip(
+        out.collect(),
+        [r["j"] for r in out.select(
+            F.to_json("value").alias("j")).collect()])}
+    assert _json.loads(rows["a"]) == [{"g": "a", "v": 1},
+                                      {"g": "a", "v": {"x": 4}}]
+    assert _json.loads(rows["b"]) == [{"g": "b", "v": [2, 3]},
+                                      {"g": "b", "v": "s"}]
+
+    # implode / pivot / group_shape / chunk / partition / to_json over
+    # the same variant (or map) payloads: all lower without the
+    # one-sided INVALID_ORDERING_TYPE error
+    assert tables.query("$.t.sort(g).implode(v)").count() == 2
+    piv = tables.query("$.t.sort(g).pivot(g, v)").first()["pivot"]
+    assert set(piv.keys()) == {"a", "b"}
+    gs = {r["key"]: r["value"] for r in tables.query(
+        "$.t.sort(g).group_shape(x => x.g, a => a.len())").collect()}
+    assert gs == {"a": 2, "b": 2}
+    assert tables.query("$.t.sort(g).map(v).chunk(2)").count() == 2
+    part = tables.query('$.t.sort(g).partition(x => x.g == "a")').first()
+    assert len(part["pass"]) == 2 and len(part["fail"]) == 2
+    sunk = tables.query("$.t.sort(g).to_json()").first()["value"]
+    assert _json.loads(sunk)[0]["g"] == "a"
+    # map-typed payload through an ordered keyed collect
+    mg = {r["key"]: r["value"] for r in
+          tables.query("$.mt.sort(g).group_by(g)").collect()}
+    assert [dict(e["m"]) for e in mg["a"]] == [{"x": 1}, {"z": 3}]
+
+
+def test_min_max_skip_non_numeric_variant_kinds(spark):
+    """Round-10 advice: m_min/m_max called array_min/array_max on
+    array<variant>, which fails analysis, while num_fold (common.rs:
+    25-58) silently SKIPS non-numeric kinds for Min/Max exactly like
+    Sum/Avg. They now take the same _numfold_vals runtime leg."""
+    from jetro_spark.jql.engine import Jetro
+
+    j = Jetro.from_value(spark, {"v": [1, {"x": 5}, 2.5, "s", [9], True]})
+    assert j.collect("$.v.min()") == 1.0
+    assert j.collect("$.v.max()") == 2.5
+    assert j.collect("$.v.sum()") == 3.5
+    # all-non-numeric: n_obs == 0 -> op.empty() (Null), never an error
+    j2 = Jetro.from_value(spark, {"v": [{"x": 1}, "s", [2]]})
+    assert j2.collect("$.v.min()") is None
+    assert j2.collect("$.v.max()") is None
+
+
+def test_dedup_globals_null_text_keeps_zero_counts(spark):
+    """Round-10 advice: the r9 row-local rebuilds returned NULL
+    n_kept/n_lines/n_tokens for NULL text (F.size over a null array),
+    silently flipping downstream `n_kept > 0` filters vs the r8
+    contract of 0. Null text now coalesces to a 0-line/0-token doc."""
+    from jetro_spark.llm.dedup import dedup_lines_global, dedup_spans_global
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, None), (3, "a\nc")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+    assert out[2]["n_kept"] == 0 and out[2]["n_lines"] == 0
+    assert out[2]["text_dedup"] == ""
+    # the dedup itself is unchanged: "a" keeps only its first occurrence
+    assert out[1]["n_kept"] == 2 and out[3]["n_kept"] == 1
+    outs = {r["doc_id"]: r for r in dedup_spans_global(df, n=2).collect()}
+    assert outs[2]["n_kept"] == 0 and outs[2]["n_tokens"] == 0
