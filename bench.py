@@ -94,6 +94,11 @@ HEADLINE = [
     "tfidf_embed",
     "temp_mixture",
     "pii_mask",
+    # r10 additions: cross-source shared-n-gram overlap matrix (r9 op,
+    # now bench-visible) and the image resize/EXIF transform
+    # (Arrow-batched mapInPandas over binary content)
+    "gram_overlap",
+    "mm_resize",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

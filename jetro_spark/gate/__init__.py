@@ -53,8 +53,10 @@ _TIER1 = [
     # relational core
     "filter_map", "sort_take", "group_agg", "join3_revenue", "count_by",
     "index_by", "max_by", "pivot", "implode", "approx_count_distinct",
-    # extended joins
-    "equi_join", "asof_join", "range_join", "salted_join", "join_semi",
+    # extended joins ("salted_join" rotated out in r10 for gram_overlap
+    # — it is an equi_join variant and the join family keeps five
+    # tier-1 reps; rotated-out rows still run in the full local gate)
+    "equi_join", "asof_join", "range_join", "join_semi",
     "bucketed_join",
     # scalar functions ("encoding" rotated out in r7 for simhash_pairs;
     # "parse_cast" rotated out in r8 for bm25_topk so the new ranking
@@ -66,10 +68,11 @@ _TIER1 = [
     "bm25_topk",
     # window builtins
     "win_lag_lead", "win_zscore",
-    # time series ("rollup_gapfill" rotated out in r9 for funnel_step —
-    # the new funnel-variant family must be driver-visible; rotated-out
-    # rows still run in the full local gate)
-    "time_bucket", "funnel_step", "sessionize",
+    # time series ("rollup_gapfill" rotated out in r9 for funnel_step;
+    # "sessionize" rotated out in r10 for funnel_unordered — both r9
+    # funnel variants are now driver-visible and time_bucket keeps the
+    # bucketing family covered)
+    "time_bucket", "funnel_step", "funnel_unordered",
     # profiling / contracts
     "group_quantiles", "profile_table", "check_constraints",
     # JQL language (doc + relational modes)
@@ -82,8 +85,10 @@ _TIER1 = [
     # text-stats style covered)
     "dedup_exact", "dedup_lsh", "dedup_cluster", "simhash_pairs",
     "temp_mixture",
+    # r10 rotation: gram_overlap (cross-source shared-n-gram counts)
+    # joins the tier-1 text family alongside pii_mask/quality_filters
     "ann_ivf_trained", "tfidf_embed", "mm_decode", "pii_mask",
-    "quality_filters", "pipeline_demo", "pack_cumsum",
+    "quality_filters", "gram_overlap", "pipeline_demo", "pack_cumsum",
     # HOFs / streaming / doc-suite
     "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
     "doc_bl_q10",

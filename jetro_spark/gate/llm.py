@@ -252,6 +252,19 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("meta.height").alias("height"))
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize + EXIF-orientation (r10): Arrow-batched thumbnail
+    transform via the deterministic fake (sha256-derived dims and
+    orientation, exact integer floor-division scale math) — the oracle
+    replays dimensions, the scale rule, and the orientation tag."""
+    out = MM.transform_images(_mm_binary(spark, sf_dir, "image/png"),
+                              max_side=100, fake=True)
+    return out.select("media_id",
+                      F.col("meta.width").alias("width"),
+                      F.col("meta.height").alias("height"),
+                      F.col("orientation"))
+
+
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: meta-driven explode, no decode —
     pure expressions, so content bytes are never read (column pruning
@@ -282,6 +295,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "simhash_pairs": q_simhash_pairs,
     "mm_decode": q_mm_decode,
+    "mm_resize": q_mm_resize,
     "mm_frames": q_mm_frames,
 }
 
@@ -518,11 +532,26 @@ ORACLES["fingerprint"] = f"""
     FROM documents
 """
 
-ORACLES["embed_neardup"] = f"""
+# embed_neardup: still an exhaustive-pair ground truth (the Spark query
+# IS the declared brute-force exact baseline), but no longer a sweep
+# skip (r10): norms precompute once per VECTOR and the per-pair dot uses
+# DuckDB's native list_dot_product, which is bit-identical to the _COS
+# comprehension fold (verified over every sf0.1 pair: 0 value diffs,
+# 0 threshold flips) and ~500x faster (17 s → 0.1 s at sf0.1). A
+# Bayardo-style banded candidate oracle does NOT transplant here: the
+# embeddings are DENSE unit vectors, so every prefix-filter/posting
+# bucket contains the whole corpus and prunes nothing — cheapening the
+# verify arithmetic is the honest fix.
+ORACLES["embed_neardup"] = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM embeddings a, embeddings b
+    FROM e a, e b
     WHERE a.vec_id < b.vec_id
-      AND {_COS.format(a='a', b='b')} >= 0.45
+      AND list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0) >= 0.45
 """
 
 # semantic_dedup: replay the seeded-centroid cell assignment exactly as
@@ -704,6 +733,30 @@ ORACLES["mm_decode"] = f"""
            CAST(16 + ({_HEXPAIR.format(p1=1, p2=2)}) % 240 AS INTEGER) AS width,
            CAST(16 + ({_HEXPAIR.format(p1=3, p2=4)}) % 240 AS INTEGER) AS height
     FROM h
+"""
+
+# mm_resize (r10): replay the fake decode dims, the EXIF-orientation
+# byte (digest byte 4 = hex chars 9,10), and the exact integer
+# floor-division thumbnail rule (// is integer division in DuckDB).
+ORACLES["mm_resize"] = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+    ), dims AS (
+      SELECT media_id,
+             16 + ({_HEXPAIR.format(p1=1, p2=2)}) % 240 AS w,
+             16 + ({_HEXPAIR.format(p1=3, p2=4)}) % 240 AS h,
+             1 + ({_HEXPAIR.format(p1=9, p2=10)}) % 8 AS orient
+      FROM h
+    )
+    SELECT media_id,
+           CAST(CASE WHEN greatest(w, h) > 100
+                     THEN greatest(1, w * 100 // greatest(w, h))
+                     ELSE w END AS INTEGER) AS width,
+           CAST(CASE WHEN greatest(w, h) > 100
+                     THEN greatest(1, h * 100 // greatest(w, h))
+                     ELSE h END AS INTEGER) AS height,
+           CAST(orient AS INTEGER) AS orientation
+    FROM dims
 """
 
 # Class centroids: 0-based positions on both sides; exact decimal sums

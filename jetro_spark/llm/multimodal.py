@@ -168,6 +168,80 @@ def decode_audio(df: DataFrame, *, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+def transform_images(df: DataFrame, *, max_side: int = 256,
+                     fake: bool = False) -> DataFrame:
+    """Resize + EXIF-orientation extraction — the image transform a
+    100 TB ingest pipeline runs right after decode (r10 verdict item).
+
+    Aspect-preserving downscale so max(width, height) <= ``max_side``
+    (never upscales), with the EXIF orientation tag (274) surfaced as a
+    column so a downstream normalize step can rotate. Output = input
+    layout with ``content`` replaced by the re-encoded thumbnail,
+    meta.width/height updated to the new dimensions, plus an
+    ``orientation`` int column (EXIF values 1-8; 1 = upright).
+
+    Real path (PIL, auto-wired like decode_images): ``Image.thumbnail``
+    + ``getexif().get(274, 1)``, re-encoded PNG. Fake path (the oracle
+    gate): dimensions/orientation are sha256-derived like
+    :func:`_fake_decode`, the scale math is exact integer floor
+    division (``new_w = max(1, w * max_side // max(w, h))``) so DuckDB
+    replays it bit-for-bit, and the thumbnail bytes are the content's
+    sha256 digest.
+
+    At 100 TB this is the same Arrow-batched mapInPandas shape as
+    decode: per-batch memory bounded by arrow.maxRecordsPerBatch, no
+    shuffle, content column pruned upstream when only meta is read."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("orientation", T.IntegerType(), True)])
+
+    def run(batches: Iterator) -> Iterator:
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image resize needs PIL (pip install pillow) — "
+                    "not shipped in this container; pass fake=True for "
+                    "the deterministic test double") from exc
+        import io
+        for pdf in batches:
+            contents, widths, heights, orients = [], [], [], []
+            for content in pdf["content"]:
+                raw = bytes(content) if content is not None else b""
+                if fake:
+                    w, h = _fake_decode(raw)
+                    d = hashlib.sha256(raw).digest()
+                    orient = 1 + d[4] % 8
+                    mx = max(w, h)
+                    if mx > max_side:
+                        w = max(1, w * max_side // mx)
+                        h = max(1, h * max_side // mx)
+                    out_bytes = d
+                else:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        orient = int(im.getexif().get(274, 1))
+                        im.thumbnail((max_side, max_side))
+                        w, h = im.size
+                        buf = io.BytesIO()
+                        im.save(buf, format="PNG")
+                        out_bytes = buf.getvalue()
+                contents.append(out_bytes)
+                widths.append(w)
+                heights.append(h)
+                orients.append(orient)
+            pdf["content"] = contents
+            meta = pdf["meta"]
+            pdf["meta"] = [
+                {**(m or {}), "width": w, "height": h}
+                for m, w, h in zip(meta, widths, heights)
+            ]
+            pdf["orientation"] = orients
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def extract_features(df: DataFrame, dim: int = 8, *,
                      fake: bool = False) -> DataFrame:
     """content → float feature vector (the embed step of a multimodal

@@ -83,6 +83,7 @@ def rollup_gapfill(
     keys: list[str],
     aggs: dict[str, Column],
     fill: dict[str, str] | None = None,
+    max_grid_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """Windowed rollup densified over the observed span.
 
@@ -92,11 +93,38 @@ def rollup_gapfill(
     The span is GLOBAL (min..max bucket over the whole input), matching
     a dashboard's contiguous x-axis; keys absent near the edges still
     get edge rows (null/zero/locf-filled).
+
+    ``max_grid_rows`` (r10): the densification grid is
+    |distinct keys| × |buckets| by DEFINITION — gapfill materializes a
+    row per (key, bucket) cell whether or not data exists there. That
+    grid is this operator's scale cliff: high-cardinality keys over a
+    long span silently build a huge intermediate. The guard counts both
+    sides up front (one cheap distinct-count + one min/max aggregate —
+    metadata-sized, SCALE.md 'declared collects') and REFUSES past the
+    bound with the actual numbers, so a forgotten user-id-keyed gapfill
+    over a year of events fails loudly instead of OOMing the cluster.
+    Pass ``None`` to disable (the cardinality pre-count too).
     """
     fill = fill or {}
     bad = set(fill) - set(aggs)
     if bad:
         raise ValueError(f"fill policies for unknown aggregates: {sorted(bad)}")
+    if max_grid_rows is not None:
+        dt0 = dict(df.dtypes).get(time_col, "")
+        b0 = df.select(time_bucket(F.col(time_col), dt0, width_us)
+                       .alias("__b"))
+        parts = [F.countDistinct(*[F.col(k) for k in keys]).alias("__nk")] \
+            if keys else [F.lit(1).alias("__nk")]
+        stats = b0.agg((F.max("__b") - F.min("__b") + 1).alias("__nb")) \
+            .crossJoin(df.agg(*parts)).first()
+        n_grid = (stats["__nb"] or 0) * (stats["__nk"] or 0)
+        if n_grid > max_grid_rows:
+            raise ValueError(
+                f"rollup_gapfill grid is {stats['__nk']} keys x "
+                f"{stats['__nb']} buckets = {n_grid} rows, over the "
+                f"max_grid_rows bound ({max_grid_rows}); widen the "
+                "bucket, reduce key cardinality, or raise/disable the "
+                "bound explicitly")
 
     dt = dict(df.dtypes).get(time_col, "")
     bucketed = df.withColumn("bucket", time_bucket(F.col(time_col), dt, width_us))

@@ -27,13 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-# Rows whose DuckDB oracle is an exhaustive all-pairs replay — correct
-# but quadratic, so the sweep mode skips them (their Spark plans are
-# linear/banded; value semantics are pinned at sf0.01 + by pytest).
-# r9 promoted dedup_lsh / dedup_cluster / leak_split (Bayardo
-# prefix-filter candidate join) and simhash_pairs (pigeonhole band
-# bucket join) to BANDED oracles that sweep-run at sf0.1.
-ALL_PAIRS_ORACLES = {"embed_neardup"}
+# Rows whose DuckDB oracle is an exhaustive all-pairs replay too slow
+# for the sweep. r9 promoted dedup_lsh / dedup_cluster / leak_split
+# (Bayardo prefix-filter candidate join) and simhash_pairs (pigeonhole
+# band bucket join) to BANDED oracles; r10 unskipped embed_neardup —
+# its pair count is inherent (dense unit vectors defeat prefix
+# filtering) but native list_dot_product + per-vector norm CTE makes
+# the exhaustive replay sweep-fast (0.1 s at sf0.1). Empty: every gate
+# row sweep-runs.
+ALL_PAIRS_ORACLES: set[str] = set()
 
 args = sys.argv[1:]
 SWEEP = "--sweep" in args

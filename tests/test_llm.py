@@ -898,3 +898,59 @@ def test_gram_overlap_matrix(spark):
            for r in TX.gram_overlap_matrix(df, "source", n=3).collect()}
     # 3-grams: a: {xyz, yzw, yzq}; b: {xyz, yzk}; c: {xyh, yhk, pqr, qrs}
     assert got == {("a", "b"): 1}
+
+
+def test_multimodal_resize_fake_scale_math(spark):
+    """r10: transform_images' fake path — sha256-derived dims and
+    orientation, exact floor-division thumbnail rule (the mm_resize
+    oracle replays this bit-for-bit), content replaced by the digest."""
+    import hashlib as hl
+
+    df = spark.createDataFrame(
+        [(i, bytearray(f"img-{i}".encode())) for i in range(6)],
+        ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/png", "id")
+    rows = {r["media_id"]: r
+            for r in MM.transform_images(mm, max_side=100,
+                                         fake=True).collect()}
+    for i in range(6):
+        raw = f"img-{i}".encode()
+        d = hl.sha256(raw).digest()
+        w0, h0 = 16 + d[0] % 240, 16 + d[1] % 240
+        mx = max(w0, h0)
+        if mx > 100:
+            w0, h0 = max(1, w0 * 100 // mx), max(1, h0 * 100 // mx)
+        r = rows[i]
+        assert (r["meta"]["width"], r["meta"]["height"]) == (w0, h0)
+        assert r["orientation"] == 1 + d[4] % 8
+        assert bytes(r["content"]) == d
+        assert max(r["meta"]["width"], r["meta"]["height"]) <= 100
+
+
+def test_multimodal_real_resize(spark):
+    """r10: PIL-present real path — thumbnail never upscales, scales the
+    long side to max_side, and surfaces the EXIF orientation tag."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf1, buf2 = io.BytesIO(), io.BytesIO()
+    PIL_Image.new("RGB", (200, 100)).save(buf1, format="PNG")
+    im2 = PIL_Image.new("RGB", (40, 20))
+    exif = im2.getexif()
+    exif[274] = 6
+    im2.save(buf2, format="PNG", exif=exif)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf1.getvalue())), (2, bytearray(buf2.getvalue()))],
+        ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/png", "id")
+    rows = {r["media_id"]: r
+            for r in MM.transform_images(mm, max_side=100,
+                                         fake=False).collect()}
+    assert (rows[1]["meta"]["width"], rows[1]["meta"]["height"]) == (100, 50)
+    assert rows[1]["orientation"] == 1
+    # small image: untouched dims, orientation tag read from EXIF
+    assert (rows[2]["meta"]["width"], rows[2]["meta"]["height"]) == (40, 20)
+    assert rows[2]["orientation"] == 6
+    # output bytes re-encode as a valid PNG
+    out = PIL_Image.open(io.BytesIO(bytes(rows[1]["content"])))
+    assert out.size == (100, 50)

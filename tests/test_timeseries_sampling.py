@@ -114,3 +114,20 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["en"] < 100   # ~50 of 500
     assert counts["de"] > 400   # ~450 of 500
+
+
+def test_rollup_gapfill_grid_guard(spark, series):
+    """r10: the densification grid (|keys| x |buckets|) is the
+    operator's scale cliff — the guard pre-counts both sides and
+    refuses past max_grid_rows with the actual numbers."""
+    # series: 2 keys x 4 buckets = 8 grid rows → bound of 7 refuses
+    with pytest.raises(ValueError, match=r"2 keys x 4 buckets = 8"):
+        rollup_gapfill(series, time_col="t", width_us=10, keys=["k"],
+                       aggs={"s": F.sum("v")}, max_grid_rows=7)
+    # at the bound (or with the guard disabled) it runs
+    out = rollup_gapfill(series, time_col="t", width_us=10, keys=["k"],
+                         aggs={"s": F.sum("v")}, max_grid_rows=8)
+    assert out.count() == 8
+    out2 = rollup_gapfill(series, time_col="t", width_us=10, keys=["k"],
+                          aggs={"s": F.sum("v")}, max_grid_rows=None)
+    assert out2.count() == 8
