@@ -1473,13 +1473,10 @@ class JetroTables:
                         _canon_str(F.col(kn), d3.schema[kn].dataType),
                         F.lit("null")))
                 return d3
-            if getattr(self, "_has_tail", False):
-                # pivot's relational output (one map row / a grid) has
-                # no row-shaped navigation; a following stage read the
-                # rowset as plain rows (r10 soak catch: .pivot(g, k).g2
-                # was a one-sided CompileError, .keys() an uncontrolled
-                # ObjError). Pivot output is one object by contract —
-                # collapse from here and navigate it in doc mode.
+            has_tail = getattr(self, "_has_tail", False)
+            if has_tail and len(args) == 3:
+                # the 3-arg grid's nested-object navigation has no
+                # row-shaped relational form — collapse to doc mode
                 return None
             if order is None:
                 return None   # last-wins / first-per-cell read order
@@ -1494,6 +1491,24 @@ class JetroTables:
                     d2 = d2.withColumn(nm, F.lit(None).cast("string"))
             if len(args) == 2:
                 kn = _name_str(args[0].value)
+                if has_tail:
+                    # NAVIGATION follows: emit the ordered-object ROW
+                    # form (objrepr, the count_by/group_by convention)
+                    # instead of the one-map row — a following stage
+                    # read that map rowset as plain rows (r10 soak
+                    # catch: .pivot(g, k).g2 was a one-sided
+                    # CompileError, .keys() an uncontrolled ObjError),
+                    # and collapsing at the pivot INPUT would funnel
+                    # the whole table through one task; this way the
+                    # pivot aggregates relationally and only |keys|
+                    # rows reach any downstream fallback.
+                    self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+                    eo = f"__ord_pv{self._sort_seq}"
+                    out = R.pivot2_rows(keyed_df(d2, kn), kn,
+                                        _name_str(args[1].value),
+                                        order=go, emit_order=eo)
+                    self._order = [(F.col(eo), False)]
+                    return out.orderBy(F.col(eo).asc())
                 return R.pivot2(keyed_df(d2, kn), kn,
                                 _name_str(args[1].value), order=go)
             rn2, cn = _name_str(args[0].value), _name_str(args[1].value)

@@ -204,6 +204,26 @@ def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = Non
     )
 
 
+def pivot2_rows(df: DataFrame, key: str, value: str,
+                order: str | Column | None = None,
+                emit_order: str | None = None) -> DataFrame:
+    """``pivot(k, v)`` in ordered-object ROW form: (key, value) rows,
+    last value wins per key, rows in first-seen key order via
+    ``emit_order`` (min order per key) — the same objrepr convention as
+    count_by/group_by. Used when NAVIGATION follows the pivot (r10):
+    the aggregate stays a relational groupBy and only |keys| rows ever
+    reach a downstream doc fallback, instead of collapsing the whole
+    pivot INPUT into one task. Reference: ops/array.rs:550-618."""
+    o = (F.col(order) if isinstance(order, str) else order) \
+        if order is not None else F.monotonically_increasing_id()
+    d = df.withColumn("__ord", o)
+    aggs = [F.max_by(F.col(value), F.col("__ord")).alias("value")]
+    if emit_order is not None:
+        aggs.append(F.min(F.col("__ord")).alias(emit_order))
+    out = d.groupBy(F.col(key).alias("key")).agg(*aggs)
+    return out
+
+
 def pivot3(df: DataFrame, row: str, col: str, val: str, values: list | None = None,
            order: str | Column | None = None) -> DataFrame:
     """``pivot(row, col, val)`` → grid, first value per cell.
