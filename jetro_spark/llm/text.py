@@ -507,8 +507,11 @@ def gram_overlap_matrix(df, group_col: str = "source",
     gg = (df.select(F.col(group_col).alias("__grp"),
                     F.explode(F.array_distinct(
                         word_ngrams(F.col(text_col), n))).alias("__g"))
-          .select("__grp", F.xxhash64("__g").alias("__h"))
-          .distinct())
+          .select("__grp", F.xxhash64("__g").alias("__h")))
+    # no distinct() before the groupBy: collect_set's MAP-SIDE partial
+    # merge already dedups (grp, h) pairs pre-exchange, so the explicit
+    # distinct was a second corpus-grams-sized shuffle on the same key
+    # for nothing (r10; value-identical, one exchange instead of two)
     sets = gg.groupBy("__h").agg(
         F.array_sort(F.collect_set("__grp")).alias("__gs"))
     pairs = (sets.filter(F.size("__gs") >= 2)
