@@ -95,10 +95,13 @@ HEADLINE = [
     "temp_mixture",
     "pii_mask",
     # r10 additions: cross-source shared-n-gram overlap matrix (r9 op,
-    # now bench-visible) and the image resize/EXIF transform
-    # (Arrow-batched mapInPandas over binary content)
+    # now bench-visible), the image resize/EXIF transform
+    # (Arrow-batched mapInPandas over binary content), and the
+    # hashed-feature linear quality scorer (literal-model zero-shuffle
+    # scoring)
     "gram_overlap",
     "mm_resize",
+    "quality_logit",
     # multi-document engine: one compiled plan over a whole DataFrame of
     # JSON documents (the JetroEngine-at-scale story)
     "jql_docs",

@@ -275,3 +275,53 @@ ORACLES["ngram_lm"] = f"""
            coalesce(s.n_bigrams, 0) AS n_bigrams
     FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ------------------------------------------- linear quality scorer (r10)
+
+# deterministic literal weight vector shared by both sides:
+# w[b] = ((b * 37) % 21 - 10) / 10  in [-1.0, 1.0]
+_LS_DIM = 64
+_LS_WEIGHTS = [((b * 37) % 21 - 10) / 10.0 for b in range(_LS_DIM)]
+
+# md5-derived token bucket, the hashed_embedding convention
+# (gate/llm.py _HE_BUCKET); seed 9, dim 64
+_LS_BUCKET = """CAST(CAST(list_sum([(strpos('0123456789abcdef',
+    substr(substr(md5(tok || ':9'), 1, 8), i, 1)) - 1)
+    * 16**(8-i) for i in generate_series(1, 8)]) AS BIGINT) % 64 AS INT)"""
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: fastText-style hashed-feature linear quality scoring — the
+    corpus-scale application of an offline-trained filter model. The
+    weight vector is a plan literal (zero-shuffle scoring, the DSIR
+    shape); dot decimal-accumulates; sigmoid rounds at 6 dp like every
+    other transcendental in this module."""
+    return RK.linear_score(_docs(spark, sf_dir), _LS_WEIGHTS, bias=-0.1)
+
+
+QUERIES["quality_logit"] = q_quality_logit
+
+ORACLES["quality_logit"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), tl AS (
+      SELECT doc_id, {_LS_BUCKET} AS b
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    ), tw AS (
+      SELECT doc_id, b, round(ln(1.0::DOUBLE + count(*)), 6) AS w
+      FROM tl GROUP BY doc_id, b
+    ), lg AS (
+      SELECT doc_id,
+             CAST(sum((w * ((((b * 37) % 21 - 10) / 10.0::DOUBLE)))
+                      ::DECIMAL(28,10)) AS DOUBLE) AS s
+      FROM tw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(-0.1::DOUBLE + coalesce(lg.s, 0.0::DOUBLE), 8) AS logit,
+           round(1.0::DOUBLE
+                 / (1.0::DOUBLE
+                    + exp(-round(-0.1::DOUBLE + coalesce(lg.s, 0.0::DOUBLE),
+                                 8))), 6) AS score
+    FROM documents d LEFT JOIN lg USING (doc_id)
+"""

@@ -373,3 +373,62 @@ def ngram_lm_score(
             .join(scored, id_col, "left")
             .select(id_col, "lm_score",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams")))
+
+
+def linear_score(
+    docs: DataFrame,
+    weights: list[float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    seed: int = 9,
+) -> DataFrame:
+    """Hashed-feature LINEAR classifier scoring — the application step
+    of a fastText-style quality filter (the DCLM / CCNet curation
+    pattern: train a tiny linear model offline on labeled quality
+    pairs, score the whole corpus with it, keep the top mass).
+
+    Tokens hash into ``len(weights)`` buckets (the md5-derived
+    ``hash_bucket``, same convention as :func:`~jetro_spark.llm.
+    similarity.hashed_embedding`); per-doc bucket weights are the
+    sublinear tf ``round(ln(1 + count), 6)``; the logit is
+    ``bias + Σ_b tf_b · weights[b]`` with the dot decimal-accumulated
+    (order-free, engine-identical — the weight vector is a PLAN
+    LITERAL, never a join), and ``score = sigmoid(logit)`` rounded to
+    6 dp (one transcendental per doc, same rounding contract as the
+    tf ``ln``).
+
+    Returns ``(id_col, logit, score)``; token-less docs get the bare
+    bias.
+
+    Scale: one groupBy (doc, bucket) with map-side combine (≤ dim rows
+    out per doc), then a row-local literal-array lookup — the DSIR
+    zero-shuffle scoring shape. Training is out of scope by design:
+    a linear model is kilobytes and trains anywhere; SCORING is the
+    corpus-scale job.
+    """
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty")
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    tl = (docs.select(F.col(id_col),
+                      F.explode(_toks(text_col)).alias("__t"))
+          .select(id_col, (hash_bucket(F.col("__t"), seed) % dim)
+                  .cast("int").alias("__b")))
+    tw = (tl.groupBy(id_col, "__b")
+          .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6).alias("__w")))
+    dot = (tw.select(id_col,
+                     (F.col("__w")
+                      * F.element_at(wlit, F.col("__b") + 1))
+                     .cast(_DEC).alias("__p"))
+           .groupBy(id_col)
+           .agg(F.sum("__p").cast("double").alias("__s")))
+    logit = F.round(F.lit(float(bias)) + F.coalesce(F.col("__s"),
+                                                    F.lit(0.0)), 8)
+    return (docs.select(F.col(id_col))
+            .join(dot, id_col, "left")
+            .select(id_col,
+                    logit.alias("logit"),
+                    let_(logit, lambda lg: F.round(
+                        1.0 / (1.0 + F.exp(-lg)), 6)).alias("score")))

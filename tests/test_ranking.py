@@ -300,3 +300,35 @@ def test_hashed_embedding_composes_with_semantic_dedup(spark):
     ids = {r["doc_id"] for r in kept.collect()}
     assert len({2, 3} & ids) == 1      # one of the near-dup pair dropped
     assert {0, 1} <= ids               # distinct texts survive
+
+
+def test_linear_score_literal_model_and_bias(spark):
+    """r10: hashed-feature linear scorer — logit = bias + tf·w with a
+    literal weight vector; token-less docs get the bare bias; sigmoid
+    is monotone in the logit."""
+    import math
+
+    from jetro_spark.llm.ranking import linear_score
+    from jetro_spark.llm.sampling import hash_bucket
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None), (4, "beta")],
+        "doc_id long, text string")
+    dim = 8
+    w = [0.5 if i % 2 == 0 else -0.25 for i in range(dim)]
+    out = {r["doc_id"]: r for r in
+           linear_score(docs, w, bias=0.3).collect()}
+    # empty / null text → bare bias
+    assert out[2]["logit"] == 0.3 and out[3]["logit"] == 0.3
+    assert out[2]["score"] == round(1 / (1 + math.exp(-0.3)), 6)
+    # hand-computed logit for doc 1: buckets of alpha (tf ln(1+2)) and
+    # beta (ln(1+1)), weights looked up in the literal vector
+    b = {t: spark.range(1).select(
+            (hash_bucket(F.lit(t), 9) % dim).cast("int").alias("b")
+         ).first()["b"] for t in ("alpha", "beta")}
+    expect = 0.3 + round(math.log(3), 6) * w[b["alpha"]] \
+        + round(math.log(2), 6) * w[b["beta"]]
+    assert out[1]["logit"] == round(expect, 8)
+    assert out[4]["score"] == round(
+        1 / (1 + math.exp(-out[4]["logit"])), 6)
