@@ -1538,9 +1538,16 @@ class JetroTables:
             # unionByName() appended everything — r7 catches). union =
             # all of the receiver plus the other side's rows whose
             # value is not in the receiver.
+            self._pipe_end_ordered = True
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
+            # ordered union appends the other table's rows in the other
+            # ARRAY's own order via a monotonic-id tag — valid only when
+            # the resolved table's physical order is its doc order (same
+            # r10 gate as equi_join's right side; an order-destroying
+            # sub-pipeline arg would tag shuffle-arbitrary rows)
+            rt_ok = getattr(self, "_pipe_end_ordered", True)
             vis = _vis_cols(df)
             if sorted(vis) != sorted(other.columns):
                 # cross-shape rows never compare equal (vals_eq):
@@ -1565,6 +1572,8 @@ class JetroTables:
                     self._order = None
                     newbies = o3.join(a3, cond, "left_anti")
                     return df.select(*vis).unionByName(newbies)
+                if not rt_ok:
+                    return None   # append order unrecoverable → fallback
                 # ordered (r8; was a doc fallback): receiver rows keep
                 # their pipeline order and come first; appended rows
                 # (other-side values absent from the receiver, dups and

@@ -70,6 +70,10 @@ _MID = st.sampled_from([
     # surrogate must come from the right table's own materialized order
     '.equi_join($.u, "k", "k").equi_join($.u, "k", "k")',
     '.equi_join($.u.sort(-v), "k", "k")',
+    # r10: ordered union whose OTHER side is an order-destroying
+    # sub-pipeline — the append-order monotonic tag must refuse and
+    # doc-fallback (same gate as equi_join's right side)
+    '.union($.u.equi_join($.u, "k", "k"))',
     # r9 ordered-collect lowerings as MID stages: implode collapses
     # rows sharing the other fields into a pipeline-ordered array and
     # explode undoes it — a shape round-trip that must keep sequence

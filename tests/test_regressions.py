@@ -874,3 +874,41 @@ def test_dedup_globals_null_text_keeps_zero_counts(spark):
     assert out[1]["n_kept"] == 2 and out[3]["n_kept"] == 1
     outs = {r["doc_id"]: r for r in dedup_spans_global(df, n=2).collect()}
     assert outs[2]["n_kept"] == 0 and outs[2]["n_tokens"] == 0
+
+
+def test_ordered_union_untrusted_other_order_falls_back(spark):
+    """r10: ordered union appends the other table's rows in the other
+    ARRAY's order via a monotonic-id tag — when the other side is an
+    order-destroying sub-pipeline (its physical order is not its doc
+    order), the tag would number shuffle-arbitrary rows; the engine
+    must doc-fallback instead, exactly matching doc mode's append
+    order."""
+    import warnings as W
+
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float(i * 3 % 7), "g": f"g{i % 2}"}
+            for i in range(8)]
+    rows_u = [{"k": i + 6, "v": float(i), "g": f"g{i % 3}"}
+              for i in range(6)]
+    jt = Jetro.from_value(spark, {"s": rows, "u": rows_u})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    u = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_u],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "u": u})
+    e = ('$.s.sort(k).union($.u.equi_join($.u, "k", "k"))'
+         '.map(k)')
+    doc = jt.collect(e)
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        out = tables.query(e)
+        rel = [r[out.columns[0]] for r in out.collect()]
+    assert rel == doc
+    # trusted other side (plain scan) still lowers relationally
+    e2 = "$.s.sort(k).union($.u).map(k)"
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        rel2 = [r["k"] for r in tables.query(e2).collect()]
+    assert not any("single-task" in str(w.message) for w in rec)
+    assert rel2 == jt.collect(e2)
