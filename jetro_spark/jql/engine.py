@@ -537,11 +537,21 @@ class JetroTables:
     its reference semantics)."""
 
     def __init__(self, spark: SparkSession, tables: dict[str, DataFrame],
-                 scalars: dict | None = None):
+                 scalars: dict | None = None,
+                 ordered: dict[str, bool] | None = None):
         self.spark = spark
         self.tables = tables
         self.c = Compiler()
         self._scalars: dict = scalars or {}  # let-bound scalar TCs
+        # per-table order trust (r10): True (default — a real source
+        # table's scan order IS its document order) unless the binding
+        # is a let-bound sub-plan whose terminal physical order is NOT
+        # its doc order (keyed reducer with no order restore, multi-
+        # generator comprehension join, set-comp dedup). Pipelines over
+        # an untrusted table start with _scan_ok off, so order-hungry
+        # stages take the warned fallback instead of silently numbering
+        # shuffle-arbitrary rows with the scan surrogate.
+        self._tables_ordered: dict[str, bool] = ordered or {}
         # pipeline sequence order: list of (Column, desc) sort keys set by
         # a .sort(...) stage and threaded through order-preserving stages
         # so positional analytics (lag/rolling/... §2.6) can window on it
@@ -644,20 +654,57 @@ class JetroTables:
             w = w.partitionBy(*partition_by)
         w.format(fmt).save(path)
 
-    def compile_node(self, node: A.Node) -> DataFrame:
+    def _comp_ordered(self, n: A.Comp) -> bool:
+        """Is a comprehension output's physical order its document
+        order? Single-generator list/gen comps are narrow
+        filter+project over the generator table (scan order carries);
+        multi-generator JOINS emit nested-loop doc order no shuffle
+        reproduces, and set-comp dedup reorders — untrusted (r10)."""
+        gens = n.gens or [(n.vars, n.source)]
+        return len(gens) == 1 and n.kind in ("list", "gen")
+
+    def compile_node(self, node: A.Node,
+                     demand_order: bool = False) -> DataFrame:
         if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):
-            df = self._comp(node)
+            df = self._comp(node, want_order=demand_order)
             if df is not None:
+                self._pipe_end_ordered = (demand_order
+                                          or self._comp_ordered(node))
                 return df
+        # method chain on a comprehension root: `[...].first()` lowered
+        # the comp, then errored "requires a table-rooted pipeline" —
+        # a one-sided error vs doc mode (r10). Run the remaining steps
+        # as a pipeline over the comp output; positional stages only
+        # get the scan surrogate when the comp preserves order.
+        if isinstance(node, A.Path) and isinstance(node.base, A.Comp) \
+                and node.base.kind in ("list", "gen", "set"):
+            want = demand_order or any(not _order_blind(s)
+                                       for s in node.steps)
+            df = self._comp(node.base, want_order=want)
+            if df is not None:
+                # _select_body just set self._scalar for the comp value
+                return self._pipeline(
+                    df, node.steps,
+                    scan_ok=want or self._comp_ordered(node.base),
+                    scalar=self._scalar, demand_order=demand_order)
         if isinstance(node, A.Path) and isinstance(node.base, A.Root):
             if node.steps and isinstance(node.steps[0], A.Field) \
                     and node.steps[0].name in self.tables:
-                return self._pipeline(self.tables[node.steps[0].name], node.steps[1:])
+                nm = node.steps[0].name
+                return self._pipeline(
+                    self.tables[nm], node.steps[1:],
+                    scan_ok=self._tables_ordered.get(nm, True),
+                    demand_order=demand_order)
         # let-bound sub-plan referenced bare: `top.count()` / `top`
         if isinstance(node, A.Path) and isinstance(node.base, A.Ident) \
                 and node.base.name in self.tables:
-            return self._pipeline(self.tables[node.base.name], node.steps)
+            nm = node.base.name
+            return self._pipeline(
+                self.tables[nm], node.steps,
+                scan_ok=self._tables_ordered.get(nm, True),
+                demand_order=demand_order)
         if isinstance(node, A.Ident) and node.name in self.tables:
+            self._pipe_end_ordered = self._tables_ordered.get(node.name, True)
             return self.tables[node.name]
         if isinstance(node, A.Let):
             return self._let(node)
@@ -674,16 +721,32 @@ class JetroTables:
         subtree). A non-table binding must be row-free scalar — bound
         as a compile-time TC visible in every row scope."""
         try:
-            bound = self.compile_node(n.value)
+            self._pipe_end_ordered = True
+            # demand_order: a binding's consumer is unknown — compile
+            # as if an order-reading stage followed, so keyed reducers
+            # / joins materialize their doc order instead of skipping
+            # the restore under the order-blind-tail optimization (r10:
+            # `let a = $.s.sort(-v).group_by(g) in a.first()` silently
+            # returned the physically-first group)
+            bound = self.compile_node(n.value, demand_order=True)
         except CompileError:
             bound = None
         if bound is not None:
+            # record whether the bound sub-plan's PHYSICAL order is its
+            # doc order (set by _pipeline / the comp branches): body
+            # pipelines over an untrusted binding must not mint the
+            # scan-order surrogate (r10 — `let a = $.s.group_by(g) in
+            # a.last()` silently returned a shuffle-arbitrary row)
+            trust = getattr(self, "_pipe_end_ordered", True)
             child = JetroTables(self.spark, {**self.tables, n.name: bound},
-                                scalars=self._scalars)
+                                scalars=self._scalars,
+                                ordered={**self._tables_ordered,
+                                         n.name: trust})
             return child.compile_node(n.body)
         scalar = self.c.compile(n.value, Env(locals=dict(self._scalars)))
         child = JetroTables(self.spark, self.tables,
-                            scalars={**self._scalars, n.name: scalar})
+                            scalars={**self._scalars, n.name: scalar},
+                            ordered=self._tables_ordered)
         return child.compile_node(n.body)
 
     def _table_of(self, src: A.Node) -> str | None:
@@ -693,7 +756,8 @@ class JetroTables:
             return src.steps[0].name
         return None
 
-    def _comp(self, n: A.Comp) -> DataFrame | None:
+    def _comp(self, n: A.Comp,
+              want_order: bool = False) -> DataFrame | None:
         """[v for x in $.t if p] → t.filter(p).select(v) — one scan, no
         collect (comprehension AST ast.rs:69-114).
 
@@ -705,7 +769,7 @@ class JetroTables:
         explode. No driver-side product is ever built."""
         gens = n.gens or [(n.vars, n.source)]
         if len(gens) > 1:
-            return self._comp_multi(n, gens)
+            return self._comp_multi(n, gens, want_order)
         src = n.source
         if self._table_of(src) is None:
             return None
@@ -715,24 +779,63 @@ class JetroTables:
         if n.cond is not None:
             df = df.filter(self.c.compile_cond(n.cond, env))
             env = self._row_env(df).bind(var, self._row_tc(df))
-        out = self._select_body(df, n.value, env)
         if n.kind == "set":
-            out = out.distinct()
-        return out
+            return self._set_body(df, n.value, env, want_order)
+        return self._select_body(df, n.value, env)
+
+    def _set_body(self, df: DataFrame, value: A.Node, env: Env,
+                  want_order: bool) -> DataFrame:
+        """Set-comprehension projection: doc sets are insertion-ordered
+        (IndexSet) — with ``want_order`` the dedup keeps each value's
+        FIRST occurrence position and sorts by it (precondition: df's
+        physical order is the comp's doc order — the single-gen scan,
+        or _comp_multi's post-sort); otherwise a plain distinct (the
+        multiset contract owes no order on a final result)."""
+        if not want_order:
+            return self._select_body(df, value, env).distinct()
+        d2 = df.withColumn("__ord_cm", F.monotonically_increasing_id())
+        tc = self.c.compile(value, env)
+        if isinstance(tc.dtype, T.StructType):
+            self._scalar = False
+            proj = d2.select(tc.col.alias("__s"), "__ord_cm") \
+                     .select("__s.*", "__ord_cm")
+        else:
+            self._scalar = True
+            proj = d2.select(tc.col.alias(self._scalar_name(value)),
+                             "__ord_cm")
+        cols = [c2 for c2 in proj.columns if c2 != "__ord_cm"]
+        return (proj.groupBy(*cols)
+                .agg(F.min("__ord_cm").alias("__ord_cm"))
+                .orderBy("__ord_cm").drop("__ord_cm"))
 
     def _comp_multi(self, n: A.Comp,
-                    gens: list[tuple[list[str], A.Node]]) -> DataFrame | None:
+                    gens: list[tuple[list[str], A.Node]],
+                    want_order: bool = False) -> DataFrame | None:
         t0 = self._table_of(gens[0][1])
         if t0 is None or any(len(vs) != 1 for vs, _ in gens):
             return None
         first = self.tables[t0]
         df = first.select(F.struct(*first.columns).alias(gens[0][0][0]))
-        for vars_, src in gens[1:]:
+        ords: list[str] = []
+        if want_order:
+            # nested-loop DOC order is reproducible: tag every
+            # generator side with its own scan position before the
+            # join/explode, sort by (outer, inner, ...) after (r10 —
+            # a positional stage over a multi-gen comp was
+            # shuffle-arbitrary)
+            df = df.withColumn("__ord_cg0", F.monotonically_increasing_id())
+            ords.append("__ord_cg0")
+        for gi, (vars_, src) in enumerate(gens[1:], 1):
             v = vars_[0]
             tname = self._table_of(src)
             if tname is not None:
                 t = self.tables[tname]
-                df = df.crossJoin(t.select(F.struct(*t.columns).alias(v)))
+                sel = t.select(F.struct(*t.columns).alias(v))
+                if want_order:
+                    sel = sel.withColumn(f"__ord_cg{gi}",
+                                         F.monotonically_increasing_id())
+                    ords.append(f"__ord_cg{gi}")
+                df = df.crossJoin(sel)
                 continue
             # source rooted at an earlier var → array column → explode
             # (empty/null arrays contribute no rows: cartesian semantics)
@@ -741,15 +844,21 @@ class JetroTables:
                 raise CompileError(
                     "comprehension source must be a table or an array "
                     "reachable from an earlier generator variable")
-            df = df.withColumn(v, F.explode(tc.col))
+            if want_order:
+                df = df.select("*", F.posexplode(tc.col)
+                               .alias(f"__ord_cg{gi}", v))
+                ords.append(f"__ord_cg{gi}")
+            else:
+                df = df.withColumn(v, F.explode(tc.col))
         env = self._row_env(df)
         if n.cond is not None:
             df = df.filter(self.c.compile_cond(n.cond, env))
             env = self._row_env(df)
-        out = self._select_body(df, n.value, env)
+        if want_order:
+            df = df.orderBy(*[F.col(o).asc() for o in ords])
         if n.kind == "set":
-            out = out.distinct()
-        return out
+            return self._set_body(df, n.value, env, want_order)
+        return self._select_body(df, n.value, env)
 
     def _select_body(self, df: DataFrame, body: A.Node, env: Env) -> DataFrame:
         tc = self.c.compile(body, env)
@@ -775,10 +884,17 @@ class JetroTables:
 
     # -------------------------------------------------------- pipeline
 
-    def _pipeline(self, df: DataFrame, steps: list[A.Node]) -> DataFrame:
+    def _pipeline(self, df: DataFrame, steps: list[A.Node],
+                  scan_ok: bool = True, scalar: bool = False,
+                  demand_order: bool = False) -> DataFrame:
+        """``demand_order`` (r10): compile as if an order-reading stage
+        followed the last step — a LET BINDING's consumer is unknown at
+        binding time, so order-restoring stages (keyed reducers, joins,
+        ordered union) must materialize their doc order instead of
+        skipping the restore under the order-blind-tail optimization."""
         saved, self._order = self._order, None
-        saved_sc, self._scalar = self._scalar, False
-        saved_scan, self._scan_ok = self._scan_ok, True
+        saved_sc, self._scalar = self._scalar, scalar
+        saved_scan, self._scan_ok = self._scan_ok, scan_ok
         saved_last = getattr(self, "_tail_reads_order", True)
         saved_tail = getattr(self, "_has_tail", False)
         try:
@@ -791,9 +907,9 @@ class JetroTables:
                 # order-preserving join only pays its receiver-order
                 # sort when some REMAINING stage actually reads order
                 # (positional, window, tie-sensitive, or unknown)
-                self._tail_reads_order = any(
+                self._tail_reads_order = demand_order or any(
                     not _order_blind(s) for s in steps[i + 1:])
-                self._has_tail = i + 1 < len(steps)
+                self._has_tail = demand_order or i + 1 < len(steps)
                 out = self._stage(df, step)
                 if out is None:
                     # single-task fallback emits results in document
@@ -842,6 +958,8 @@ class JetroTables:
             except CompileError:
                 return None
             if i >= 0:
+                if order is None and not self._scan_ok:
+                    return None
                 self._order = order
                 return df.offset(i).limit(1)
             # [-n]: inverted-sort offset, like nth (scan-order surrogate
@@ -854,6 +972,8 @@ class JetroTables:
                 return inv.offset(-i - 1).limit(1)
             return None
         if isinstance(step, A.Slice):
+            if order is None and not self._scan_ok:
+                return None
             self._order = order
             a = step.start or 0
             if a >= 0 and step.stop is not None and step.stop >= a:
@@ -1051,12 +1171,22 @@ class JetroTables:
             self._order = keys
             return df.orderBy(*[c.desc() if d else c.asc() for c, d in keys])
         if name == "take":
+            if order is None and not self._scan_ok:
+                return None   # physical prefix != doc prefix (r10)
             self._order = order
             return df.limit(_lit_int(args[0].value))
         if name in ("skip", "drop"):
+            if order is None and not self._scan_ok:
+                return None
             self._order = order
             return df.offset(_lit_int(args[0].value))
         if name == "first":
+            # the physical-prefix limit is only doc-faithful while the
+            # physical row order IS the document order — an untrusted
+            # table binding (multi-generator comp) starts with
+            # _scan_ok off and must take the warned fallback (r10)
+            if order is None and not self._scan_ok:
+                return None
             self._order = order
             if not args or _lit_int(args[0].value) == 1:
                 # scalar form (collection.rs first_apply: n==1 unwraps to
@@ -1081,6 +1211,8 @@ class JetroTables:
             # an absent value → pad the empty row set with one null row
             i = _lit_int(args[0].value)
             if i >= 0:
+                if order is None and not self._scan_ok:
+                    return None
                 self._order = order
                 return self._pad_single_null(df.offset(i).limit(1))
             if order is None:
@@ -2116,7 +2248,19 @@ class JetroTables:
         if isinstance(node, A.Path) and isinstance(node.base, A.Root) \
                 and len(node.steps) >= 1 and isinstance(node.steps[0], A.Field) \
                 and node.steps[0].name in self.tables:
-            return self._pipeline(self.tables[node.steps[0].name], node.steps[1:])
+            nm = node.steps[0].name
+            return self._pipeline(self.tables[nm], node.steps[1:],
+                                  scan_ok=self._tables_ordered.get(nm, True))
+        # a LET-BOUND sub-plan as the table arg: `let d = ... in
+        # $.s.equi_join(d, ...)` parses the arg as an Ident path (r10)
+        if isinstance(node, A.Path) and isinstance(node.base, A.Ident) \
+                and node.base.name in self.tables:
+            nm = node.base.name
+            return self._pipeline(self.tables[nm], node.steps,
+                                  scan_ok=self._tables_ordered.get(nm, True))
+        if isinstance(node, A.Ident) and node.name in self.tables:
+            self._pipe_end_ordered = self._tables_ordered.get(node.name, True)
+            return self.tables[node.name]
         return None
 
     # ------------------------------------------------------- fallback

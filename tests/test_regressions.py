@@ -912,3 +912,106 @@ def test_ordered_union_untrusted_other_order_falls_back(spark):
         rel2 = [r["k"] for r in tables.query(e2).collect()]
     assert not any("single-task" in str(w.message) for w in rec)
     assert rel2 == jt.collect(e2)
+
+
+def test_let_bound_subplans_keep_doc_order(spark):
+    """r10: a let-bound sub-plan re-enters the body as a TABLE, and the
+    body's positional stages read its scan order — which is only the
+    binding's document order if the binding materialized it. Bindings
+    now compile with demand_order (keyed reducers / joins restore
+    their doc order at binding exit) and carry a per-table order-trust
+    flag, so `let a = $.s.sort(-v).group_by(g) in a.first()` returns
+    doc mode's first group instead of a shuffle-arbitrary one."""
+    from pyspark.sql import Row
+
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    rows_u = rows[:5] + [{"k": 99, "v": 7.5, "g": "g9"}]
+    jt = Jetro.from_value(spark, {"s": rows, "u": rows_u})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(8)
+    u = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_u],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "u": u})
+
+    def canon(x):
+        if isinstance(x, Row):
+            return {k: canon(v) for k, v in x.asDict().items()}
+        if isinstance(x, (list, tuple)):
+            return [canon(e) for e in x]
+        if isinstance(x, dict):
+            return {k: canon(v) for k, v in x.items()}
+        return x
+
+    for e in ['let a = $.s.sort(-v).group_by(g) in a.first()',
+              'let a = $.s.sort(-v).group_by(g) in a.keys()',
+              'let a = $.s.sort(k).index_by(g) in a.first()',
+              'let a = $.s.sort(k).count_by(g) in a.take(2)',
+              'let a = $.s.sort(k).pivot(g, k) in a.keys()',
+              'let d = $.u.equi_join($.u, "k", "k") in d.first()']:
+        doc = canon(jt.collect(e))
+        out = tables.query(e)
+        cols = [c for c in out.columns if not c.startswith("__ord")]
+        rel = [{c: canon(r[c]) for c in cols} if len(cols) > 1
+               else canon(r[cols[0]]) for r in out.collect()]
+        if isinstance(doc, list):
+            want_opts = [doc]
+        elif isinstance(doc, dict):
+            # a dict is either ONE winner row (first()) or a keyed
+            # OBJECT result → objrepr rows
+            want_opts = [[doc],
+                         [{"key": k, "value": v} for k, v in doc.items()]]
+        else:
+            want_opts = [[doc]]
+        assert any(rel == w for w in want_opts), e
+
+
+def test_comprehension_chaining_and_nested_loop_order(spark):
+    """r10: method chains on a comprehension root were a one-sided
+    'requires a table-rooted pipeline' CompileError; they now run as a
+    pipeline over the comp output. Multi-generator comps reproduce the
+    NESTED-LOOP document order by tagging each generator side with its
+    scan position before the join; set comps keep first-seen insertion
+    order — both only when an order-reading stage (or a let binding)
+    demands it."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    rows_u = rows[:5] + [{"k": 99, "v": 7.5, "g": "g9"}]
+    jt = Jetro.from_value(spark, {"s": rows, "u": rows_u})
+    # NOT repartitioned: the comp's document order IS the table's scan
+    # order, so a local-relation table must keep the list order for the
+    # doc-mode comparison to be meaningful
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    u = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_u],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "u": u})
+    for e in ['[o.k for o in $.s if o.v > 40].first()',
+              '[o.k for o in $.s].nth(2)',
+              '[o.k for o in $.s if o.v > 40].reverse().take(3)',
+              '{o.g for o in $.s}.count()',
+              '{o.g for o in $.s}.first()',
+              '{o.g for o in $.s}.reverse()',
+              'let a = {o.g for o in $.s} in a.last()',
+              '[[o.k, p.k] for o in $.s for p in $.u if o.g == p.g]'
+              '.nth(4)',
+              'let a = [[o.k, p.k] for o in $.s for p in $.u'
+              ' if o.g == p.g] in a.take(3)']:
+        doc = jt.collect(e)
+        out = tables.query(e)
+        cols = [c for c in out.columns if not c.startswith("__ord")]
+        rel = [list(r[cols[0]]) if isinstance(r[cols[0]], list)
+               else r[cols[0]] for r in out.collect()]
+        want = doc if isinstance(doc, list) else [doc]
+        # single array ELEMENT results (nth over array-valued comp)
+        # stay one row holding the array
+        if (want and isinstance(want[0], list)
+                and not isinstance(doc, list)):
+            pass
+        if rel != want and len(rel) == 1 and rel[0] == doc:
+            continue
+        assert rel == want, e
