@@ -26,8 +26,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-class ObjError(ValueError):
-    pass
+from jetro_spark.errors import CompileError as _CompileError
+
+
+class ObjError(_CompileError):
+    """Object-shape language error (keys() on a non-object, malformed
+    from_pairs input). Subclasses CompileError (r10): the reference
+    surfaces these as controlled EvalErrors, so both modes must raise
+    on the ONE catchable channel — the doc-fallback path previously
+    leaked ObjError past the differential harness's CompileError
+    handler as an uncontrolled failure."""
 
 
 def _unify(dts: list[T.DataType]) -> T.DataType:

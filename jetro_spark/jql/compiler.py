@@ -53,8 +53,11 @@ NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
            T.FloatType, T.DoubleType, T.DecimalType)
 
 
-class CompileError(ValueError):
-    pass
+# re-exported from the leaf errors module (r10) so ObjError — raised by
+# functions/objects.py, which cannot import this module — subclasses
+# the same controlled channel; `from jetro_spark.jql.compiler import
+# CompileError` keeps working everywhere
+from jetro_spark.errors import CompileError  # noqa: E402,F401
 
 
 def _family(dt: T.DataType | None) -> str:

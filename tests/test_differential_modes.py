@@ -376,3 +376,66 @@ def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
                 ".includes(74.0)", ".index_of(74.0)", ".includes({q: 1})"):
         doc_out = [doc_out]
     _assert_same_multiset(doc_out, rel_out, expr)
+
+
+# body sinks that READ the binding's document order — the r10 binding
+# class: the body sees the binding as a table, and these force the
+# binding to have materialized (or honestly disclaim) its doc order
+_LET_SINK = st.sampled_from([
+    ".first()", ".last()", ".take(3)", ".nth(2)", ".reverse()",
+    ".count()", ".keys()", ".map(k)", "[1]", "[0:2]",
+])
+
+
+@settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_MID, max_size=2), _LET_SINK)
+def test_let_bound_pipelines_agree(spark, mids, sink):
+    """r10: `let a = <pipeline> in a<sink>` — the binding becomes a
+    TABLE in the body, so its scan order must BE its document order
+    (demand_order materializes it for keyed reducers / joins / ordered
+    union) or the positional body stages must take the warned fallback.
+    Exact-order comparison for the order-reading sinks."""
+    import warnings as W
+
+    from jetro_spark.jql.compiler import CompileError
+
+    expr = "let a = $.s.sort(k)" + "".join(mids) + " in a" + sink
+    jt = Jetro.from_value(spark, DOC)
+    doc_err = rel_err = False
+    doc_out = rel_out = None
+    try:
+        doc_out = jt.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            rel_out = _rel_result(JetroTables(
+                spark, {"s": _table(spark), "u": _table_u(spark)})
+                .query(expr))
+    except CompileError:
+        rel_err = True
+    assert doc_err == rel_err, (
+        f"one-sided error for {expr!r}: doc_err={doc_err} rel_err={rel_err}")
+    if doc_err:
+        return
+    if not isinstance(doc_out, list):
+        doc_out = [doc_out]
+    # EXACT order: every _LET_SINK reads the binding's doc order (or is
+    # a scalar count) — json-normalize both sides, order-sensitive
+    def _j(v):
+        return json.dumps(v, sort_keys=True, default=float)
+    doc_cmp = [_j(e) for e in doc_out]
+    rel_cmp = [_j(e) for e in rel_out]
+    if doc_cmp != rel_cmp and all(
+            isinstance(e, dict) and len(e) == 1 for e in doc_out):
+        # 1-column rows unwrap (the single-field-object ambiguity)
+        doc_cmp = [_j(next(iter(e.values()))) for e in doc_out]
+    if doc_cmp != rel_cmp and all(
+            isinstance(e, dict) and set(e) == {"key", "value"}
+            for e in doc_out) and isinstance(rel_out, list):
+        # keyed OBJECT result rendered as objrepr rows on one side only
+        rel_cmp = [_j(e) for e in rel_out]
+    assert doc_cmp == rel_cmp, (
+        f"order divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
