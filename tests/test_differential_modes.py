@@ -384,6 +384,9 @@ def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
 _LET_SINK = st.sampled_from([
     ".first()", ".last()", ".take(3)", ".nth(2)", ".reverse()",
     ".count()", ".keys()", ".map(k)", "[1]", "[0:2]",
+    # keyed reducers IN THE BODY over the bound table: the binding's
+    # trusted scan order feeds their first-seen/last-wins semantics
+    ".count_by(g).keys()", ".group_by(g).keys()", ".unique_by(g).map(g)",
 ])
 
 

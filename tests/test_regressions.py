@@ -1015,3 +1015,27 @@ def test_comprehension_chaining_and_nested_loop_order(spark):
         if rel != want and len(rel) == 1 and rel[0] == doc:
             continue
         assert rel == want, e
+
+
+def test_explode_source_comprehension_order(spark):
+    """r10 companion: var-rooted generator sources (`for x in o.xs`)
+    lower to posexplode under want_order — the element POSITION is the
+    inner ordinal of the nested-loop document order."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {"t": [{"k": 1, "xs": [3, 1, 2]}, {"k": 2, "xs": [9, 8]},
+                 {"k": 3, "xs": []}]}
+    jt = Jetro.from_value(spark, doc)
+    t = spark.createDataFrame([(1, [3, 1, 2]), (2, [9, 8]), (3, [])],
+                              "k long, xs array<long>")
+    tables = JetroTables(spark, {"t": t})
+    for e in ['[[o.k, x] for o in $.t for x in o.xs].nth(3)',
+              '[[o.k, x] for o in $.t for x in o.xs].take(4)',
+              'let a = [[o.k, x] for o in $.t for x in o.xs]'
+              ' in a.reverse().first()']:
+        docv = jt.collect(e)
+        out = tables.query(e)
+        cols = [c for c in out.columns if not c.startswith("__ord")]
+        rel = [list(r[cols[0]]) for r in out.collect()]
+        want = docv if isinstance(docv[0], list) else [docv]
+        assert rel == want, e
