@@ -1266,13 +1266,16 @@ class JetroTables:
             vis = _vis_cols(df)
             elem = (F.col(vis[0]) if len(vis) == 1
                     else F.struct(*[F.col(c2) for c2 in vis]))
+            elem_pdt = (df.schema[vis[0]].dataType if len(vis) == 1
+                        else T.StructType([df.schema[c2] for c2 in vis]))
             rn = F.row_number().over(w) - 1
             d2 = df.select((F.floor(rn / F.lit(n))).alias("__chunk"),
                            rn.alias("__rn"), elem.alias("__e"))
             out = (d2.groupBy(F.col("__chunk").alias("__ord0"))
                    .agg(F.transform(
                        R.sort_by_field(
-                           F.collect_list(F.struct("__rn", "__e")), "__rn"),
+                           F.collect_list(F.struct("__rn", "__e")), "__rn",
+                           payload_dt=elem_pdt),
                        lambda s: s["__e"]).alias("value"))
                    .select("value", "__ord0")
                    .orderBy("__ord0"))
@@ -1965,9 +1968,12 @@ class JetroTables:
                 w = Window.orderBy(*_order_by(order))
                 tagged = df.select(F.row_number().over(w).alias("__p_rn"),
                                    m.alias("__p_m"), elem.alias("__p_e"))
+                elem_pdt = (df.schema[vis[0]].dataType if len(vis) == 1
+                            else T.StructType([df.schema[c2]
+                                               for c2 in vis]))
                 arr = R.sort_by_field(
                     F.collect_list(F.struct("__p_rn", "__p_m", "__p_e")),
-                    "__p_rn")
+                    "__p_rn", payload_dt=elem_pdt)
             else:
                 tagged = df.select(F.lit(0).alias("__p_rn"),
                                    m.alias("__p_m"), elem.alias("__p_e"))
@@ -2001,7 +2007,8 @@ class JetroTables:
             # arrival order (r9)
             wrapped = F.transform(
                 R.sort_by_field(F.collect_list(
-                    F.struct(F.col(go).alias("__o"), elem.alias("__e")))),
+                    F.struct(F.col(go).alias("__o"), elem.alias("__e"))),
+                    payload_dt=elem_dt),
                 lambda s: s["__e"])
             # first-seen key order is doc-observable when navigation
             # follows, like group_by (r10)

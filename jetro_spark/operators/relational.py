@@ -15,20 +15,42 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def sort_by_field(coll: Column, field: str = "__o") -> Column:
-    """``array_sort`` of collected (order, payload) structs via the
-    COMPARATOR form, comparing ONLY the order field.
+def orderable(dt) -> bool:
+    """Does Spark's lexicographic ordering accept this type? VARIANT
+    and MAP (at any nesting depth) are rejected
+    (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if hasattr(T, "VariantType") and isinstance(dt, T.VariantType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return orderable(dt.elementType)
+    return True
+
+
+def sort_by_field(coll: Column, field: str = "__o",
+                  payload_dt: T.DataType | None = None) -> Column:
+    """``array_sort`` of collected (order, payload) structs, comparing
+    ONLY the order field.
 
     The default lexicographic struct ordering rejects VARIANT / MAP
     payload fields (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE), which
     turned group_by/implode/pivot/group_shape over heterogeneous-doc
     tables (infer_schema unifies conflicting leaves to variant) into a
     one-sided analysis error doc mode doesn't have (r10 advice). The
-    order field is always a non-null distinct numeric surrogate
-    (monotonic id / row_number), so the comparator is a total order and
-    ties are impossible."""
+    order field is always a non-null DISTINCT numeric surrogate
+    (monotonic id / row_number), so ties never reach the payload —
+    callers that know the payload dtype pass it, and ORDERABLE payloads
+    keep Spark's native codegen'd sort (the comparator lambda is an
+    interpreted CodegenFallback — the 100 TB hot-group path should not
+    pay it when the plain sort type-checks)."""
+    if payload_dt is not None and orderable(payload_dt):
+        return F.array_sort(coll)
     return F.array_sort(
         coll,
         lambda l, r: F.when(l[field] < r[field], F.lit(-1))
@@ -95,9 +117,11 @@ def group_collect(df: DataFrame, key: str | Column, key_alias: str = "key",
             .agg(F.collect_list(payload).alias("value"))
         )
     o = F.col(order) if isinstance(order, str) else order
+    pdt = T.StructType([df.schema[c2] for c2 in cols])
     arr = F.transform(
         sort_by_field(F.collect_list(F.struct(o.alias("__o"),
-                                              payload.alias("__p")))),
+                                              payload.alias("__p"))),
+                      payload_dt=pdt),
         lambda s: s["__p"])
     aggs = [arr.alias("value")]
     if emit_order is not None:
@@ -197,7 +221,8 @@ def pivot2(df: DataFrame, key: str, value: str, order: str | Column | None = Non
         F.min(F.col("__ord")).alias("__fo"),
     )
     entries = F.transform(
-        sort_by_field(F.collect_list(F.struct("__fo", "__k", "__v")), "__fo"),
+        sort_by_field(F.collect_list(F.struct("__fo", "__k", "__v")), "__fo",
+                      payload_dt=winners.schema["__v"].dataType),
         lambda s: F.struct(s["__k"].alias("__k"), s["__v"].alias("__v")))
     return winners.groupBy().agg(
         F.map_from_entries(entries).alias("pivot")
@@ -267,8 +292,10 @@ def implode(df: DataFrame, field: str, group_cols: list[str] | None = None,
     # them — identical null semantics to the unordered path
     wrapped = F.when(F.col(field).isNotNull(),
                      F.struct(o.alias("__o"), F.col(field).alias("__v")))
-    arr = F.transform(sort_by_field(F.collect_list(wrapped)),
-                      lambda s: s["__v"])
+    arr = F.transform(
+        sort_by_field(F.collect_list(wrapped),
+                      payload_dt=df.schema[field].dataType),
+        lambda s: s["__v"])
     aggs = [arr.alias(field)]
     if emit_order is not None:
         aggs.append(F.min(o).alias(emit_order))
