@@ -657,11 +657,15 @@ class JetroTables:
     def _comp_ordered(self, n: A.Comp) -> bool:
         """Is a comprehension output's physical order its document
         order? Single-generator list/gen comps are narrow
-        filter+project over the generator table (scan order carries);
-        multi-generator JOINS emit nested-loop doc order no shuffle
-        reproduces, and set-comp dedup reorders — untrusted (r10)."""
+        filter+project over the generator table (scan order carries —
+        when the TABLE's own order is trusted); multi-generator JOINS
+        emit nested-loop doc order no shuffle reproduces, and set-comp
+        dedup reorders — untrusted (r10)."""
         gens = n.gens or [(n.vars, n.source)]
-        return len(gens) == 1 and n.kind in ("list", "gen")
+        if len(gens) != 1 or n.kind not in ("list", "gen"):
+            return False
+        t0 = self._table_of(gens[0][1])
+        return t0 is not None and self._tables_ordered.get(t0, True)
 
     def compile_node(self, node: A.Node,
                      demand_order: bool = False) -> DataFrame:
@@ -754,6 +758,13 @@ class JetroTables:
                 and src.steps and isinstance(src.steps[0], A.Field)
                 and src.steps[0].name in self.tables and len(src.steps) == 1):
             return src.steps[0].name
+        # let-bound sub-plan as generator source: `for x in a` (r10 —
+        # was a one-sided 'requires a table-rooted pipeline' error)
+        if isinstance(src, A.Ident) and src.name in self.tables:
+            return src.name
+        if (isinstance(src, A.Path) and isinstance(src.base, A.Ident)
+                and not src.steps and src.base.name in self.tables):
+            return src.base.name
         return None
 
     def _comp(self, n: A.Comp,
@@ -771,9 +782,10 @@ class JetroTables:
         if len(gens) > 1:
             return self._comp_multi(n, gens, want_order)
         src = n.source
-        if self._table_of(src) is None:
+        tname = self._table_of(src)
+        if tname is None:
             return None
-        df = self.tables[src.steps[0].name]
+        df = self.tables[tname]
         var = n.vars[0]
         env = self._row_env(df).bind(var, self._row_tc(df))
         if n.cond is not None:
@@ -961,7 +973,11 @@ class JetroTables:
                 if order is None and not self._scan_ok:
                     return None
                 self._order = order
-                return df.offset(i).limit(1)
+                # OOB index is Null in the reference (value.rs
+                # get_index) — pad like nth (r10 let-soak catch: the
+                # `[i]` sink was the one positional stage the r7
+                # null-padding pass missed)
+                return self._pad_single_null(df.offset(i).limit(1))
             # [-n]: inverted-sort offset, like nth (scan-order surrogate
             # when unsorted, r8)
             df, order = self._maybe_scan_order(df, order)
@@ -969,7 +985,7 @@ class JetroTables:
                 inv = df.orderBy(*[c2.asc() if d else c2.desc()
                                    for c2, d in order])
                 self._order = order
-                return inv.offset(-i - 1).limit(1)
+                return self._pad_single_null(inv.offset(-i - 1).limit(1))
             return None
         if isinstance(step, A.Slice):
             if order is None and not self._scan_ok:

@@ -1039,3 +1039,27 @@ def test_explode_source_comprehension_order(spark):
         rel = [list(r[cols[0]]) for r in out.collect()]
         want = docv if isinstance(docv[0], list) else [docv]
         assert rel == want, e
+
+
+def test_let_bound_table_as_comprehension_source(spark):
+    """r10: `for x in a` over a let-bound sub-plan was a one-sided
+    'requires a table-rooted pipeline' CompileError; _table_of now
+    resolves Ident sources, with the binding's order trust feeding the
+    comp's own order contract."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t})
+    for e in ['let a = $.s.filter(v > 40) in [x.k for x in a]',
+              'let a = $.s.filter(v > 40) in [x.k for x in a].first()',
+              'let a = $.s.sort(-k) in {x.g for x in a}.first()',
+              'let a = $.s.sort(-v).group_by(g) in [x.key for x in a]']:
+        doc = jt.collect(e)
+        out = tables.query(e)
+        rel = [r[out.columns[0]] for r in out.collect()]
+        want = doc if isinstance(doc, list) else [doc]
+        assert rel == want, e
