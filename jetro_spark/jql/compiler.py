@@ -34,6 +34,7 @@ from jetro_spark.functions import objects as OB
 from jetro_spark.functions import strings as S
 from jetro_spark.functions.core import (
     elem_at,
+    let_,
     jt_cast,
     to_variant,
     vcast,
@@ -2642,7 +2643,8 @@ def m_approx_count_distinct(self, recv, args, env):
 
 def m_equi_join(self, recv, args, env):
     """Doc-mode equi_join over two array<struct> (ops/array.rs:489-548):
-    inner hash join, shallow merge, right wins on collision."""
+    inner hash join on val_to_key canonical keys (null keys match under
+    the "null" bucket), shallow merge, right wins on collision."""
     other = self.compile(args[0].value, env)
     lk = _const_str(args, 1)
     rk = _const_str(args, 2)
@@ -2674,14 +2676,26 @@ def m_equi_join(self, recv, args, env):
             cols.append(re_.getField(f.name).alias(f.name))
         return F.struct(*cols)
 
-    lkey = lambda e: e.getField(lk)  # noqa: E731
-    rkey = lambda e: e.getField(rk)  # noqa: E731
+    # keys match via val_to_key's canonical string (util.rs:216-226):
+    # a PRESENT-but-null key is the "null" bucket and matches its
+    # peers (array.rs:505-531 — only a MISSING field skips, and a
+    # field missing per-row is null here too: the repo's schema
+    # unification conflates the two, documented ingestion limit);
+    # cross-kind keys compare by rendering, like includes/group_by
+    ldt = lst[lk].dataType
+    rdt = rst[rk].dataType
+    lck = lambda e: F.coalesce(  # noqa: E731
+        _canon_str(e.getField(lk), ldt), F.lit("null"))
+    rck = lambda e: F.coalesce(  # noqa: E731
+        _canon_str(e.getField(rk), rdt), F.lit("null"))
     out = F.flatten(F.transform(
-        F.filter(recv.col, lambda le: lkey(le).isNotNull()),
-        lambda le: F.transform(
-            F.filter(other.col, lambda re_: F.coalesce(
-                rkey(re_) == lkey(le), F.lit(False))),
-            lambda re_: merge(le, re_))))
+        recv.col,
+        # bind the left key's rendering ONCE per left element — inside
+        # the inner lambda it would re-render per (l, r) PAIR (HOFs
+        # have no CSE)
+        lambda le: let_(lck(le), lambda lkv: F.transform(
+            F.filter(other.col, lambda re_: rck(re_) == lkv),
+            lambda re_: merge(le, re_)))))
     return TC(out, T.ArrayType(merged))
 
 

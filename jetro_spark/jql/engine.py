@@ -176,12 +176,18 @@ def _order_by(order: list) -> list[Column]:
     return [c.desc() if d else c.asc() for c, d in order]
 
 
-def _collected_elems(df: DataFrame, elem: Column, order: list | None):
+def _collected_elems(df: DataFrame, elem: Column, order: list | None,
+                     elem_dt: T.DataType | None = None):
     """(tagged_df, array_expr): the pipeline's elements as ONE array,
     pipeline order preserved via a row_number tag when an order is live.
     The struct wrapper matters in both branches: bare collect_list drops
     null elements, doc arrays keep them. Shared by the join/to_json
-    sinks and the doc fallback's collect."""
+    sinks and the doc fallback's collect.
+
+    ``elem_dt`` (r11): the element's dtype, forwarded to sort_by_field
+    so ORDERABLE payloads keep the codegen'd native array_sort instead
+    of always paying the interpreted comparator (the b78d241 gate never
+    applied on this shared path)."""
     if order is not None:
         from pyspark.sql.window import Window
         w = Window.orderBy(*_order_by(order))
@@ -189,7 +195,7 @@ def _collected_elems(df: DataFrame, elem: Column, order: list | None):
                            elem.alias("__oc_e"))
         arr = F.transform(
             R.sort_by_field(F.collect_list(F.struct("__oc_rn", "__oc_e")),
-                            "__oc_rn"),
+                            "__oc_rn", payload_dt=elem_dt),
             lambda s: s["__oc_e"])
     else:
         tagged = df
@@ -197,6 +203,35 @@ def _collected_elems(df: DataFrame, elem: Column, order: list | None):
             F.collect_list(F.struct(elem.alias("__oc_e"))),
             lambda s: s["__oc_e"])
     return tagged, arr
+
+
+def _join_key_kwargs(ldt: T.DataType, rdt: T.DataType,
+                     lk: str, rk: str) -> dict:
+    """equi_join key-match kwargs per the reference's val_to_key
+    convention (util.rs:216-226): a present-but-null key renders as
+    the "null" bucket and MATCHES its peers (array.rs:505-531).
+
+    SAME-family atomic keys take ``eqNullSafe`` — identical semantics
+    to the canonical "null" bucket on native hash keys (Spark extracts
+    EqualNullSafe as an equi-join key; NaN<=>NaN and -0.0<=>0.0 agree
+    with _canon_str's rendering). Cross-family / variant / complex
+    keys join on the canonical STRING both engine modes share
+    (_canon_str, null → 'null') — still a plain hash-joinable equi
+    condition, just on a derived key. int-vs-float stays canonical
+    (eqNullSafe would cast longs through double and collide keys past
+    2^53 where val_to_key strings differ)."""
+    from jetro_spark.jql.compiler import _canon_str
+
+    ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    flts = (T.FloatType, T.DoubleType)
+    for fam in (ints, flts, T.StringType, T.BooleanType,
+                T.DateType, T.TimestampType):
+        if isinstance(ldt, fam) and isinstance(rdt, fam):
+            return {"null_safe": True}
+    return {"lkey_col": F.coalesce(_canon_str(F.col(lk), ldt),
+                                   F.lit("null")),
+            "rkey_col": F.coalesce(_canon_str(F.col(rk), rdt),
+                                   F.lit("null"))}
 
 
 def _analyzed_select(df: DataFrame, col: Column) -> DataFrame:
@@ -667,13 +702,36 @@ class JetroTables:
         t0 = self._table_of(gens[0][1])
         return t0 is not None and self._tables_ordered.get(t0, True)
 
+    def _comp_trusted(self, n: A.Comp) -> bool:
+        """Are ALL table generator sources order-trusted? Gates every
+        doc-order claim a comprehension makes: the single-gen scan
+        carry, _comp_multi's per-generator monotonic-id tags, and
+        _set_body's first-occurrence tag each presume the source
+        table's PHYSICAL order is its doc order (r11 advice: an
+        order-untrusted let binding as the source silently certified
+        shuffle-arbitrary rows as positional truth). Untrusted →
+        comps compile order-free and downstream positional stages
+        take the warned doc fallback, the same contract as a bare
+        pipeline over an untrusted binding."""
+        gens = n.gens or [(n.vars, n.source)]
+        for _, src in gens:
+            t = self._table_of(src)
+            if t is not None and not self._tables_ordered.get(t, True):
+                return False
+        return True
+
     def compile_node(self, node: A.Node,
                      demand_order: bool = False) -> DataFrame:
         if isinstance(node, A.Comp) and node.kind in ("list", "gen", "set"):
             df = self._comp(node, want_order=demand_order)
             if df is not None:
-                self._pipe_end_ordered = (demand_order
-                                          or self._comp_ordered(node))
+                # order trust requires BOTH a reason the output is in
+                # doc order (demanded materialization, or the single-gen
+                # scan carry) AND trusted generator sources — _comp
+                # ignores the demand over untrusted sources (r11)
+                self._pipe_end_ordered = (
+                    (demand_order or self._comp_ordered(node))
+                    and self._comp_trusted(node))
                 return df
         # method chain on a comprehension root: `[...].first()` lowered
         # the comp, then errored "requires a table-rooted pipeline" —
@@ -689,7 +747,8 @@ class JetroTables:
                 # _select_body just set self._scalar for the comp value
                 return self._pipeline(
                     df, node.steps,
-                    scan_ok=want or self._comp_ordered(node.base),
+                    scan_ok=((want or self._comp_ordered(node.base))
+                             and self._comp_trusted(node.base)),
                     scalar=self._scalar, demand_order=demand_order)
         if isinstance(node, A.Path) and isinstance(node.base, A.Root):
             if node.steps and isinstance(node.steps[0], A.Field) \
@@ -711,19 +770,27 @@ class JetroTables:
             self._pipe_end_ordered = self._tables_ordered.get(node.name, True)
             return self.tables[node.name]
         if isinstance(node, A.Let):
-            return self._let(node)
+            return self._let(node, demand_order)
         raise CompileError("relational mode requires a table-rooted pipeline "
                            f"($.<table>...); tables: {sorted(self.tables)}")
 
     # --------------------------------------------------- comprehensions
 
-    def _let(self, n: A.Let) -> DataFrame:
+    def _let(self, n: A.Let, demand_order: bool = False) -> DataFrame:
         """Relational let: a table-rooted binding becomes a NAMED
         SUB-PLAN — the body sees it as another table (so
         `let top = $.orders.filter(p > x) in top.count()` is one plan,
         no materialization; Catalyst de-duplicates or reuses the
         subtree). A non-table binding must be row-free scalar — bound
-        as a compile-time TC visible in every row scope."""
+        as a compile-time TC visible in every row scope.
+
+        ``demand_order`` threads through to the BODY (r11 advice):
+        a nested binding (`let a = (let k = 1 in $.s.group_by(g)) in
+        a.first()`) compiles its inner pipeline through this path, and
+        dropping the demand here let the keyed reducer skip its doc-
+        order restore — the binding ended untrusted and the sink fell
+        back (or silently diverged via the comp path) where the r10
+        binding-exit demand should have materialized the order."""
         try:
             self._pipe_end_ordered = True
             # demand_order: a binding's consumer is unknown — compile
@@ -746,12 +813,20 @@ class JetroTables:
                                 scalars=self._scalars,
                                 ordered={**self._tables_ordered,
                                          n.name: trust})
-            return child.compile_node(n.body)
+            out = child.compile_node(n.body, demand_order=demand_order)
+            # the body compiled in the CHILD scope — surface its order
+            # trust on self, read by an enclosing _let / join caller
+            # (nested bindings, r11 advice)
+            self._pipe_end_ordered = getattr(child, "_pipe_end_ordered",
+                                             True)
+            return out
         scalar = self.c.compile(n.value, Env(locals=dict(self._scalars)))
         child = JetroTables(self.spark, self.tables,
                             scalars={**self._scalars, n.name: scalar},
                             ordered=self._tables_ordered)
-        return child.compile_node(n.body)
+        out = child.compile_node(n.body, demand_order=demand_order)
+        self._pipe_end_ordered = getattr(child, "_pipe_end_ordered", True)
+        return out
 
     def _table_of(self, src: A.Node) -> str | None:
         if (isinstance(src, A.Path) and isinstance(src.base, A.Root)
@@ -779,6 +854,11 @@ class JetroTables:
         rooted at an earlier var (`for li in o.items`) becomes an
         explode. No driver-side product is ever built."""
         gens = n.gens or [(n.vars, n.source)]
+        # an untrusted source's physical order is NOT its doc order —
+        # never mint order tags over it; compile order-free and let the
+        # caller's scan_ok=False route positional reads to the warned
+        # doc fallback (r11 advice)
+        want_order = want_order and self._comp_trusted(n)
         if len(gens) > 1:
             return self._comp_multi(n, gens, want_order)
         src = n.source
@@ -1528,21 +1608,34 @@ class JetroTables:
             # scan runs an empty pipeline → True)
             rt_ok = getattr(self, "_pipe_end_ordered", True)
             lk, rk = _lit_str(args[1].value), _lit_str(args[2].value)
-            # a MISSING key field is a per-row null lookup in doc mode
-            # (equi_join_apply: null keys drop), so the join is empty —
-            # synthesize a typed null key instead of failing analysis
-            # (r9 soak catch: implode(v).equi_join(...) raised where
-            # doc mode returned the empty result)
+            # a MISSING key field is a per-row None lookup in doc mode
+            # (equi_join_apply: o.get → None skips the row), so the
+            # join is empty — synthesize a typed null key instead of
+            # failing analysis (r9 soak catch: implode(v).equi_join(...)
+            # raised where doc mode returned the empty result)
+            synth = False
             if lk not in _vis_cols(df):
                 dt2 = (other.schema[rk].dataType if rk in other.columns
                        else T.StringType())
                 df = df.withColumn(lk, F.lit(None).cast(dt2))
+                synth = True
             if rk not in other.columns:
                 dt2 = df.schema[lk].dataType
                 other = other.withColumn(rk, F.lit(None).cast(dt2))
+                synth = True
+            # key-match mode (r11 advice): a PRESENT-but-null key is
+            # the val_to_key "null" bucket and MATCHES (array.rs:
+            # 505-531) — only the synthesized missing-field key keeps
+            # plain == (every lookup misses → the empty join)
+            key_kw = ({} if synth else _join_key_kwargs(
+                df.schema[lk].dataType, other.schema[rk].dataType,
+                lk, rk))
             # equi_join_apply walks the RECEIVER in order (array.rs:
-            # 489-548) and each receiver row yields ≤1 output row, so
-            # the receiver's order IS the output's document order. When
+            # 489-548) and emits EVERY right match per receiver row in
+            # right-array order (array.rs:505-531), so the output's
+            # document order is (receiver position, right-array
+            # position) — the receiver sort below carries the first
+            # component, the rid surrogate the second. When
             # no order is carried, mint the scan-order surrogate (r9) —
             # previously the join went out unordered, _scan_ok flipped
             # off, and every order-dependent downstream stage (or a
@@ -1575,14 +1668,14 @@ class JetroTables:
                     if tail_reads:
                         return None
                     self._order = order
-                    return (R.equi_join(df, other, lk, rk)
+                    return (R.equi_join(df, other, lk, rk, **key_kw)
                             .orderBy(*_order_by(order)))
                 self._sort_seq = getattr(self, "_sort_seq", 0) + 1
                 rid = f"__ord_rt{self._sort_seq}"
                 other = other.withColumn(rid,
                                          F.monotonically_increasing_id())
                 out_order = order + [(F.col(rid), False)]
-            out = R.equi_join(df, other, lk, rk)
+            out = R.equi_join(df, other, lk, rk, **key_kw)
             if order is None:
                 return out
             # restore the pipeline order the join shuffle destroyed so
@@ -1903,7 +1996,8 @@ class JetroTables:
                 return None
             self._scalar = True
             sep = _lit_str(args[0].value) if args else ""
-            tagged, arr = _collected_elems(df, F.col(vis[0]), order)
+            tagged, arr = _collected_elems(df, F.col(vis[0]), order,
+                                           elem_dt=df.schema[vis[0]].dataType)
             return tagged.agg(F.array_join(arr, sep).alias("value"))
         if name in ("indices_where", "indices_of", "last_index_of"):
             # position queries over the pipeline order → one-pass agg of
@@ -1939,9 +2033,14 @@ class JetroTables:
             # same one-row driver-cliff class as join(sep); use
             # write_csv/write_parquet for table-scale exports
             vis = _vis_cols(df)
-            elem = (F.col(vis[0]) if len(vis) == 1 and self._scalar
-                    else F.struct(*[F.col(c2) for c2 in vis]))
-            tagged, arr = _collected_elems(df, elem, order)
+            if len(vis) == 1 and self._scalar:
+                elem = F.col(vis[0])
+                ed: T.DataType = df.schema[vis[0]].dataType
+            else:
+                elem = F.struct(*[F.col(c2) for c2 in vis])
+                ed = T.StructType(
+                    [f for f in df.schema.fields if f.name in vis])
+            tagged, arr = _collected_elems(df, elem, order, elem_dt=ed)
             self._scalar = True
             return tagged.agg(F.to_json(arr).alias("value"))
         if name == "window":
@@ -2334,7 +2433,8 @@ class JetroTables:
             elem = F.struct(*[F.col(c) for c in vis])
             elem_dt = T.StructType(
                 [f for f in df.schema.fields if f.name in vis])
-        tagged, arr = _collected_elems(df, elem, order or None)
+        tagged, arr = _collected_elems(df, elem, order or None,
+                                       elem_dt=elem_dt)
         arr_df = tagged.agg(arr.alias("__arr"))
         tc = TC(F.col("__arr"), T.ArrayType(elem_dt))
         # table-arg builtins inside the collapsed pipeline (zip($.u),

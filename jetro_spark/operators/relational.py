@@ -64,26 +64,56 @@ def equi_join(
     lkey: str,
     rkey: str,
     broadcast_right: bool = False,
+    null_safe: bool = False,
+    lkey_col: Column | None = None,
+    rkey_col: Column | None = None,
 ) -> DataFrame:
     """Jetro ``equi_join``: INNER hash equi-join of two arrays of objects;
     merged output object = left fields then right fields, with the RIGHT
-    side winning on column-name collision; null-key rows drop (inner-join
-    null semantics already guarantee this).
+    side winning on column-name collision.
+
+    Key matching follows the reference's val_to_key convention
+    (util.rs:216-226): a PRESENT-but-null key renders as the string
+    "null" and IS indexed/matched (array.rs:505-531) — only a key field
+    MISSING from the object drops the row. Callers pick the cheapest
+    faithful condition:
+
+    - default (``==``): nulls drop — for keys the caller knows are
+      never null, or synthesized missing-field keys (where the faithful
+      result is the empty join);
+    - ``null_safe``: ``eqNullSafe`` — null keys match each other,
+      exactly val_to_key's "null" bucket for SAME-family atomic keys
+      (Spark extracts EqualNullSafe as an equi-join key, so this stays
+      a hash/broadcast join, never a BNLJ);
+    - ``lkey_col``/``rkey_col``: prepared join-key EXPRESSIONS (the
+      engine passes val_to_key canonical strings) matched with
+      ``eqNullSafe`` for cross-family / variant / complex keys; output
+      columns are unchanged.
 
     Reference: jetro-core/src/builtins/ops/array.rs:489-548,
     jetro-core/src/builtins/mod.rs:395-397.
     """
+    if lkey_col is not None:
+        left = left.withColumn("__jk_eq", lkey_col)
+        right = right.withColumn("__jk_eq", rkey_col)
     r = F.broadcast(right) if broadcast_right else right
     l_aliased = left.alias("__l")
     r_aliased = r.alias("__r")
-    joined = l_aliased.join(r_aliased, F.col(f"__l.{lkey}") == F.col(f"__r.{rkey}"), "inner")
+    if lkey_col is not None:
+        cond = F.col("__l.__jk_eq").eqNullSafe(F.col("__r.__jk_eq"))
+    elif null_safe:
+        cond = F.col(f"__l.{lkey}").eqNullSafe(F.col(f"__r.{rkey}"))
+    else:
+        cond = F.col(f"__l.{lkey}") == F.col(f"__r.{rkey}")
+    joined = l_aliased.join(r_aliased, cond, "inner")
     right_cols = set(right.columns)
     out: list[Column] = []
     for c in left.columns:
-        if c not in right_cols:  # right wins on collision
+        if c not in right_cols and c != "__jk_eq":  # right wins on collision
             out.append(F.col(f"__l.{c}").alias(c))
     for c in right.columns:
-        out.append(F.col(f"__r.{c}").alias(c))
+        if c != "__jk_eq":
+            out.append(F.col(f"__r.{c}").alias(c))
     return joined.select(*out)
 
 

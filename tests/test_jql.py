@@ -174,7 +174,8 @@ def test_doc_equi_join(spark):
         "users": [{"uid": 10, "name": "ann"}, {"uid": 11, "name": "bo"}],
     })
     got = j.collect('$.orders.equi_join($.users, "uid", "uid")')
-    # right wins on uid collision; null-key row dropped (array.rs:489-548)
+    # right wins on uid collision; the null-key row probes the "null"
+    # bucket (val_to_key) and finds no match — dropped (array.rs:489-548)
     assert got == [{"oid": 1, "uid": 10, "name": "ann"},
                    {"oid": 2, "uid": 11, "name": "bo"}]
 

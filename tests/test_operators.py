@@ -35,6 +35,11 @@ def test_equi_join_right_wins(spark):
 
 
 def test_equi_join_null_keys_dropped(spark):
+    """Default key mode (plain ==): nulls drop — the operator-level
+    contract for callers with never-null keys; the ENGINE passes
+    null_safe/canonical key kwargs for the val_to_key "null" bucket
+    (see test_regressions.test_equi_join_null_key_matches_null_bucket).
+    """
     left = spark.createDataFrame([(None, "a"), (1, "b")], "id long, v string")
     right = spark.createDataFrame([(None, "x"), (1, "y")], "rid long, w string")
     assert equi_join(left, right, "id", "rid").count() == 1

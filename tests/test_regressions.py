@@ -1063,3 +1063,171 @@ def test_let_bound_table_as_comprehension_source(spark):
         rel = [r[out.columns[0]] for r in out.collect()]
         want = doc if isinstance(doc, list) else [doc]
         assert rel == want, e
+
+
+def test_comp_over_untrusted_table_takes_warned_fallback(spark):
+    """r11 advice: single-generator list/gen comps ignore want_order
+    (no order is materialized — the output order IS the source table's
+    scan order), so a positional sink over a comp whose source table is
+    order-UNTRUSTED must take the warned doc fallback instead of
+    silently certifying shuffle-arbitrary rows; _comp_multi/_set_body
+    likewise must not mint monotonic-id doc-order tags over untrusted
+    sources."""
+    import warnings as W
+
+    from jetro_spark.jql import parser as par
+    from jetro_spark.jql.engine import JetroTables
+
+    rows = [(i, float((i * 37) % 101), f"g{i % 3}") for i in range(17)]
+    t = spark.createDataFrame(rows, "k long, v double, g string") \
+             .repartition(8)
+    u = spark.createDataFrame(rows[:5], "k long, v double, g string")
+
+    # trust flags: the comp branch certifies order only for TRUSTED
+    # sources, even under demand
+    for trust in (True, False):
+        jt2 = JetroTables(spark, {"s": t, "u": u},
+                          ordered={"s": trust, "u": True})
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            jt2.compile_node(par.parse("[x.k for x in $.s]"),
+                             demand_order=True)
+        assert getattr(jt2, "_pipe_end_ordered") is trust
+
+    untrusted = JetroTables(spark, {"s": t, "u": u},
+                            ordered={"s": False, "u": True})
+    for e in ["[x.k for x in $.s].first()",
+              "{x.g for x in $.s}.last()",
+              "[[o.k, p.k] for o in $.s for p in $.u if o.g == p.g]"
+              ".nth(2)"]:
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            out = untrusted.query(e)
+            out.collect()
+        assert any("single-task" in str(w.message) for w in rec), e
+
+    # order-blind sinks over the same untrusted source stay relational
+    for e in ["[x.k for x in $.s].count()",
+              "{x.g for x in $.s}.count()"]:
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            untrusted.query(e).collect()
+        assert not any("single-task" in str(w.message) for w in rec), e
+
+
+def test_nested_let_threads_demand_order(spark):
+    """r11 advice: compile_node(A.Let) dropped demand_order, so a
+    NESTED binding (`let a = (let b = 1 in $.s.sort(-v).group_by(g))
+    in a.first()`) compiled its keyed reducer without the binding-exit
+    order demand — the sink read a shuffle-arbitrary group. The demand
+    (and the child scope's end-of-pipeline trust) now thread through
+    both _let branches."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(8)
+    tables = JetroTables(spark, {"s": t})
+    for e in ['let a = (let b = 1 in $.s.sort(-v).group_by(g)) '
+              'in a.first()',
+              'let a = (let b = $.s.sort(-v).group_by(g) in b) '
+              'in a.first()',
+              'let a = (let b = 2 in $.s.sort(k).index_by(g)) '
+              'in a.keys()']:
+        doc = jt.collect(e)
+        out = tables.query(e)
+        cols = [c for c in out.columns if not c.startswith("__ord")]
+        if isinstance(doc, dict) and "key" in out.columns:
+            rel = [r["key"] for r in out.collect()]
+            assert rel[:1] == [doc["key"]], e
+        else:
+            rel = [r[cols[0]] for r in out.collect()]
+            want = doc if isinstance(doc, list) else [doc]
+            assert rel == want, e
+
+
+def test_equi_join_null_key_matches_null_bucket(spark):
+    """r11 advice: the reference maps a PRESENT-but-null join key
+    through val_to_key to the string "null" and MATCHES it
+    (array.rs:505-531, util.rs:216-226) — only a MISSING key field
+    skips. Spark's inner-join null==null never matches, so both modes
+    previously dropped null-key rows one-sidedly. (Per-row missing
+    fields are null after schema unification — the repo keys them
+    "null" too, a documented ingestion-level conflation.)"""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {
+        "orders": [{"oid": 1, "uid": 10}, {"oid": 2, "uid": None},
+                   {"oid": 3, "uid": 11}],
+        "users": [{"uid": None, "name": "ghost"},
+                  {"uid": 10, "name": "ann"},
+                  {"uid": None, "name": "ghost2"}],
+    }
+    jt = Jetro.from_value(spark, doc)
+    got = jt.collect('$.orders.equi_join($.users, "uid", "uid")')
+    # doc order: receiver order, right-array order within a key
+    assert got == [
+        {"oid": 1, "uid": 10, "name": "ann"},
+        {"oid": 2, "uid": None, "name": "ghost"},
+        {"oid": 2, "uid": None, "name": "ghost2"},
+    ]
+
+    o = spark.createDataFrame([(1, 10), (2, None), (3, 11)],
+                              "oid long, uid long")
+    u = spark.createDataFrame([(None, "ghost"), (10, "ann"),
+                               (None, "ghost2")], "uid long, name string")
+    tables = JetroTables(spark, {"orders": o, "users": u})
+    out = tables.query('$.orders.equi_join($.users, "uid", "uid")')
+    rel = sorted([(r["oid"], r["uid"], r["name"]) for r in out.collect()])
+    assert rel == [(1, 10, "ann"), (2, None, "ghost"), (2, None, "ghost2")]
+    # the relational plan must stay a hash-joinable equi join (the
+    # eqNullSafe condition extracts as join keys — no BNLJ/cartesian)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equi_join_cross_family_keys_render_canonically(spark):
+    """Cross-kind keys match via val_to_key's STRING rendering: long 3
+    joins string "3" and double 3.0 (both render "3"); a string key
+    that isn't numeric never ANSI-throws."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {"l": [{"k": 3, "a": 1}, {"k": 4, "a": 2}],
+           "r": [{"k": "3", "b": 10}, {"k": "x", "b": 20}]}
+    jt = Jetro.from_value(spark, doc)
+    got = jt.collect('$.l.equi_join($.r, "k", "k")')
+    assert got == [{"a": 1, "k": "3", "b": 10}]
+
+    ldf = spark.createDataFrame([(3, 1), (4, 2)], "k long, a long")
+    rdf = spark.createDataFrame([("3", 10), ("x", 20)],
+                                "k string, b long")
+    tables = JetroTables(spark, {"l": ldf, "r": rdf})
+    out = tables.query('$.l.equi_join($.r, "k", "k")')
+    assert [(r["a"], r["k"], r["b"]) for r in out.collect()] \
+        == [(1, "3", 10)]
+
+    # double keys render without the trailing .0 ("74", not "74.0")
+    ld2 = spark.createDataFrame([(3.0, 1), (4.5, 2)], "k double, a long")
+    tables2 = JetroTables(spark, {"l": ld2, "r": rdf})
+    out2 = tables2.query('$.l.equi_join($.r, "k", "k")')
+    assert [(r["a"], r["b"]) for r in out2.collect()] == [(1, 10)]
+
+
+def test_equi_join_missing_key_field_still_empty(spark):
+    """A key field MISSING from the whole schema is a per-row None
+    lookup (o.get → None → skip, array.rs:517-531): the join stays
+    EMPTY — the synthesized null key must NOT ride the new "null"
+    bucket into matching present-null right keys."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    jt = Jetro.from_value(spark, {
+        "l": [{"a": 1}], "r": [{"k": None, "b": 10}, {"k": 3, "b": 20}]})
+    assert jt.collect('$.l.equi_join($.r, "nope", "k")') == []
+
+    ldf = spark.createDataFrame([(1,)], "a long")
+    rdf = spark.createDataFrame([(None, 10), (3, 20)], "k long, b long")
+    tables = JetroTables(spark, {"l": ldf, "r": rdf})
+    assert tables.query('$.l.equi_join($.r, "nope", "k")').count() == 0
