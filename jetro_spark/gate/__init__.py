@@ -53,10 +53,12 @@ _TIER1 = [
     # relational core
     "filter_map", "sort_take", "group_agg", "join3_revenue", "count_by",
     "index_by", "max_by", "pivot", "implode", "approx_count_distinct",
-    # extended joins ("salted_join" rotated out in r10 for gram_overlap
-    # — it is an equi_join variant and the join family keeps five
-    # tier-1 reps; rotated-out rows still run in the full local gate)
-    "equi_join", "asof_join", "range_join", "join_semi",
+    # extended joins ("salted_join" rotated out in r10 for gram_overlap;
+    # "range_join" rotated out in r11 for mm_resize — asof_join keeps
+    # the non-equi join shape driver-visible and the join family keeps
+    # four tier-1 reps; rotated-out rows still run in the full local
+    # gate)
+    "equi_join", "asof_join", "join_semi",
     "bucketed_join",
     # scalar functions ("encoding" rotated out in r7 for simhash_pairs;
     # "parse_cast" rotated out in r8 for bm25_topk so the new ranking
@@ -89,9 +91,14 @@ _TIER1 = [
     # joins the tier-1 text family alongside pii_mask/quality_filters
     "ann_ivf_trained", "tfidf_embed", "mm_decode", "pii_mask",
     "quality_filters", "gram_overlap", "pipeline_demo", "pack_cumsum",
+    # r11 rotation: the two r10 operators become driver-visible —
+    # mm_resize (aspect-preserving image resize plumbing, replaces
+    # range_join) and quality_logit (hashed-feature linear quality
+    # classifier, replaces doc_bl_q10 — doc_bl_q5 keeps the doc
+    # bench-suite family covered)
+    "mm_resize", "quality_logit",
     # HOFs / streaming / doc-suite
     "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
-    "doc_bl_q10",
 ]
 
 
