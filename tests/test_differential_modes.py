@@ -36,7 +36,20 @@ ROWS = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
 # overlaps rows 0-4 of s plus one alien row — exercises every branch of
 # the set-op stages (present/absent/extra on the other side)
 ROWS_U = ROWS[:5] + [{"k": 99, "v": 7.5, "g": "g9"}]
-DOC = {"s": ROWS, "u": ROWS_U}
+# DUPLICATE keys (two rows per key, right-array order doc-observable
+# through joins — the r10 advice class) and PRESENT-null keys (the
+# val_to_key "null" bucket: null joins null, r11 advice class). v
+# values stay globally distinct so .sort(v) is still tie-free; .sort(k)
+# over unions with d has ties and nulls ON PURPOSE — the stable-sort
+# doc-order tie-break and the null placement are both doc-observable.
+ROWS_D = [
+    {"k": 0, "v": 201.0, "g": "g1"}, {"k": 0, "v": 202.0, "g": "g2"},
+    {"k": 3, "v": 203.0, "g": "g0"}, {"k": 3, "v": 204.0, "g": "g1"},
+    {"k": None, "v": 205.0, "g": "gN"},
+    {"k": None, "v": 206.0, "g": "gN"},
+    {"k": 7, "v": 207.0, "g": "g7"},
+]
+DOC = {"s": ROWS, "u": ROWS_U, "d": ROWS_D}
 
 # stages legal mid-pipeline on rows/scalars in BOTH modes; every
 # pipeline starts with sort(k) so both modes walk the same sequence
@@ -74,6 +87,15 @@ _MID = st.sampled_from([
     # sub-pipeline — the append-order monotonic tag must refuse and
     # doc-fallback (same gate as equi_join's right side)
     '.union($.u.equi_join($.u, "k", "k"))',
+    # r11 (permanent vocab per the r10 verdict): DUPLICATE-key right
+    # tables — every receiver row fans out to its matches in
+    # right-array order — plus PRESENT-null keys matching under the
+    # val_to_key "null" bucket (union($.d) feeds null/duplicate keys
+    # into the receiver side too)
+    '.equi_join($.d, "k", "k")',
+    '.equi_join($.d.sort(v), "k", "k")',
+    '.union($.d)',
+    '.equi_join($.d, "k", "k").equi_join($.u, "k", "k")',
     # r9 ordered-collect lowerings as MID stages: implode collapses
     # rows sharing the other fields into a pipeline-ordered array and
     # explode undoes it — a shape round-trip that must keep sequence
@@ -218,8 +240,8 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
         doc_err = True
     try:
         rel_out = _rel_result(
-            JetroTables(spark, {"s": _table(spark),
-                                "u": _table_u(spark)}).query(expr))
+            JetroTables(spark, {"s": _table(spark), "u": _table_u(spark),
+                                "d": _table_d(spark)}).query(expr))
     except CompileError:
         rel_err = True
     # an ill-typed combination (e.g. .pairwise().sum() — summing arrays)
@@ -250,6 +272,12 @@ def _table_u(spark):
         "k long, v double, g string")
 
 
+def _table_d(spark):
+    return spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in ROWS_D],
+        "k long, v double, g string")
+
+
 @settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=2), _KEYED_SINK)
@@ -269,7 +297,8 @@ def test_keyed_reducers_agree(spark, mids, sink):
         doc_err = True
     try:
         rel_out = _rel_result(JetroTables(
-            spark, {"s": _table(spark), "u": _table_u(spark)}).query(expr))
+            spark, {"s": _table(spark), "u": _table_u(spark),
+                 "d": _table_d(spark)}).query(expr))
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, (
@@ -363,8 +392,8 @@ def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
         doc_err = True
     try:
         rel_out = _rel_result(
-            JetroTables(spark, {"s": _table(spark),
-                                "u": _table_u(spark)}).query(expr))
+            JetroTables(spark, {"s": _table(spark), "u": _table_u(spark),
+                                "d": _table_d(spark)}).query(expr))
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, (
@@ -415,7 +444,8 @@ def test_let_bound_pipelines_agree(spark, mids, sink):
         with W.catch_warnings():
             W.simplefilter("ignore")
             rel_out = _rel_result(JetroTables(
-                spark, {"s": _table(spark), "u": _table_u(spark)})
+                spark, {"s": _table(spark), "u": _table_u(spark),
+                 "d": _table_d(spark)})
                 .query(expr))
     except CompileError:
         rel_err = True
@@ -440,5 +470,82 @@ def test_let_bound_pipelines_agree(spark, mids, sink):
             for e in doc_out) and isinstance(rel_out, list):
         # keyed OBJECT result rendered as objrepr rows on one side only
         rel_cmp = [_j(e) for e in rel_out]
+    assert doc_cmp == rel_cmp, (
+        f"order divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
+
+
+# r11 (permanent vocab per the r10 verdict): LET-BOUND TABLES AS
+# SOURCES — the binding feeds a comprehension generator, an equi_join
+# table arg, or a nested outer binding; each consumer reads the
+# binding's doc order (or its honest disclaim) through a different
+# code path (_comp/_table_of, _resolve_table, _let threading)
+_LET_BODY = st.sampled_from([
+    "[x.k for x in a]{s}",
+    "[x.v for x in a if x.v > 40]{s}",
+    "{{x.g for x in a}}{s}",
+    '$.u.equi_join(a, "k", "k"){s}',
+    'a.equi_join($.d, "k", "k"){s}',
+    "a{s}",
+])
+_LET_SRC_SINK = st.sampled_from([
+    ".first()", ".last()", ".take(3)", ".nth(2)", ".count()",
+    ".reverse()", "",
+])
+
+
+@settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_MID, max_size=2), _LET_BODY, _LET_SRC_SINK,
+       st.booleans())
+def test_let_bound_sources_agree(spark, mids, body, sink, nested):
+    """r11: let-bound sub-plans consumed as SOURCES — comprehension
+    generators, join table args, bare-table bodies — under positional
+    sinks, with the binding optionally NESTED (`let a = (let b = 1 in
+    ...) in ...`, the demand_order threading the r11 advice found
+    dropped). Exact-order comparison for order-reading sinks."""
+    import warnings as W
+
+    from jetro_spark.jql.compiler import CompileError
+
+    bind = "$.s.sort(k)" + "".join(mids)
+    if nested:
+        bind = f"(let b = 1 in {bind})"
+    expr = f"let a = {bind} in " + body.format(s=sink)
+    jt = Jetro.from_value(spark, DOC)
+    doc_err = rel_err = False
+    doc_out = rel_out = None
+    try:
+        doc_out = jt.collect(expr)
+    except CompileError:
+        doc_err = True
+    try:
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            rel_out = _rel_result(JetroTables(
+                spark, {"s": _table(spark), "u": _table_u(spark),
+                        "d": _table_d(spark)}).query(expr))
+    except CompileError:
+        rel_err = True
+    assert doc_err == rel_err, (
+        f"one-sided error for {expr!r}: doc_err={doc_err} rel_err={rel_err}")
+    if doc_err:
+        return
+    if not isinstance(doc_out, list):
+        doc_out = [doc_out]
+
+    def _j(v):
+        return json.dumps(v, sort_keys=True, default=float)
+
+    if body.startswith("{{"):
+        # SET comp: insertion-ordered dedup — exact order only when a
+        # positional sink reads it; bare set results owe the multiset
+        if sink in ("", ".count()"):
+            _assert_same_multiset(doc_out, rel_out, expr)
+            return
+    doc_cmp = [_j(e) for e in doc_out]
+    rel_cmp = [_j(e) for e in rel_out]
+    if doc_cmp != rel_cmp and all(
+            isinstance(e, dict) and len(e) == 1 for e in doc_out):
+        doc_cmp = [_j(next(iter(e.values()))) for e in doc_out]
     assert doc_cmp == rel_cmp, (
         f"order divergence for {expr!r}:\n doc={doc_out}\n rel={rel_out}")
