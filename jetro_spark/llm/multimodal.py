@@ -5,9 +5,11 @@ typed metadata"): a row = {content: binary, meta: struct<mime, width,
 height, n_frames, duration_ms, sample_rate>}. The Spark-side plumbing —
 schemas, Arrow-batched mapInPandas, partition shape — is real and
 tested. Codecs auto-wire when a public library is importable (PIL for
-images, soundfile or the stdlib ``wave`` module for audio); otherwise
-decode raises NotImplementedError unless `fake=True` selects the
-deterministic fake used by the oracle gate.
+images, soundfile or the stdlib ``wave`` module for audio); the stdlib
+BMP/PNG codec (:mod:`jetro_spark.llm.purepy_image`, r11) covers the
+real image branch where PIL isn't shipped; otherwise decode raises
+NotImplementedError unless `fake=True` selects the deterministic fake
+used by the oracle gate.
 
 At 100 TB: binary payloads stay columnar (parquet binary), metadata
 predicates push down (filter on meta.mime never touches content bytes),
@@ -65,19 +67,33 @@ def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
 
     def run(batches: Iterator) -> Iterator:
         # real codec auto-wired when importable (r8): PIL is public and
-        # optional; the deterministic fake stays the oracle-gate path so
-        # correctness rows never depend on an optional dependency. The
-        # import lives INSIDE the task so executors probe their own
-        # environment, not the driver's.
+        # optional; the stdlib BMP/PNG codec (purepy_image, r11) covers
+        # the real branch where PIL isn't shipped; the deterministic
+        # fake stays the oracle-gate path so correctness rows never
+        # depend on an optional dependency. The import lives INSIDE the
+        # task so executors probe their own environment, not the
+        # driver's.
+        Image = None
         if not fake:
             try:
                 from PIL import Image  # noqa: PLC0415
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "real image decode needs PIL (pip install pillow) — "
-                    "not shipped in this container; pass fake=True for "
-                    "the deterministic test double") from exc
+            except ImportError:
+                Image = None
+        from jetro_spark.llm import purepy_image as PP  # noqa: PLC0415
         import io
+
+        def real_size(raw: bytes) -> tuple[int, int]:
+            if Image is not None:
+                with Image.open(io.BytesIO(raw)) as im:
+                    return im.size
+            if PP.probe(raw):
+                return PP.decode_size(raw)
+            raise NotImplementedError(
+                "real decode of this format needs PIL (pip install "
+                "pillow) — not shipped in this container; the stdlib "
+                "codec handles BMP/PNG only; pass fake=True for the "
+                "deterministic test double")
+
         for pdf in batches:
             widths, heights = [], []
             for content in pdf["content"]:
@@ -85,8 +101,7 @@ def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
                 if fake:
                     w, h = _fake_decode(raw)
                 else:
-                    with Image.open(io.BytesIO(raw)) as im:
-                        w, h = im.size
+                    w, h = real_size(raw)
                 widths.append(w)
                 heights.append(h)
             meta = pdf["meta"]
@@ -196,15 +211,42 @@ def transform_images(df: DataFrame, *, max_side: int = 256,
         + [T.StructField("orientation", T.IntegerType(), True)])
 
     def run(batches: Iterator) -> Iterator:
+        Image = None
         if not fake:
             try:
                 from PIL import Image  # noqa: PLC0415
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "real image resize needs PIL (pip install pillow) — "
-                    "not shipped in this container; pass fake=True for "
-                    "the deterministic test double") from exc
+            except ImportError:
+                Image = None
+        from jetro_spark.llm import purepy_image as PP  # noqa: PLC0415
         import io
+
+        def real_resize(raw: bytes) -> tuple[bytes, int, int, int]:
+            if Image is not None:
+                with Image.open(io.BytesIO(raw)) as im:
+                    orient = int(im.getexif().get(274, 1))
+                    im.thumbnail((max_side, max_side))
+                    w, h = im.size
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    return buf.getvalue(), w, h, orient
+            if PP.probe(raw):
+                # stdlib leg (r11): nearest-neighbor thumbnail with the
+                # SAME never-upscale floor-scale math as the fake path;
+                # BMP/PNG carry no EXIF → orientation 1
+                w, h, ch, px = PP.decode_pixels(raw)
+                mx = max(w, h)
+                if mx > max_side:
+                    nw = max(1, w * max_side // mx)
+                    nh = max(1, h * max_side // mx)
+                    px = PP.resize_nearest(w, h, ch, px, nw, nh)
+                    w, h = nw, nh
+                return PP.encode_png(w, h, ch, px), w, h, 1
+            raise NotImplementedError(
+                "real resize of this format needs PIL (pip install "
+                "pillow) — not shipped in this container; the stdlib "
+                "codec handles BMP/PNG only; pass fake=True for the "
+                "deterministic test double")
+
         for pdf in batches:
             contents, widths, heights, orients = [], [], [], []
             for content in pdf["content"]:
@@ -219,13 +261,7 @@ def transform_images(df: DataFrame, *, max_side: int = 256,
                         h = max(1, h * max_side // mx)
                     out_bytes = d
                 else:
-                    with Image.open(io.BytesIO(raw)) as im:
-                        orient = int(im.getexif().get(274, 1))
-                        im.thumbnail((max_side, max_side))
-                        w, h = im.size
-                        buf = io.BytesIO()
-                        im.save(buf, format="PNG")
-                        out_bytes = buf.getvalue()
+                    out_bytes, w, h, orient = real_resize(raw)
                 contents.append(out_bytes)
                 widths.append(w)
                 heights.append(h)

@@ -954,3 +954,117 @@ def test_multimodal_real_resize(spark):
     # output bytes re-encode as a valid PNG
     out = PIL_Image.open(io.BytesIO(bytes(rows[1]["content"])))
     assert out.size == (100, 50)
+
+
+def _bmp_bytes(w, h, rgb):
+    """Hand-built 24-bit BI_RGB bottom-up BMP (one solid color)."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    px = b""
+    row = bytes(rgb[::-1]) * w + b"\x00" * (stride - w * 3)  # BGR + pad
+    px = row * h
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0) + px)
+
+
+def test_purepy_codec_roundtrip():
+    """r11: the stdlib BMP/PNG codec — PNG encode→decode round-trips
+    pixels exactly; all five PNG filters unfilter correctly; BMP BGR
+    bottom-up rows land as top-down RGB."""
+    import struct
+    import zlib
+
+    from jetro_spark.llm import purepy_image as PP
+
+    # PNG round-trip (filter 0 via our own encoder)
+    w, h, ch = 5, 3, 3
+    px = bytearray((y * 40 + x * 7 + c) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+    raw = PP.encode_png(w, h, ch, px)
+    assert PP.probe(raw) == "png"
+    assert PP.decode_size(raw) == (w, h)
+    assert PP.decode_pixels(raw) == (w, h, ch, px)
+
+    # filters 1-4: hand-filter the same image and expect identical pixels
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    stride = w * ch
+    for filt in (1, 2, 3, 4):
+        scan = b""
+        prev = bytearray(stride)
+        for y in range(h):
+            line = px[y * stride:(y + 1) * stride]
+            enc = bytearray(stride)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b2 = prev[i]
+                c2 = prev[i - ch] if i >= ch else 0
+                pred = {1: a, 2: b2, 3: (a + b2) >> 1,
+                        4: paeth(a, b2, c2)}[filt]
+                enc[i] = (line[i] - pred) & 0xFF
+            scan += bytes([filt]) + bytes(enc)
+            prev = line
+        raw_f = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR",
+                         struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(scan))
+                 + chunk(b"IEND", b""))
+        assert PP.decode_pixels(raw_f) == (w, h, ch, px), f"filter {filt}"
+
+    # BMP: solid color, BGR storage, bottom-up
+    bmp = _bmp_bytes(4, 2, (10, 200, 30))
+    assert PP.probe(bmp) == "bmp"
+    assert PP.decode_size(bmp) == (4, 2)
+    bw, bh, bch, bpx = PP.decode_pixels(bmp)
+    assert (bw, bh, bch) == (4, 2, 3)
+    assert bytes(bpx[:3]) == bytes((10, 200, 30))
+    assert len(bpx) == 4 * 2 * 3
+
+    # nearest-neighbor resize halves a 2x-repeated image exactly
+    big = bytearray(
+        px[(y // 2 * w + x // 2) * ch + c]
+        for y in range(2 * h) for x in range(2 * w) for c in range(ch))
+    assert PP.resize_nearest(2 * w, 2 * h, ch, big, w, h) == px
+
+
+def test_multimodal_real_decode_stdlib_codec(spark):
+    """r11 (verdict item 6): the REAL decode/resize branch executes
+    in-container via the stdlib BMP/PNG codec — no PIL needed. PNG and
+    BMP bytes decode to true dimensions; transform_images downsizes
+    with the same floor-scale math as the fake path and re-encodes a
+    decodable PNG thumbnail."""
+    from jetro_spark.llm import purepy_image as PP
+
+    w1, h1 = 20, 30
+    px1 = bytearray((x * 3 + y + c) % 256
+                    for y in range(h1) for x in range(w1) for c in range(3))
+    png = PP.encode_png(w1, h1, 3, px1)
+    bmp = _bmp_bytes(300, 120, (1, 2, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp))], ["id", "raw"])
+    mm = MM.binary_table(df, "raw", "image/mixed", "id")
+    dims = {r["media_id"]: (r["meta"]["width"], r["meta"]["height"])
+            for r in MM.decode_images(mm, fake=False).collect()}
+    assert dims == {1: (20, 30), 2: (300, 120)}
+
+    out = {r["media_id"]: r
+           for r in MM.transform_images(mm, max_side=64,
+                                        fake=False).collect()}
+    # png is already under max_side → untouched dims; bmp floor-scales
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (20, 30)
+    assert (out[2]["meta"]["width"], out[2]["meta"]["height"]) \
+        == (64, 120 * 64 // 300)
+    assert all(r["orientation"] == 1 for r in out.values())
+    # thumbnails are themselves decodable PNGs of the claimed size
+    for mid, r in out.items():
+        tw, th = PP.decode_size(bytes(r["content"]))
+        assert (tw, th) == (r["meta"]["width"], r["meta"]["height"]), mid
