@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Gate-sensitivity (mutation) audit — r11 verdict item 3.
+
+After five all-green rounds the open risk is no longer "is the code
+right" but "would the gate NOTICE if it weren't". This harness breaks
+load-bearing semantics ON PURPOSE — one small, realistic mutation at a
+time — and confirms that an oracle row, a parity corpus, or a pinned
+regression test fails. A mutation that survives its gate is a coverage
+HOLE to close with a new oracle row/test, not a pass.
+
+Usage: python scripts/mutation_audit.py [name ...]   # default: all
+
+Each mutation = exact-string patch + the NARROWEST gate expected to
+kill it (so the audit runs in minutes, not hours). Files are restored
+from in-memory snapshots in a finally block; run on a clean tree.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENGINE = "jetro_spark/jql/engine.py"
+RELATIONAL = "jetro_spark/operators/relational.py"
+ARRAYS = "jetro_spark/functions/arrays.py"
+CORE = "jetro_spark/functions/core.py"
+
+
+def oracle(*names: str) -> list[str]:
+    return [sys.executable, "scripts/check_oracle.py",
+            "/root/testdata/sf0.01", *names]
+
+
+def pytest(*args: str) -> list[str]:
+    return [sys.executable, "-m", "pytest", "-x", "-q", *args]
+
+
+# (name, semantic, file, old, new, [gate commands — killed when ANY
+#  exits nonzero])
+MUTATIONS = [
+    (
+        "join_right_wins",
+        "equi_join merge: RIGHT wins on column collision (array.rs:544)",
+        RELATIONAL,
+        '''    for c in left.columns:
+        if c not in right_cols and c != "__jk_eq":  # right wins on collision
+            out.append(F.col(f"__l.{c}").alias(c))
+    for c in right.columns:
+        if c != "__jk_eq":
+            out.append(F.col(f"__r.{c}").alias(c))''',
+        '''    for c in left.columns:
+        if c != "__jk_eq":
+            out.append(F.col(f"__l.{c}").alias(c))
+    for c in right.columns:
+        if c not in set(left.columns) and c != "__jk_eq":
+            out.append(F.col(f"__r.{c}").alias(c))''',
+        [pytest("tests/test_operators.py", "-k", "right_wins")],
+    ),
+    (
+        "slice_closed_end",
+        "slice [a:b] is HALF-OPEN (grammar.pest:65-70)",
+        CORE,
+        "        length = F.greatest(hi - lo, F.lit(0))",
+        "        length = F.greatest(hi - lo + 1, F.lit(0))",
+        [pytest("tests/test_examples_parity.py", "-k", "slice or take"),
+         oracle("jql_filter_map", "jql_let")],
+    ),
+    (
+        "sum_empty_null",
+        "sum([]) = 0, not SQL-null (pipeline.rs:320-329)",
+        ARRAYS,
+        '''    return F.aggregate(
+        F.array_compact(vals), F.lit(0).cast("double"), lambda acc, x: acc + x.cast("double")
+    )''',
+        '''    return F.when(F.size(F.array_compact(vals)) == 0,
+                  F.lit(None).cast("double")).otherwise(F.aggregate(
+        F.array_compact(vals), F.lit(0).cast("double"),
+        lambda acc, x: acc + x.cast("double")))''',
+        [pytest("tests/test_functions.py", "-k", "sum or agg"),
+         pytest("tests/test_examples_parity.py")],
+    ),
+    (
+        "unique_last_occurrence",
+        "unique keeps FIRST occurrence (ops/collection.rs:77)",
+        ARRAYS,
+        "    return F.array_distinct(arr)",
+        "    return F.reverse(F.array_distinct(F.reverse(arr)))",
+        [pytest("tests/test_functions.py", "-k", "unique"),
+         pytest("tests/test_differential_modes.py::"
+                "test_doc_and_relational_agree")],
+    ),
+    (
+        "index_by_first_wins",
+        "index_by: LAST occurrence wins (ops/array.rs:988-1004)",
+        RELATIONAL,
+        '    aggs = [F.max_by(payload, o).alias("value")]',
+        '    aggs = [F.min_by(payload, o).alias("value")]',
+        [oracle("index_by", "jql_group_by")],
+    ),
+    (
+        "truthy_empty_string",
+        "truthiness: empty string is FALSE (util.rs:63-74)",
+        CORE,
+        '        return F.coalesce(F.length(col) > 0, F.lit(False))',
+        '        return F.coalesce(col.isNotNull(), F.lit(False))',
+        [pytest("tests/test_examples_parity.py", "-k", "truthy or filter"),
+         pytest("tests/test_jql.py")],
+    ),
+    (
+        "join_right_order_reversed",
+        "equi_join emits right matches in right-ARRAY order "
+        "(array.rs:505-531)",
+        ENGINE,
+        "                out_order = order + [(F.col(rid), False)]",
+        "                out_order = order + [(F.col(rid), True)]",
+        [pytest("tests/test_regressions.py", "-k",
+                "right or null_bucket")],
+    ),
+    (
+        "group_keys_last_seen",
+        "keyed reducers emit first-SEEN key order (IndexMap insertion)",
+        RELATIONAL,
+        '''        aggs.append(F.min(o).alias(emit_order))
+    return (df.groupBy(k.cast("string").alias(key_alias))
+            .agg(*aggs))
+
+
+def count_by''',
+        '''        aggs.append(F.max(o).alias(emit_order))
+    return (df.groupBy(k.cast("string").alias(key_alias))
+            .agg(*aggs))
+
+
+def count_by''',
+        [pytest("tests/test_regressions.py", "-k", "let_bound_subplans")],
+    ),
+    (
+        "take_off_by_one",
+        "take(n) keeps exactly n rows",
+        ENGINE,
+        "            return df.limit(_lit_int(args[0].value))",
+        "            return df.limit(_lit_int(args[0].value) + 1)",
+        [oracle("sort_take", "jql_sort_take")],
+    ),
+    (
+        "null_key_drops",
+        'present-null join keys match under the val_to_key "null" '
+        "bucket (util.rs:216-226) — r11 fix",
+        ENGINE,
+        """            key_kw = ({} if synth else _join_key_kwargs(
+                df.schema[lk].dataType, other.schema[rk].dataType,
+                lk, rk))""",
+        """            key_kw = {}""",
+        [pytest("tests/test_regressions.py", "-k",
+                "null_bucket or cross_family_keys")],
+    ),
+]
+
+
+def run_gate(cmds: list[list[str]]) -> tuple[bool, str]:
+    """True (killed) when any gate command fails."""
+    for cmd in cmds:
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                           timeout=900)
+        if r.returncode != 0:
+            tail = (r.stdout or r.stderr).strip().splitlines()[-1:]
+            return True, f"killed by: {' '.join(cmd[-3:])} ({tail})"
+    return False, "SURVIVED every gate"
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    results = []
+    for name, semantic, path, old, new, gates in MUTATIONS:
+        if only and name not in only:
+            continue
+        full = os.path.join(REPO, path)
+        src = open(full).read()
+        if old not in src:
+            results.append((name, None, "PATCH NOT APPLICABLE "
+                            f"(string drifted in {path})"))
+            continue
+        assert src.count(old) == 1, f"{name}: ambiguous patch site"
+        try:
+            open(full, "w").write(src.replace(old, new))
+            killed, how = run_gate(gates)
+        finally:
+            open(full, "w").write(src)
+        results.append((name, killed, how))
+        print(f"[{'KILLED' if killed else 'SURVIVED'}] {name}: {how}",
+              flush=True)
+
+    print("\n=== kill matrix ===")
+    bad = 0
+    for name, killed, how in results:
+        mark = "ok" if killed else "HOLE"
+        if not killed:
+            bad += 1
+        print(f"{mark:5} {name}: {how}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

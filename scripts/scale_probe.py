@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""sf1.0 scale probe — r11 verdict item 5.
+
+One 10x step beyond the sweep for the five heaviest gate rows
+(dedup_spans, tfidf_embed, gram_overlap, ngram_lm, semantic_dedup):
+confirm the PLAN SHAPES hold — same exchange count, same join
+strategies, no new shuffle — before anyone trusts the 100 TB story.
+
+The driver testdata tops out at sf0.1 (read-only), so this script
+synthesizes a 10x documents/embeddings upscale into /tmp/sfprobe1.0:
+each source row is replicated 10x with perturbed ids; 3 of 10 text
+replicas get a per-replica suffix token so dedup operators see both
+EXACT duplicate mass (realistic at corpus scale, and adversarial for
+the dedup rows — more duplicate work, not less) and near-duplicate
+tails. Deterministic (seeded) so runs are comparable.
+
+Usage: python scripts/scale_probe.py [--times]   # plan diff always;
+                                                 # --times also reports
+                                                 # wall-clock per row
+Writes nothing outside /tmp; results are summarized by hand into
+SCALE.md (r11 section).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_DIR = "/tmp/sfprobe1.0"
+SRC_DIR = "/root/testdata/sf0.1"
+ROWS = ["dedup_spans", "tfidf_embed", "gram_overlap", "ngram_lm",
+        "semantic_dedup"]
+
+
+def build_probe_data(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(PROBE_DIR, "_built")):
+        return
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    up = (docs.select("*", reps)
+          .select(
+              (F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+              .alias("doc_id"),
+              # reps 0-6: byte-exact duplicates; reps 7-9: a suffix
+              # token makes near-dups (span/gram overlap, not equality)
+              F.when(F.col("rep") < 7, F.col("text"))
+              .otherwise(F.concat_ws(" ", F.col("text"),
+                                     F.concat(F.lit("rep"),
+                                              F.col("rep").cast("string"))))
+              .alias("text"),
+              "lang", "source", "n_chars"))
+    up.repartition(32).write.mode("overwrite") \
+        .parquet(f"{PROBE_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    up_e = (emb.select("*", reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * F.lit(n_emb))
+                .alias("vec_id"),
+                # deterministic tiny per-replica perturbation on the
+                # first component keeps vectors distinct but clustered
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == 0, x + F.col("rep").cast("float") / 1000.0)
+                    .otherwise(x)).alias("embedding"),
+                "label"))
+    up_e.repartition(8).write.mode("overwrite") \
+        .parquet(f"{PROBE_DIR}/embeddings.parquet")
+    # the five probe rows only read documents/embeddings; link the rest
+    # so any incidental table load resolves
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        dst = f"{PROBE_DIR}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC_DIR}/{t}.parquet", dst)
+    open(os.path.join(PROBE_DIR, "_built"), "w").write("ok")
+
+
+def plan_shape(df) -> list[str]:
+    """Physical plan → structural signature: one line per operator node,
+    ids/sizes/paths stripped, Exchange/Join/Aggregate kinds kept."""
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in txt.splitlines():
+        m = re.match(r"^[\s:+\-*()]*([A-Za-z]+[A-Za-z0-9]*)", line)
+        if not m:
+            continue
+        node = m.group(1)
+        if node in ("Exchange", "BroadcastExchange", "Sort", "HashAggregate",
+                    "ObjectHashAggregate", "SortAggregate", "SortMergeJoin",
+                    "BroadcastHashJoin", "ShuffledHashJoin", "Scan",
+                    "FileScan", "Generate", "Window", "MapInPandas",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+            detail = ""
+            if node == "Exchange":
+                detail = " hashpartitioning" if "hashpartitioning" in line \
+                    else (" rangepartitioning" if "rangepartitioning" in line
+                          else " single")
+            out.append(node + detail)
+    return out
+
+
+def main() -> int:
+    times = "--times" in sys.argv
+    from jetro_spark.session import get_spark  # noqa: PLC0415
+
+    try:
+        spark = get_spark()
+    except Exception:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .config("spark.sql.shuffle.partitions", "32")
+                 .config("spark.driver.memory", "48g")
+                 .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    build_probe_data(spark)
+
+    from jetro_spark.gate import all_queries  # noqa: PLC0415
+    qs = all_queries()
+    failures = 0
+    for name in ROWS:
+        fn = qs[name]
+        shapes, wall = {}, {}
+        for label, d in (("sf0.1", SRC_DIR), ("sf1.0", PROBE_DIR)):
+            df = fn(spark, d)
+            t0 = time.time()
+            n = df.count()
+            wall[label] = time.time() - t0
+            shapes[label] = plan_shape(df)
+            print(f"{name} @ {label}: rows={n}"
+                  + (f" wall={wall[label]:.2f}s" if times else ""),
+                  flush=True)
+        if shapes["sf0.1"] == shapes["sf1.0"]:
+            print(f"{name}: plan shape IDENTICAL "
+                  f"({len(shapes['sf0.1'])} tracked nodes)")
+        else:
+            failures += 1
+            print(f"{name}: PLAN SHAPE DIVERGED")
+            a, b = shapes["sf0.1"], shapes["sf1.0"]
+            for i in range(max(len(a), len(b))):
+                l1 = a[i] if i < len(a) else "<missing>"
+                l2 = b[i] if i < len(b) else "<missing>"
+                mark = " " if l1 == l2 else "!"
+                print(f"  {mark} {l1:40} | {l2}")
+    print(f"\n{len(ROWS) - failures}/{len(ROWS)} rows shape-stable at sf1.0")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
