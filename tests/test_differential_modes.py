@@ -536,12 +536,13 @@ def test_let_bound_sources_agree(spark, mids, body, sink, nested):
     def _j(v):
         return json.dumps(v, sort_keys=True, default=float)
 
-    if body.startswith("{{"):
-        # SET comp: insertion-ordered dedup — exact order only when a
-        # positional sink reads it; bare set results owe the multiset
-        if sink in ("", ".count()"):
-            _assert_same_multiset(doc_out, rel_out, expr)
-            return
+    if sink in ("", ".count()"):
+        # the relational contract owes NO order on a final result
+        # (multiset compare) — order-blind tails deliberately skip the
+        # restore sorts (the r9 bench fix), so a bare-sink body is
+        # compared as a multiset like the main differential test
+        _assert_same_multiset(doc_out, rel_out, expr)
+        return
     doc_cmp = [_j(e) for e in doc_out]
     rel_cmp = [_j(e) for e in rel_out]
     if doc_cmp != rel_cmp and all(

@@ -405,3 +405,11 @@ def test_to_csv_nested_and_scalar_rows(spark):
     jj = Jetro.from_value(spark, {"m": [[1, 2], [3, 4]], "xs": [1, 2]})
     assert jj.collect("$.m.to_csv()") == "1,2\n3,4"
     assert jj.collect("$.xs.to_csv()") == "1\n2"
+
+
+def test_unique_keeps_first_occurrence_order(spark):
+    """r11 mutation-audit hole: unique() dedups keeping FIRST occurrence
+    in document order (ops/collection.rs:77 — IndexSet insertion order);
+    no prior test pinned the ORDER, only the multiset."""
+    arr = F.array(*[F.lit(i) for i in (2, 1, 2, 3, 1)])
+    assert one(spark, A.unique(arr)) == [2, 1, 3]
