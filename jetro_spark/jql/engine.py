@@ -1647,6 +1647,14 @@ class JetroTables:
             # jql_equi_join +104% under the last-stage-only hint).
             if order is None and tail_reads:
                 df, order = self._maybe_scan_order(df, order)
+            if order is not None:
+                # materialize the carried order into hidden columns
+                # BEFORE the merge: the right-wins column overwrite
+                # rebinds name-resolved order exprs — `sort(-v)
+                # .equi_join($.d, ...)` re-sorted by the RIGHT side's v
+                # (r11 soak catch via the duplicate-key d table), the
+                # same rebinding class _select_carry handles for map
+                df, order = self._rematerialize_order(df, order)
             out_order = order
             if order is not None:
                 # doc output order is (receiver position, RIGHT-ARRAY

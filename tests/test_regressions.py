@@ -1231,3 +1231,36 @@ def test_equi_join_missing_key_field_still_empty(spark):
     rdf = spark.createDataFrame([(None, 10), (3, 20)], "k long, b long")
     tables = JetroTables(spark, {"l": ldf, "r": rdf})
     assert tables.query('$.l.equi_join($.r, "nope", "k")').count() == 0
+
+
+def test_sort_order_survives_right_wins_column_overwrite(spark):
+    """r11 soak catch (duplicate-key d-table vocab): the carried sort
+    order was a name-resolved Column expression, and equi_join's
+    right-wins merge REBINDS those names — `sort(-v).equi_join(d,...)`
+    re-sorted by the RIGHT side's v, interleaving each receiver row's
+    matches wrongly. The order now rematerializes into hidden columns
+    on the receiver before the merge (same class as _select_carry's
+    map handling)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    rows_d = [
+        {"k": 0, "v": 201.0, "g": "g1"}, {"k": 0, "v": 202.0, "g": "g2"},
+        {"k": 3, "v": 203.0, "g": "g0"}, {"k": 3, "v": 204.0, "g": "g1"},
+        {"k": 7, "v": 207.0, "g": "g7"},
+    ]
+    jt = Jetro.from_value(spark, {"s": rows, "d": rows_d})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(8)
+    d = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_d],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "d": d})
+    for e in ['$.s.sort(-v).equi_join($.d, "k", "k").first()',
+              '$.s.sort(-v).equi_join($.d, "k", "k").take(4)',
+              'let a = $.s.sort(-v).equi_join($.d, "k", "k") in '
+              '$.s.sort(k).equi_join(a, "k", "k").take(3)']:
+        doc = jt.collect(e)
+        want = doc if isinstance(doc, list) else [doc]
+        rel = [r.asDict() for r in tables.query(e).collect()]
+        assert rel == want, e
