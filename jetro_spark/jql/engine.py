@@ -2214,6 +2214,11 @@ class JetroTables:
             if tc.col is None:
                 return None
             term_col, term_dt = tc.col, tc.dtype
+        # the running-SUM shape only holds for numeric terms: doc-mode
+        # `a + x` on strings is CONCAT (add_vals, util.rs:261-268) and
+        # casting would ANSI-throw or null out — fall back (r11)
+        if not isinstance(term_dt, (T.NumericType, T.NullType)):
+            return None
         # Accumulator typing mirrors doc-mode m_accumulate (compiler.py):
         # the result type is the `+`-promotion of init and element, so an
         # explicit integral init over integral terms folds in long (exact
@@ -2221,17 +2226,28 @@ class JetroTables:
         # default — folds in double.
         if (have_init and isinstance(init_dt, T.IntegralType)
                 and isinstance(term_dt, T.IntegralType)):
-            init = init.cast("long")
-            term_col = term_col.cast("long")
+            out_t = "long"
         else:
-            init = init.cast("double")
-            term_col = term_col.cast("double")
+            out_t = "double"
+        init = init.cast(out_t)
+        term_col = term_col.cast(out_t)
         from pyspark.sql.window import Window
         w = (Window.orderBy(*_order_by(order))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         hid = [F.col(c2) for c2 in df.columns if c2.startswith("__ord")]
-        out = df.select((init + F.sum(term_col).over(w)).alias("value"),
-                        *hid)
+        # doc mode folds a + x null-PROPAGATINGLY (a null element poisons
+        # the accumulator for every later position; the reference errors
+        # there — add_vals has no null case — and the repo's documented
+        # distributed-plan contract renders value-level type errors as
+        # null), while window SUM SKIPS nulls: poison explicitly from
+        # the first null term onward (r11 soak catch via the null-key
+        # d-table vocab)
+        seen_null = F.max(F.when(term_col.isNull(), F.lit(1))
+                          .otherwise(F.lit(0))).over(w)
+        run = (init + F.sum(term_col).over(w)).cast(out_t)
+        out = df.select(
+            F.when(seen_null == 1, F.lit(None).cast(out_t))
+            .otherwise(run).alias("value"), *hid)
         self._order = order
         return out
 

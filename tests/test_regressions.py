@@ -1264,3 +1264,26 @@ def test_sort_order_survives_right_wins_column_overwrite(spark):
         want = doc if isinstance(doc, list) else [doc]
         rel = [r.asDict() for r in tables.query(e).collect()]
         assert rel == want, e
+
+
+def test_accumulate_null_elements_poison_like_doc_mode(spark):
+    """r11 soak catch (null-key d-table vocab): the relational
+    accumulate lowering was a window SUM, which SKIPS nulls, while doc
+    mode's a + x fold null-PROPAGATES (a null element poisons every
+    later position; the reference errors there — add_vals has no null
+    arm — and the repo's distributed contract renders value-level type
+    errors as null). The lowering now poisons from the first null term
+    onward, and falls back for non-numeric terms (doc `+` on strings is
+    concat, which the sum shape cannot express)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i} for i in range(5)] + [{"k": None}, {"k": 7}]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"],) for r in rows], "k long")
+    tables = JetroTables(spark, {"s": t})
+    e = "$.s.map(k).accumulate((a, x) => a + x, 0)"
+    doc = jt.collect(e)
+    assert doc == [0, 1, 3, 6, 10, None, None]
+    out = tables.query(e)
+    rel = [r[out.columns[0]] for r in out.collect()]
+    assert rel == doc
