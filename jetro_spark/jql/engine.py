@@ -172,8 +172,30 @@ def _vis_cols(df: DataFrame) -> list[str]:
 
 
 def _order_by(order: list) -> list[Column]:
-    """[(Column, desc)] sort spec → orderBy arguments."""
+    """[(Column, desc)] sort spec → orderBy arguments.
+
+    NULL-key placement is encoded as data, not rendering: the sort
+    stage prepends an explicit ``(key.isNull(), desc=True)`` flag entry
+    per user key (see _null_first_keys), so null keys sort FIRST in
+    both directions — the doc-mode convention — and every mechanical
+    transform of an order list (reverse's flag flip, last/nth's
+    inverted rendering) moves the nulls correctly without null-aware
+    rendering here. The reference's comparator treats Null as EQUAL to
+    everything (json_cmp_vals' fallthrough arm, util.rs:133) — a
+    non-transitive comparator no distributed total-order sort can
+    reproduce — so the engine canonicalizes on nulls-first; both modes
+    agree (r11, found by the null-key d-table soak vocab)."""
     return [c.desc() if d else c.asc() for c, d in order]
+
+
+def _null_first_keys(keys: list) -> list:
+    """Expand each user sort key into (isNull flag, key): the flag's
+    desc=True puts null keys FIRST under the normal rendering, LAST
+    under reverse's flag flip and last/nth's inverted rendering —
+    exactly how doc mode's nulls-first sequence behaves when reversed
+    or read from the back (r11)."""
+    return [k for col2, d2 in keys
+            for k in ((col2.isNull().cast("int"), True), (col2, d2))]
 
 
 def _collected_elems(df: DataFrame, elem: Column, order: list | None,
@@ -1243,6 +1265,11 @@ class JetroTables:
                 keys = [(elem_tc().col, body.op not in asc_ops)]
             else:
                 keys = [key_col(a.value) for a in args]
+            # null keys sort FIRST both directions (doc-mode convention;
+            # the reference's null-equal comparator is non-transitive
+            # and unimplementable as a distributed total order) — as an
+            # explicit flag entry so reverse/inversion stay mechanical
+            keys = _null_first_keys(keys)
             # stable sort (doc mode = Rust Vec::sort_by, r8 fuzz catch:
             # mass ties from a patch stage made instability observable):
             # ties keep their prior pipeline order — append the carried
@@ -1301,7 +1328,11 @@ class JetroTables:
             if not args or _lit_int(args[0].value) == 1:
                 # scalar form (last_apply n==1): Null when empty
                 return self._pad_single_null(inv.limit(1))
-            return inv.limit(_lit_int(args[0].value))
+            # last(n>=2) keeps the ORIGINAL pipeline order (doc mode
+            # slices the tail; the inverted limit alone emitted the
+            # rows reversed — r11 probe catch): re-sort the n survivors
+            return (inv.limit(_lit_int(args[0].value))
+                    .orderBy(*_order_by(order)))
         if name == "nth":
             # OOB nth is Null in the reference (value.rs get_index), not
             # an absent value → pad the empty row set with one null row

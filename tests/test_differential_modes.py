@@ -96,6 +96,9 @@ _MID = st.sampled_from([
     '.equi_join($.d.sort(v), "k", "k")',
     '.union($.d)',
     '.equi_join($.d, "k", "k").equi_join($.u, "k", "k")',
+    # descending sort over the (nullable after union($.d)) key: null
+    # placement is doc-observable through reverse/positional tails
+    ".sort(-k)",
     # r9 ordered-collect lowerings as MID stages: implode collapses
     # rows sharing the other fields into a pipeline-ordered array and
     # explode undoes it — a shape round-trip that must keep sequence
@@ -149,7 +152,7 @@ _KEYED_SINK = st.sampled_from([
     '.count_by(g)["g1"]', ".pivot(g, v).keys()",
 ])
 _SINK = st.sampled_from([
-    "", ".count()", ".first()", ".last()", ".nth(2)", ".sum()",
+    "", ".count()", ".first()", ".last()", ".last(3)", ".nth(2)", ".sum()",
     ".min()", ".max()", ".find_index(x => x > 40)", ".includes(74.0)",
     # total equality probes (r7): cross-kind probes are misses, not
     # CompileErrors, in BOTH modes

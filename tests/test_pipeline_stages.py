@@ -31,7 +31,10 @@ def rel(spark, seq_tables, expr):
 
 @pytest.mark.parametrize("expr,want,cols", [
     ("$.s.sort(k).map({k: k, v: v}).last()", [(6, 2.0)], ["k", "v"]),
-    ("$.s.sort(k).last(2)", [(6, 2.0), (5, 9.0)], ["k", "v"]),
+    # last(n>=2) = the tail slice in ORIGINAL order (a[s..],
+    # collection.rs:358-369) — the r11 fix; the old pin expected the
+    # inverted-limit artifact (reversed rows)
+    ("$.s.sort(k).last(2)", [(5, 9.0), (6, 2.0)], ["k", "v"]),
     ("$.s.sort(k).map(v).nth(2)", [(4.0,)], ["v"]),
     ("$.s.sort(k).map(v).nth(-2)", [(9.0,)], ["v"]),
     ("$.s.sort(k).reverse().map(v).first()", [(2.0,)], ["v"]),

@@ -1287,3 +1287,42 @@ def test_accumulate_null_elements_poison_like_doc_mode(spark):
     out = tables.query(e)
     rel = [r[out.columns[0]] for r in out.collect()]
     assert rel == doc
+
+
+def test_null_sort_keys_first_both_directions(spark):
+    """r11: null sort keys place FIRST in both directions (doc-mode
+    convention; the reference's null-equal comparator is non-transitive
+    and unimplementable as a distributed total order) — encoded as an
+    explicit isNull flag entry so reverse()'s flag flip and last/nth's
+    inverted rendering move the nulls to the BACK exactly like
+    reversing doc mode's sequence. Also pins last(n>=2) returning the
+    tail in ORIGINAL order (the inverted limit emitted it reversed)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(6)]
+    rows_d = [{"k": 0, "v": 201.0, "g": "g1"},
+              {"k": None, "v": 205.0, "g": "gN"},
+              {"k": None, "v": 206.0, "g": "gN2"},
+              {"k": 7, "v": 207.0, "g": "g7"}]
+    jt = Jetro.from_value(spark, {"s": rows, "d": rows_d})
+    t = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string").repartition(8)
+    d = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_d],
+                              "k long, v double, g string")
+    tables = JetroTables(spark, {"s": t, "d": d})
+    for e in ['$.s.union($.d).sort(k).map(g)',
+              '$.s.union($.d).sort(-k).map(g)',
+              '$.s.union($.d).sort(-k).last()',
+              '$.s.union($.d).sort(k).reverse().map(g)',
+              '$.s.union($.d).sort(-k).reverse().take(3)',
+              '$.s.union($.d).sort(-k).nth(-2)',
+              '$.s.sort(k).last(3).map(k)',
+              '$.s.union($.d).sort(k).last(4)']:
+        doc = jt.collect(e)
+        want = doc if isinstance(doc, list) else [doc]
+        out = tables.query(e)
+        cols = [c for c in out.columns if not c.startswith("__ord")]
+        rel = [r[cols[0]] if len(cols) == 1 else r.asDict()
+               for r in out.collect()]
+        assert rel == want, e
