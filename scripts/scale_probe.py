@@ -134,10 +134,12 @@ def main() -> int:
         for label, d in (("sf0.1", SRC_DIR), ("sf1.0", PROBE_DIR)):
             df = fn(spark, d)
             t0 = time.time()
-            n = df.count()
+            # noop sink like bench.py: count() would PRUNE projections
+            # and measure a different (often trivial) plan
+            df.write.format("noop").mode("overwrite").save()
             wall[label] = time.time() - t0
             shapes[label] = plan_shape(df)
-            print(f"{name} @ {label}: rows={n}"
+            print(f"{name} @ {label}"
                   + (f" wall={wall[label]:.2f}s" if times else ""),
                   flush=True)
         if shapes["sf0.1"] == shapes["sf1.0"]:
