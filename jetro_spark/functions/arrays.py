@@ -463,16 +463,40 @@ def all_(arr: Column, pred: Lambda) -> Column:
     return F.forall(arr, lambda x: F.coalesce(pred(x), F.lit(False)))
 
 
+def _extreme_by(arr: Column, key: Lambda, better) -> Column:
+    """extreme_by_apply's strict-improvement FOLD (array.rs:341-375):
+    best starts at element 0; a candidate replaces it only when its key
+    is STRICTLY better, and a comparison against a null key on either
+    side is never an improvement (cmp_vals yields Equal for Null,
+    util.rs:133) — so null-keyed elements never win unless the FIRST
+    element's key is null, in which case nothing can beat it. The old
+    sort-based implementation put null keys at an END of the sort and
+    crowned them (r11 probe catch). The (seen, best) accumulator keeps
+    a null FIRST ELEMENT as best (a bare null-best sentinel could not
+    tell "unseeded" from "best is a null element")."""
+    def step(acc: Column, x: Column) -> Column:
+        take = F.struct(F.lit(True).alias("s"), x.alias("b"))
+        return (F.when(~acc["s"], take)
+                .when(F.coalesce(better(key(x), key(acc["b"])),
+                                 F.lit(False)), take)
+                .otherwise(acc))
+
+    return let_(arr, lambda a: F.aggregate(
+        a,
+        F.struct(F.lit(False).alias("s"),
+                 elem_at(F.filter(a, lambda _x: F.lit(False)), 1)
+                 .alias("b")),
+        step)["b"])
+
+
 def min_by(arr: Column, key: Lambda) -> Column:
     """Element with minimal key. Reference: ops/array.rs:341-375."""
-    sorted_ = sort(arr, key=key)
-    return elem_at(sorted_, 1)
+    return _extreme_by(arr, key, lambda kx, ka: kx < ka)
 
 
 def max_by(arr: Column, key: Lambda) -> Column:
     """Reference: ops/array.rs:341-375."""
-    sorted_ = sort(arr, key=key, desc=True)
-    return elem_at(sorted_, 1)
+    return _extreme_by(arr, key, lambda kx, ka: kx > ka)
 
 
 def group_by(arr: Column, key: Lambda) -> Column:

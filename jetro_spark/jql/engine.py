@@ -1550,13 +1550,17 @@ class JetroTables:
             # empty pipeline → scalar Null (extreme_by_apply), padded
             # as one all-null row like first/last/nth (r7 soak catch)
             col, _ = key_col(args[0].value)
-            o = col.asc() if name == "min_by" else col.desc()
-            # extreme_by_apply takes strict improvements only
-            # (array.rs:341-371): ties keep the FIRST element in
-            # pipeline order. Append the carried order — or the scan
-            # order as a monotonic-id surrogate — as secondary sort
-            # keys (r8 soak catch: a patch stage collapsing values to
-            # a constant made the arbitrary tie-break observable).
+            # strict-improvement fold semantics (array.rs:341-375):
+            # null keys compare Equal (cmp_vals, util.rs:133) so they
+            # never IMPROVE — nulls sort LAST here, winning only when
+            # every key is null — but a null-keyed FIRST element can
+            # never be beaten either: it wins outright (r11 probe
+            # catch; the old asc()/desc() crowned null keys on the
+            # nulls-first end). Ties keep the FIRST element in
+            # pipeline order — the carried order (or scan surrogate)
+            # is the secondary key.
+            o = (col.asc_nulls_last() if name == "min_by"
+                 else col.desc_nulls_last())
             if not order:
                 # same _scan_ok gate as the _ORDER_HUNGRY stages: after
                 # an order-destroying stage the monotonic-id surrogate
@@ -1567,7 +1571,15 @@ class JetroTables:
                 if order is None:
                     return None
             sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
-            return self._pad_single_null(df.orderBy(o, *sec).limit(1))
+            first_null = (df.orderBy(*sec).limit(1)
+                          .filter(col.isNull())
+                          .withColumn("__xb_pri", F.lit(0)))
+            extreme = (df.orderBy(o, *sec).limit(1)
+                       .withColumn("__xb_pri", F.lit(1)))
+            win = (first_null.unionByName(extreme)
+                   .orderBy(F.col("__xb_pri").asc()).limit(1)
+                   .drop("__xb_pri"))
+            return self._pad_single_null(win)
         def doc_ord():
             """Fresh doc-order surrogate for ordered keyed collects.
             Valid because _maybe_scan_order already vetted this df

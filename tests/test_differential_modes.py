@@ -140,6 +140,9 @@ _SCALAR_MID = st.sampled_from([
 # realize via sorted collects over a doc-order surrogate.
 _KEYED_SINK = st.sampled_from([
     ".count_by(g)", ".min_by(v)", ".max_by(v)", ".unique_by(g)",
+    # r11: extremes keyed on k — NULLABLE after union($.d) — probe the
+    # strict-improvement fold's null-key skip / first-element-null win
+    ".min_by(k)", ".max_by(k)",
     ".group_by(g)", ".index_by(g)",
     # r10: the remaining keyed reducers, plus keyed-reducer NAVIGATION —
     # doc keyed results are insertion-ordered IndexMaps, so .keys()

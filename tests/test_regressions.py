@@ -1326,3 +1326,32 @@ def test_null_sort_keys_first_both_directions(spark):
         rel = [r[cols[0]] if len(cols) == 1 else r.asDict()
                for r in out.collect()]
         assert rel == want, e
+
+
+def test_extreme_by_null_keys_strict_improvement_fold(spark):
+    """r11 probe catch: min_by/max_by are extreme_by_apply's
+    strict-improvement FOLD (array.rs:341-375) — a null key compares
+    EQUAL to everything (cmp_vals, util.rs:133), so null-keyed elements
+    never improve and only win when the FIRST element's key is null
+    (then nothing can beat it). The old sort-based forms crowned null
+    keys on an end of the sort (doc: both directions; rel: min side)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    a = [{"k": None, "v": 1.0}, {"k": 5, "v": 2.0}, {"k": 3, "v": 3.0},
+         {"k": None, "v": 4.0}, {"k": 5, "v": 5.0}]
+    b = [{"k": 5, "v": 2.0}, {"k": None, "v": 1.0}, {"k": 9, "v": 3.0},
+         {"k": 9, "v": 4.0}]
+    jt = Jetro.from_value(spark, {"a": a, "b": b})
+    ta = spark.createDataFrame([(r["k"], r["v"]) for r in a],
+                               "k long, v double")
+    tb = spark.createDataFrame([(r["k"], r["v"]) for r in b],
+                               "k long, v double")
+    tables = JetroTables(spark, {"a": ta, "b": tb})
+    want = {"$.a.min_by(k)": {"k": None, "v": 1.0},
+            "$.a.max_by(k)": {"k": None, "v": 1.0},
+            "$.b.min_by(k)": {"k": 5, "v": 2.0},
+            "$.b.max_by(k)": {"k": 9, "v": 3.0}}
+    for e, w in want.items():
+        assert jt.collect(e) == w, ("doc", e)
+        rel = [r.asDict() for r in tables.query(e).collect()]
+        assert rel == [w], ("rel", e)
