@@ -66,6 +66,10 @@ HEADLINE = [
     "embed_quantize",
     # r07: SemDeDup — within-cluster cosine dedup (cell equi-join)
     "semantic_dedup",
+    # r12: SemDeDup retention with the exact-fingerprint pre-collapse
+    # (the 100 TB path — byte-identical vectors grouped before the
+    # quadratic pair join)
+    "semantic_keep",
     # r07: per-domain document cap (md5-ranked group window)
     "cap_per_key",
     # r08: corpus-wide line dedup (owner-election shuffle) and Unicode

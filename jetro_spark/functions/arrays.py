@@ -159,9 +159,17 @@ def indices_where(arr: Column, pred: Lambda) -> Column:
 
 def sort(arr: Column, key: Lambda | None = None, desc: bool = False) -> Column:
     """Natural or keyed sort; stable for equal keys (array_sort is stable).
-    Reference: ops/array.rs:144-229."""
+    Reference: ops/array.rs:144-229.
+
+    Bare ascending sort takes ``sort_array`` (r12 advice): null ELEMENTS
+    go FIRST — the engine-wide null-first convention the keyed/desc
+    comparator below and the relational (isNull, desc) order entries
+    already follow. ``array_sort`` (the old fast path) pins nulls LAST
+    and diverged from doc mode on nullable elements; ``sort_array`` is
+    the native codegen'd builtin with the right placement, so the fix
+    costs nothing."""
     if key is None and not desc:
-        return F.array_sort(arr)
+        return F.sort_array(arr)
     k = key or (lambda x: x)
 
     def cmp(a: Column, b: Column) -> Column:

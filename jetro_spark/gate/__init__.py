@@ -85,12 +85,20 @@ _TIER1 = [
     # embeds the brute-force recall baseline in-plan; label_centroids →
     # tfidf_embed; text_stats → pii_mask — quality_filters keeps the
     # text-stats style covered)
-    "dedup_exact", "dedup_lsh", "dedup_cluster", "simhash_pairs",
+    # r12 rotation (verdict item 3): dedup_lines (C4 line rule) and
+    # dedup_spans (Lee et al. exact-substring spans) — the two most
+    # distinctive corpus-dedup operators — become driver-visible;
+    # simhash_pairs rotates out (the dedup family keeps four reps:
+    # exact, lsh, cluster, lines/spans) and pack_cumsum rotates out
+    # (pipeline_demo exercises packing downstream). Rotated-out rows
+    # still run in the full local gate.
+    "dedup_exact", "dedup_lsh", "dedup_cluster", "dedup_lines",
+    "dedup_spans",
     "temp_mixture",
     # r10 rotation: gram_overlap (cross-source shared-n-gram counts)
     # joins the tier-1 text family alongside pii_mask/quality_filters
     "ann_ivf_trained", "tfidf_embed", "mm_decode", "pii_mask",
-    "quality_filters", "gram_overlap", "pipeline_demo", "pack_cumsum",
+    "quality_filters", "gram_overlap", "pipeline_demo",
     # r11 rotation: the two r10 operators become driver-visible —
     # mm_resize (aspect-preserving image resize plumbing, replaces
     # range_join) and quality_logit (hashed-feature linear quality

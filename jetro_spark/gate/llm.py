@@ -153,6 +153,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup_pairs(e, cents, threshold=0.45)
 
 
+def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup RETENTION (r12): the 100 TB path — survivors after the
+    exact-fingerprint pre-collapse (byte-identical vectors grouped
+    before cell assignment; output-invariant, see
+    llm/dedup.py semantic_dedup) plus the rep-level within-cell pair
+    graph. The oracle replays the unbounded pair semantics in DuckDB
+    and anti-selects — green iff the pre-collapse really is
+    output-invariant on this corpus."""
+    e = load_tables(spark, sf_dir, register=False)["embeddings"]
+    cents = SIM.seed_centroids(e, 16)
+    return D.semantic_dedup(e, cents, threshold=0.45).select("vec_id")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k — the no-all-pairs scale path.
     Deterministic seeded planes make even the approximate answer
@@ -288,6 +301,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "embed_neardup": q_embed_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_keep": q_semantic_keep,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -591,6 +605,16 @@ ORACLES["semantic_dedup"] = f"""
     JOIN embeddings b ON b.vec_id = y.vec_id
     WHERE (x.ck < y.ck OR (x.ck = y.ck AND x.vec_id < y.vec_id))
       AND {_COS.format(a='a', b='b')} >= 0.45
+"""
+
+# semantic_keep (r12): retention = everything without an earlier
+# in-threshold neighbour — the UNBOUNDED pair semantics replayed in
+# DuckDB, anti-selected. The Spark side runs the pre-collapsed
+# rep-level plan, so a green row proves the collapse output-invariant.
+ORACLES["semantic_keep"] = f"""
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT drop_id FROM ({ORACLES["semantic_dedup"]}))
 """
 
 ORACLES["ann_lsh"] = _ann_lsh_sql()

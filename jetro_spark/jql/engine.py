@@ -233,20 +233,26 @@ def _join_key_kwargs(ldt: T.DataType, rdt: T.DataType,
     convention (util.rs:216-226): a present-but-null key renders as
     the "null" bucket and MATCHES its peers (array.rs:505-531).
 
-    SAME-family atomic keys take ``eqNullSafe`` — identical semantics
-    to the canonical "null" bucket on native hash keys (Spark extracts
-    EqualNullSafe as an equi-join key; NaN<=>NaN and -0.0<=>0.0 agree
-    with _canon_str's rendering). Cross-family / variant / complex
-    keys join on the canonical STRING both engine modes share
-    (_canon_str, null → 'null') — still a plain hash-joinable equi
-    condition, just on a derived key. int-vs-float stays canonical
-    (eqNullSafe would cast longs through double and collide keys past
-    2^53 where val_to_key strings differ)."""
+    SAME-family NON-STRING atomic keys take ``eqNullSafe`` — identical
+    semantics to the canonical "null" bucket on native hash keys (Spark
+    extracts EqualNullSafe as an equi-join key; NaN<=>NaN and
+    -0.0<=>0.0 agree with _canon_str's rendering). STRING keys must NOT
+    (r12 advice): val_to_key renders a present-null key as the string
+    "null", which COLLIDES with a literal string key "null"
+    (util.rs:216-226 → array.rs:505-531) — eqNullSafe keeps them
+    distinct, so strings route through the canonical-string kwargs
+    (coalesce(col, 'null'), still a plain hash-joinable equi
+    condition), matching doc mode's path (compiler.py _join key
+    rendering). Cross-family / variant / complex keys join on the
+    canonical STRING both engine modes share (_canon_str,
+    null → 'null'). int-vs-float stays canonical (eqNullSafe would
+    cast longs through double and collide keys past 2^53 where
+    val_to_key strings differ)."""
     from jetro_spark.jql.compiler import _canon_str
 
     ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     flts = (T.FloatType, T.DoubleType)
-    for fam in (ints, flts, T.StringType, T.BooleanType,
+    for fam in (ints, flts, T.BooleanType,
                 T.DateType, T.TimestampType):
         if isinstance(ldt, fam) and isinstance(rdt, fam):
             return {"null_safe": True}
@@ -1571,15 +1577,29 @@ class JetroTables:
                 if order is None:
                     return None
             sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
+            extreme = df.orderBy(o, *sec).limit(1)
+            # the first-element-null probe only exists for NULLABLE
+            # keys (r12 advice): when the analyzer proves the key
+            # expression non-null, the override can never fire — skip
+            # the second TakeOrdered subplan and the union outright
+            if not df.select(col.alias("__xb_k")).schema["__xb_k"].nullable:
+                return self._pad_single_null(extreme)
             first_null = (df.orderBy(*sec).limit(1)
                           .filter(col.isNull())
                           .withColumn("__xb_pri", F.lit(0)))
-            extreme = (df.orderBy(o, *sec).limit(1)
-                       .withColumn("__xb_pri", F.lit(1)))
-            win = (first_null.unionByName(extreme)
-                   .orderBy(F.col("__xb_pri").asc()).limit(1)
-                   .drop("__xb_pri"))
-            return self._pad_single_null(win)
+            # winner = min-priority branch row, chosen by an ungrouped
+            # min_by AGGREGATE — not orderBy(pri).limit(1): AQE can
+            # drop a Sort+Limit above a Union whose branch materializes
+            # empty (the r12 soak catch; see _pad_single_null). The
+            # aggregate also pads: empty union → one all-null row.
+            unioned = first_null.unionByName(
+                extreme.withColumn("__xb_pri", F.lit(1)))
+            fields = [f.name for f in extreme.schema.fields]
+            w = unioned.agg(F.min_by(
+                F.struct(*[F.col(c2) for c2 in fields]),
+                F.col("__xb_pri")).alias("__w"))
+            return w.select(*[F.col("__w").getField(c2).alias(c2)
+                              for c2 in fields])
         def doc_ord():
             """Fresh doc-order surrogate for ordered keyed collects.
             Valid because _maybe_scan_order already vetted this df
@@ -2328,15 +2348,23 @@ class JetroTables:
         DataFrame cannot hold a "null row", so a scalar-null result of
         an OBJECT pipeline appears as a row with every column null.
 
-        Plan cost: a union of a literal one-row relation plus a sort on
-        a priority flag over <= 2 rows — nothing distributed changes."""
-        spark = taken.sparkSession
-        null_row = spark.range(1).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name)
-              for f in taken.schema.fields])
-        return (taken.withColumn("__pri", F.lit(0))
-                .unionByName(null_row.withColumn("__pri", F.lit(1)))
-                .orderBy("__pri").limit(1).drop("__pri"))
+        Lowered as a global AGGREGATE, not the old
+        null-row-union + orderBy(pri) + limit(1): Spark 4.1's AQE
+        re-optimization can DROP a top-level Sort+GlobalLimit above a
+        Union after a branch materializes empty (flaky, stage-order
+        dependent; minimal repro pinned in
+        test_regressions.test_minby_padding_aqe_union_limit) — the r12
+        soak caught collect() returning the winner AND the pad row. An
+        ungrouped aggregate is exactly-one-row by construction: first()
+        over the single row, or null over the empty frame.
+
+        Plan cost: one partial+final agg over <= 1 row — nothing
+        distributed changes."""
+        fields = taken.schema.fields
+        w = taken.agg(F.first(F.struct(
+            *[F.col(f.name) for f in fields])).alias("__w"))
+        return w.select(*[F.col("__w").getField(f.name).alias(f.name)
+                          for f in fields])
 
     def _window_stage(self, df: DataFrame, name: str, args,
                       order: list | None) -> DataFrame | None:

@@ -49,7 +49,18 @@ ROWS_D = [
     {"k": None, "v": 206.0, "g": "gN"},
     {"k": 7, "v": 207.0, "g": "g7"},
 ]
-DOC = {"s": ROWS, "u": ROWS_U, "d": ROWS_D}
+# STRING-keyed table (r12 advice class): val_to_key renders a
+# present-null key as the string "null", which COLLIDES with a literal
+# "null" string key — relational eqNullSafe kept them distinct. Keys
+# overlap the g values (so `.map({k: g, ...}).equi_join($.n, ...)`
+# matches) and include both the literal "null" and a present-NULL.
+ROWS_N = [
+    {"k": "g0", "v": 301.0, "g": "ga"}, {"k": "g1", "v": 302.0, "g": "gb"},
+    {"k": "null", "v": 303.0, "g": "gc"},
+    {"k": None, "v": 304.0, "g": "gd"},
+    {"k": "gN", "v": 305.0, "g": "ge"},
+]
+DOC = {"s": ROWS, "u": ROWS_U, "d": ROWS_D, "n": ROWS_N}
 
 # stages legal mid-pipeline on rows/scalars in BOTH modes; every
 # pipeline starts with sort(k) so both modes walk the same sequence
@@ -96,6 +107,19 @@ _MID = st.sampled_from([
     '.equi_join($.d.sort(v), "k", "k")',
     '.union($.d)',
     '.equi_join($.d, "k", "k").equi_join($.u, "k", "k")',
+    # r12 (advice): STRING join keys through the val_to_key "null"
+    # bucket — g-keyed receiver rows join the string-keyed table; the
+    # patch-DELETE variant nulls the receiver key so every row lands in
+    # the "null" bucket, matching BOTH the literal-"null" and the
+    # present-NULL right rows
+    '.map({k: g, v: v}).equi_join($.n, "k", "k")',
+    '.map(patch @ {g: DELETE}).map({k: g, v: v})'
+    '.equi_join($.n, "k", "k")',
+    # r12 vocab (verdict item 6): two equi_joins with CONFLICTING
+    # carried orders — each join must rematerialize ITS current order
+    # before the right-wins merge rebinds the sort columns
+    '.sort(-v).equi_join($.d, "k", "k").sort(v)'
+    '.equi_join($.u, "k", "k")',
     # descending sort over the (nullable after union($.d)) key: null
     # placement is doc-observable through reverse/positional tails
     ".sort(-k)",
@@ -126,6 +150,10 @@ _SCALAR_MID = st.sampled_from([
     ".map(v).compact()",
     # scalar dedup + value-removal (keep-first-seen order semantics)
     ".map(g).unique()", ".map(v).remove(74.0)",
+    # r12 (advice): BARE ascending sort over a (nullable after
+    # union($.d)) scalar — null elements place FIRST in both modes
+    # (the old doc-mode array_sort fast path pinned them LAST)
+    ".map(k).sort()", ".map(k).sort().reverse()",
     # r8: expression-level deep search in the relational projection
     # (plan-time schema walk over a constructed object)
     ".map(x => let d = {a: {t: x.v}, b: {t: 1.0}} in d..t.sum())",
@@ -151,6 +179,10 @@ _KEYED_SINK = st.sampled_from([
     # a tail collapses to doc mode (its one-object output has no
     # row-shaped navigation)
     ".pivot(g, v)", ".group_shape(x => x.g, a => a.map(v))",
+    # r12 vocab (verdict item 6): a SORT inside the shape lambda — the
+    # per-group array must carry the group's pipeline order into the
+    # lambda so the keyed re-sort is deterministic in both modes
+    ".group_shape(x => x.g, a => a.sort(x => -x.v).map(x => x.v))",
     ".count_by(g).keys()", ".group_by(g).keys()", ".index_by(g).keys()",
     '.count_by(g)["g1"]', ".pivot(g, v).keys()",
 ])
@@ -247,7 +279,7 @@ def test_doc_and_relational_agree(spark, mids, scalars, sink):
     try:
         rel_out = _rel_result(
             JetroTables(spark, {"s": _table(spark), "u": _table_u(spark),
-                                "d": _table_d(spark)}).query(expr))
+                                "d": _table_d(spark), "n": _table_n(spark)}).query(expr))
     except CompileError:
         rel_err = True
     # an ill-typed combination (e.g. .pairwise().sum() — summing arrays)
@@ -284,6 +316,12 @@ def _table_d(spark):
         "k long, v double, g string")
 
 
+def _table_n(spark):
+    return spark.createDataFrame(
+        [(r["k"], r["v"], r["g"]) for r in ROWS_N],
+        "k string, v double, g string")
+
+
 @settings(max_examples=max(_N_DIFF // 2, 25), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_MID, max_size=2), _KEYED_SINK)
@@ -304,7 +342,7 @@ def test_keyed_reducers_agree(spark, mids, sink):
     try:
         rel_out = _rel_result(JetroTables(
             spark, {"s": _table(spark), "u": _table_u(spark),
-                 "d": _table_d(spark)}).query(expr))
+                 "d": _table_d(spark), "n": _table_n(spark)}).query(expr))
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, (
@@ -399,7 +437,7 @@ def test_unsorted_pipelines_agree(spark, mids, scalars, sink):
     try:
         rel_out = _rel_result(
             JetroTables(spark, {"s": _table(spark), "u": _table_u(spark),
-                                "d": _table_d(spark)}).query(expr))
+                                "d": _table_d(spark), "n": _table_n(spark)}).query(expr))
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, (
@@ -422,6 +460,11 @@ _LET_SINK = st.sampled_from([
     # keyed reducers IN THE BODY over the bound table: the binding's
     # trusted scan order feeds their first-seen/last-wins semantics
     ".count_by(g).keys()", ".group_by(g).keys()", ".unique_by(g).map(g)",
+    # r12 vocab (verdict item 6): PATCH bodies over the let-bound
+    # table — the patch stage must keep (or honestly disclaim) the
+    # binding's carried order through the row-struct materialize
+    ".map(patch @ {v: @ * 2.0}).first()",
+    ".map(patch @ {g: DELETE}).take(3)",
 ])
 
 
@@ -451,7 +494,7 @@ def test_let_bound_pipelines_agree(spark, mids, sink):
             W.simplefilter("ignore")
             rel_out = _rel_result(JetroTables(
                 spark, {"s": _table(spark), "u": _table_u(spark),
-                 "d": _table_d(spark)})
+                 "d": _table_d(spark), "n": _table_n(spark)})
                 .query(expr))
     except CompileError:
         rel_err = True
@@ -529,7 +572,7 @@ def test_let_bound_sources_agree(spark, mids, body, sink, nested):
             W.simplefilter("ignore")
             rel_out = _rel_result(JetroTables(
                 spark, {"s": _table(spark), "u": _table_u(spark),
-                        "d": _table_d(spark)}).query(expr))
+                        "d": _table_d(spark), "n": _table_n(spark)}).query(expr))
     except CompileError:
         rel_err = True
     assert doc_err == rel_err, (

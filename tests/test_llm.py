@@ -725,6 +725,71 @@ def test_semantic_dedup_keep_order_and_cluster_bound(spark):
     assert cells == {(1, 2), (1, 3), (2, 3), (4, 5)}
 
 
+def test_semantic_dedup_precollapse_output_invariant(spark):
+    """r12 (verdict item 1): semantic_dedup's exact-fingerprint
+    pre-collapse must be OUTPUT-INVARIANT — survivors equal the
+    unbounded definition (anti-join on semantic_dedup_pairs' distinct
+    drop_ids) on a corpus mixing byte-identical groups, near-dups,
+    zero vectors and a null vector."""
+    import math
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def vec(deg, scale=10.0):
+        return [scale * math.cos(math.radians(deg)),
+                scale * math.sin(math.radians(deg))]
+
+    rows = [
+        # exact group A (3 copies) + a near-dup of it
+        (1, vec(10)), (4, vec(10)), (7, vec(10)), (2, vec(11)),
+        # exact group B in the other cell (2 copies)
+        (3, vec(80)), (6, vec(80)),
+        # singletons, spread below threshold
+        (5, vec(30)), (8, vec(55)), (9, vec(70)),
+        # zero vector twice (NULL cosine key: never pairs, never drops)
+        (10, [0.0, 0.0]), (11, [0.0, 0.0]),
+        # null vector (same contract)
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for th in (0.95, 0.999, -1.0):
+        brute_losers = (D.semantic_dedup_pairs(df, cents, threshold=th)
+                        .select("drop_id").distinct())
+        brute = sorted(r["vec_id"] for r in df.join(
+            brute_losers, df.vec_id == F.col("drop_id"),
+            "left_anti").collect())
+        got = sorted(r["vec_id"] for r in
+                     D.semantic_dedup(df, cents, threshold=th).collect())
+        assert got == brute, f"threshold {th}: {got} != {brute}"
+
+
+def test_semantic_dedup_pairs_max_cell_cap(spark):
+    """max_cell (r12): a cell with more members than the cap is
+    EXCLUDED from pairing (the LSH max_bucket documented-drop
+    contract); other cells are untouched."""
+    import math
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def vec(deg):
+        return [10.0 * math.cos(math.radians(deg)),
+                10.0 * math.sin(math.radians(deg))]
+
+    # cell 0: four near-identical members; cell 1: two
+    rows = [(i, vec(10 + 0.1 * i)) for i in range(4)] + \
+           [(10, vec(80)), (11, vec(80.1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = D.semantic_dedup_pairs(df, cents, threshold=0.95, max_cell=3)
+    got = {(r["keep_id"], r["drop_id"]) for r in capped.collect()}
+    assert got == {(10, 11)}  # cell 0 (4 > 3) dropped whole
+    uncapped = D.semantic_dedup_pairs(df, cents, threshold=0.95,
+                                      max_cell=10)
+    assert {(r["keep_id"], r["drop_id"]) for r in uncapped.collect()} \
+        == {(r["keep_id"], r["drop_id"])
+            for r in D.semantic_dedup_pairs(df, cents,
+                                            threshold=0.95).collect()}
+
+
 def test_cap_per_key_deterministic_uniform_cap(spark):
     from jetro_spark.llm.sampling import cap_per_key
 
@@ -1041,7 +1106,17 @@ def test_multimodal_real_decode_stdlib_codec(spark):
     in-container via the stdlib BMP/PNG codec — no PIL needed. PNG and
     BMP bytes decode to true dimensions; transform_images downsizes
     with the same floor-scale math as the fake path and re-encodes a
-    decodable PNG thumbnail."""
+    decodable PNG thumbnail.
+
+    Skipped when PIL IS importable (r12 advice): the real branch then
+    takes the PIL leg, whose thumbnail() aspect ROUNDS (300x120@64 →
+    64x26) where the purepy leg floors (64x25) — this test pins the
+    purepy leg only; test_multimodal_real_decode covers PIL."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present — real branch takes the PIL leg")
+    except ImportError:
+        pass
     from jetro_spark.llm import purepy_image as PP
 
     w1, h1 = 20, 30

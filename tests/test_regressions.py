@@ -1189,6 +1189,60 @@ def test_equi_join_null_key_matches_null_bucket(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_equi_join_string_null_key_collides_with_literal_null(spark):
+    """r12 advice: val_to_key renders a present-null key as the STRING
+    "null" (util.rs:216-226), which COLLIDES with a literal string key
+    "null" (array.rs:505-531). String keys therefore must NOT take
+    eqNullSafe (which keeps NULL and "null" distinct) — they route
+    through the canonical coalesce(col, 'null') kwargs, like doc mode.
+    Left k="null" matches BOTH right k="null" and right k=NULL."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {"o": [{"k": "null", "x": 1}, {"k": "a", "x": 2}],
+           "u": [{"k": None, "y": 10}, {"k": "null", "y": 20},
+                 {"k": "a", "y": 30}]}
+    jt = Jetro.from_value(spark, doc)
+    got = jt.collect('$.o.equi_join($.u, "k", "k")')
+    assert got == [{"x": 1, "k": None, "y": 10},
+                   {"x": 1, "k": "null", "y": 20},
+                   {"x": 2, "k": "a", "y": 30}]
+
+    o = spark.createDataFrame([("null", 1), ("a", 2)], "k string, x long")
+    u = spark.createDataFrame([(None, 10), ("null", 20), ("a", 30)],
+                              "k string, y long")
+    tables = JetroTables(spark, {"o": o, "u": u})
+    out = tables.query('$.o.equi_join($.u, "k", "k")')
+    rel = sorted((r["x"], r["y"]) for r in out.collect())
+    assert rel == [(1, 10), (1, 20), (2, 30)]
+    # still a plain hash-joinable equi condition on the derived key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bare_sort_null_elements_first_both_modes(spark):
+    """r12 advice: bare ascending .sort() must place null ELEMENTS
+    FIRST — the engine-wide null-first convention (keyed/desc
+    comparator, relational (isNull, desc) entries). The old
+    F.array_sort fast path pinned them LAST; sort_array is the native
+    builtin with the right placement."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {"s": [{"k": 2, "v": 5.0}, {"k": None, "v": 6.0},
+                 {"k": 1, "v": 7.0}]}
+    jt = Jetro.from_value(spark, doc)
+    assert jt.collect("$.s.map(k).sort()") == [None, 1, 2]
+    # nulls stay first through a positional tail
+    assert jt.collect("$.s.map(k).sort().first()") is None
+    assert jt.collect("$.s.map(k).sort().reverse()") == [2, 1, None]
+
+    s = spark.createDataFrame([(2, 5.0), (None, 6.0), (1, 7.0)],
+                              "k long, v double")
+    tables = JetroTables(spark, {"s": s})
+    rel = [r[0] for r in tables.query("$.s.map(k).sort()").collect()]
+    assert rel == [None, 1, 2]
+
+
 def test_equi_join_cross_family_keys_render_canonically(spark):
     """Cross-kind keys match via val_to_key's STRING rendering: long 3
     joins string "3" and double 3.0 (both render "3"); a string key
@@ -1326,6 +1380,46 @@ def test_null_sort_keys_first_both_directions(spark):
         rel = [r[cols[0]] if len(cols) == 1 else r.asDict()
                for r in out.collect()]
         assert rel == want, e
+
+
+def test_minby_padding_aqe_union_limit(spark):
+    """r12 soak catch: Spark 4.1 AQE re-optimization can DROP a
+    top-level Sort+GlobalLimit above a Union after one branch
+    materializes empty (flaky, stage-order dependent) — collect()
+    returned the min_by winner AND the scalar-null pad row while
+    count() said 1. The priority-pick shapes (_pad_single_null, the
+    min_by/max_by sink) now lower as ungrouped AGGREGATES (first /
+    min_by over a struct), which are exactly-one-row by construction.
+    This pins the exact soak expression; run it a few times — the
+    original failure was stage-order dependent."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": i, "v": float((i * 37) % 101), "g": f"g{i % 3}"}
+            for i in range(17)]
+    rows_d = [
+        {"k": 0, "v": 201.0, "g": "g1"}, {"k": 0, "v": 202.0, "g": "g2"},
+        {"k": 3, "v": 203.0, "g": "g0"}, {"k": 3, "v": 204.0, "g": "g1"},
+        {"k": None, "v": 205.0, "g": "gN"},
+        {"k": None, "v": 206.0, "g": "gN"},
+        {"k": 7, "v": 207.0, "g": "g7"},
+    ]
+    jt = Jetro.from_value(spark, {"s": rows, "d": rows_d})
+    e = '$.s.sort(k).skip(4).equi_join($.d.sort(v), "k", "k").min_by(v)'
+    want = jt.collect(e)
+    assert want == {"k": 7, "v": 207.0, "g": "g7"}
+    s = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows],
+                              "k long, v double, g string")
+    d = spark.createDataFrame([(r["k"], r["v"], r["g"]) for r in rows_d],
+                              "k long, v double, g string")
+    for _ in range(3):
+        out = JetroTables(spark, {"s": s, "d": d}).query(e)
+        got = [r.asDict() for r in out.collect()]
+        assert got == [want], got
+    # the empty-pipeline pad still yields exactly one all-null row
+    out = JetroTables(spark, {"s": s, "d": d}).query(
+        "$.s.filter(v > 9000).first()")
+    got = out.collect()
+    assert len(got) == 1 and all(x is None for x in got[0])
 
 
 def test_extreme_by_null_keys_strict_improvement_fold(spark):

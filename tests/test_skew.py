@@ -301,3 +301,54 @@ def test_ordered_group_collect_hot_key_partition_invariance(spark):
     sizes = {r["key"]: r["n"] for r in build(0).select(
         "key", F.size("value").alias("n")).collect()}
     assert sizes[str(hot)] >= n // 2
+
+
+def test_semantic_dedup_hot_cell_precollapse(spark):
+    """r12 (the r11 verdict's one `weak` flag): a boilerplate-heavy
+    cell of byte-identical vectors must NOT reach the quadratic
+    within-cell pair join — 150k rows collapsing to 18 unique vectors
+    would cost ~10^10 pair comparisons unbounded (the r11 sf1.0 probe
+    measured 2,800x pair growth on a 10x duplicate-heavy upscale);
+    with the exact pre-collapse the rep-level join sees 18 rows and
+    the query returns in seconds. Survivors are checked EXACTLY:
+    the min-id member of each boilerplate group plus every singleton."""
+    import math
+
+    from jetro_spark.llm.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def vec(deg):
+        return [float(10.0 * math.cos(math.radians(deg))),
+                float(10.0 * math.sin(math.radians(deg)))]
+
+    # ids 0..14: singletons in cell 0, 3 degrees apart (cos(3 deg) =
+    # 0.9986 < 0.999 -> never pair); ids 15..n: copies of one of three
+    # boilerplate vectors deep in cell 1, >= 5.7 degrees apart
+    singles = [vec(3 * i) for i in range(15)]
+    boilers = [vec(90.0), vec(84.0), vec(78.0)]
+    n = 150_000
+    sv = F.array(*[F.when(F.col("id") == i,
+                          F.array(*[F.lit(x) for x in v])).otherwise(
+                              F.lit(None).cast("array<double>"))
+                   for i, v in enumerate(singles)])
+    # build per-row vector without a Python UDF: singles by exact id,
+    # boilers by id % 3
+    bool_arms = F.when(F.col("id") % 3 == 0,
+                       F.array(*[F.lit(x) for x in boilers[0]]))
+    bool_arms = bool_arms.when(F.col("id") % 3 == 1,
+                               F.array(*[F.lit(x) for x in boilers[1]]))
+    bool_arms = bool_arms.otherwise(
+        F.array(*[F.lit(x) for x in boilers[2]]))
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 15,
+               F.element_at(F.filter(sv, lambda x: x.isNotNull()), 1))
+        .otherwise(bool_arms).alias("embedding"))
+
+    kept = semantic_dedup(df, cents, threshold=0.999, id_col="vec_id",
+                          vec_col="embedding")
+    got = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    # every singleton survives; each boiler group keeps its MIN id:
+    # group id%3==0 -> 15 is 15%3==0 -> min ids 15, 16, 17
+    assert got == list(range(15)) + [15, 16, 17]
