@@ -31,15 +31,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROBE_DIR = "/tmp/sfprobe1.0"
+DEEP_DIR = "/tmp/sfprobe3.0"
 SRC_DIR = "/root/testdata/sf0.1"
 ROWS = ["dedup_spans", "tfidf_embed", "gram_overlap", "ngram_lm",
-        "semantic_dedup"]
+        "semantic_dedup",
+        # r12 (verdict item 5): the pre-collapsed retention row, the
+        # remaining heavy embed row, and an ordered-collect row — the
+        # other single-reducer-risk family
+        "semantic_keep", "hash_embed", "implode"]
+# r12: one decade FURTHER for the rows whose doc_id LeftOuter flipped
+# broadcast→SMJ at sf1.0 — confirm post-flip stability (no second
+# strategy change) by comparing sf1.0 vs the 30x sf3-equivalent
+DEEP_ROWS = ["tfidf_embed", "ngram_lm", "hash_embed"]
 
 
 def build_probe_data(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(PROBE_DIR, "_built")):
+    # marker v2: r12 added the lineitem upscale (implode row) — a
+    # stale r11 probe dir must rebuild
+    if os.path.exists(os.path.join(PROBE_DIR, "_built3")):
         return
     docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
     n_docs = docs.count()
@@ -65,24 +76,69 @@ def build_probe_data(spark) -> None:
             .select(
                 (F.col("vec_id") + F.col("rep") * F.lit(n_emb))
                 .alias("vec_id"),
-                # deterministic tiny per-replica perturbation on the
-                # first component keeps vectors distinct but clustered
-                F.transform(
+                # r12: match the documents recipe — reps 0-6 BYTE-EXACT
+                # duplicates (the mass the retention pre-collapse must
+                # absorb; the r11 all-perturbed upscale gave the
+                # collapse nothing to collapse), reps 7-9 near-dups via
+                # a tiny first-component perturbation
+                F.when(F.col("rep") < 7, F.col("embedding"))
+                .otherwise(F.transform(
                     "embedding",
                     lambda x, i: F.when(
                         i == 0, x + F.col("rep").cast("float") / 1000.0)
-                    .otherwise(x)).alias("embedding"),
+                    .otherwise(x))).alias("embedding"),
                 "label"))
     up_e.repartition(8).write.mode("overwrite") \
         .parquet(f"{PROBE_DIR}/embeddings.parquet")
-    # the five probe rows only read documents/embeddings; link the rest
-    # so any incidental table load resolves
+    # implode reads lineitem: replicate 10x with disjoint orderkeys so
+    # the ordered-collect groupBy really sees 10x the groups
+    li = spark.read.parquet(f"{SRC_DIR}/lineitem.parquet")
+    kmax = li.agg(F.max("l_orderkey")).first()[0] + 1
+    up_l = (li.select("*", reps)
+            .withColumn("l_orderkey",
+                        F.col("l_orderkey") + F.col("rep") * F.lit(kmax))
+            .drop("rep"))
+    up_l.repartition(32).write.mode("overwrite") \
+        .parquet(f"{PROBE_DIR}/lineitem.parquet")
+
+    # remaining tables: link so any incidental load resolves
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "events"):
         dst = f"{PROBE_DIR}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC_DIR}/{t}.parquet", dst)
-    open(os.path.join(PROBE_DIR, "_built"), "w").write("ok")
+    open(os.path.join(PROBE_DIR, "_built3"), "w").write("ok")
+
+
+def build_deep_data(spark) -> None:
+    """30x documents-only upscale (the DEEP_ROWS read documents): same
+    replication recipe as the 10x build — 70% byte-exact, 30% suffixed
+    near-dups — three decades above the sweep."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DEEP_DIR, "_built")):
+        return
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(29))).alias("rep")
+    up = (docs.select("*", reps)
+          .select(
+              (F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+              .alias("doc_id"),
+              F.when(F.col("rep") % 10 < 7, F.col("text"))
+              .otherwise(F.concat_ws(" ", F.col("text"),
+                                     F.concat(F.lit("rep"),
+                                              F.col("rep").cast("string"))))
+              .alias("text"),
+              "lang", "source", "n_chars"))
+    up.repartition(32).write.mode("overwrite") \
+        .parquet(f"{DEEP_DIR}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{DEEP_DIR}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC_DIR}/{t}.parquet", dst)
+    open(os.path.join(DEEP_DIR, "_built"), "w").write("ok")
 
 
 def plan_shape(df) -> list[str]:
@@ -155,7 +211,38 @@ def main() -> int:
                 mark = " " if l1 == l2 else "!"
                 print(f"  {mark} {l1:40} | {l2}")
     print(f"\n{len(ROWS) - failures}/{len(ROWS)} rows shape-stable at sf1.0")
-    return 1 if failures else 0
+
+    # deep leg: sf1.0 vs sf3.0 for the SMJ-flipped rows — the flip
+    # already happened by sf1.0, so these must be shape-IDENTICAL
+    build_deep_data(spark)
+    deep_failures = 0
+    for name in DEEP_ROWS:
+        fn = qs[name]
+        shapes, wall = {}, {}
+        for label, d in (("sf1.0", PROBE_DIR), ("sf3.0", DEEP_DIR)):
+            df = fn(spark, d)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            wall[label] = time.time() - t0
+            shapes[label] = plan_shape(df)
+            print(f"{name} @ {label}"
+                  + (f" wall={wall[label]:.2f}s" if times else ""),
+                  flush=True)
+        if shapes["sf1.0"] == shapes["sf3.0"]:
+            print(f"{name}: deep plan shape IDENTICAL "
+                  f"({len(shapes['sf1.0'])} tracked nodes)")
+        else:
+            deep_failures += 1
+            print(f"{name}: DEEP PLAN SHAPE DIVERGED (sf1.0 -> sf3.0)")
+            a, b = shapes["sf1.0"], shapes["sf3.0"]
+            for i in range(max(len(a), len(b))):
+                l1 = a[i] if i < len(a) else "<missing>"
+                l2 = b[i] if i < len(b) else "<missing>"
+                mark = " " if l1 == l2 else "!"
+                print(f"  {mark} {l1:40} | {l2}")
+    print(f"{len(DEEP_ROWS) - deep_failures}/{len(DEEP_ROWS)} deep rows "
+          f"shape-stable at sf3.0")
+    return 1 if (failures or deep_failures) else 0
 
 
 if __name__ == "__main__":
