@@ -113,7 +113,8 @@ def _ordered_cmp(lt: "TC", rt: "TC", op: str,
     return F.coalesce(cmp, F.lit(False)) if guard_null else cmp
 
 
-def eq_comparable(a: T.DataType | None, b: T.DataType | None) -> bool:
+def eq_comparable(a: T.DataType | None, b: T.DataType | None,
+                  nested: bool = False) -> bool:
     """Can these two types EVER compare equal under the reference's
     value equality (util.rs vals_eq / val_to_key)? The reference never
     type-errors an equality probe — a cross-kind comparison is simply
@@ -125,9 +126,21 @@ def eq_comparable(a: T.DataType | None, b: T.DataType | None) -> bool:
     False ONLY when the mismatch is provable: container vs scalar,
     struct field-name sets differing, number vs bool. Unknown/variant
     sides stay True (defer to Spark's coercion, the legacy path).
-    String vs number stays True: Spark casts the probe to string, which
-    matches val_to_key's integer rendering (floats render "3.0" vs
-    Rust's "3" — a documented hairline delta)."""
+    TOP-LEVEL string vs number stays True: Spark casts the probe to
+    string, which matches val_to_key's integer rendering (floats
+    render "3.0" vs Rust's "3" — a documented hairline delta).
+
+    ``nested`` (r12 soak catch): INSIDE a container, a compound value's
+    canonical key is its JSON serialization (val_to_key →
+    val_to_string, util.rs:216-243), where a string field renders
+    QUOTED — so a string field can never equal a number/bool field,
+    and the top-level string-vs-number allowance does NOT apply one
+    level down. Pre-fix, a struct<k:string> vs struct<k:long> set-op
+    membership compiled an eqNullSafe Spark coerced string→bigint:
+    doc mode failed analysis, relational mode ANSI-crashed at runtime
+    on the first non-numeric key ('g1'). Cross-family scalar FIELDS
+    are now provably unequal; int-vs-float fields keep the engine's
+    documented numeric-compare convention."""
     fa, fb = _family(a), _family(b)
     if "unknown" in (fa, fb) or "variant" in (fa, fb):
         return True
@@ -140,18 +153,21 @@ def eq_comparable(a: T.DataType | None, b: T.DataType | None) -> bool:
             if an != bn:
                 return False
             bt = {f.name: f.dataType for f in b.fields}
-            return all(eq_comparable(f.dataType, bt[f.name])
+            return all(eq_comparable(f.dataType, bt[f.name], nested=True)
                        for f in a.fields)
         if isinstance(a, T.MapType) and isinstance(b, T.MapType):
-            return (eq_comparable(a.keyType, b.keyType)
-                    and eq_comparable(a.valueType, b.valueType))
+            return (eq_comparable(a.keyType, b.keyType, nested=True)
+                    and eq_comparable(a.valueType, b.valueType,
+                                      nested=True))
         return False  # map vs struct never unifies for equality here
     if fa == "array" and fb == "array":
-        return eq_comparable(a.elementType, b.elementType)
+        return eq_comparable(a.elementType, b.elementType, nested=True)
     if fa != fb and ("object" in (fa, fb) or "array" in (fa, fb)):
         return False
     if {fa, fb} == {"number", "bool"}:
         return False  # val_to_key: "3" vs "true"/"false" — never equal
+    if nested and fa != fb:
+        return False  # JSON-rendered fields: quoted vs bare never equal
     return True
 
 
@@ -2132,9 +2148,48 @@ def m_collect(self, recv, args, env):
     return TC(AR.collect(recv.col, is_arr), out)
 
 
+_SCALAR_FAMS = {"string", "number", "bool"}
+
+
+def _cross_scalar(ea, eb) -> bool:
+    """Both elements are BARE scalars of DIFFERENT families — the one
+    case where set-op membership can still match across types: the
+    reference keys members by val_to_key (util.rs:216-226), so string
+    "3" matches long 3 and string "true" matches bool true. An
+    eqNullSafe here would make Spark coerce (string→bigint under ANSI)
+    and CRASH at runtime on the first non-numeric value (r12 probe,
+    found while fixing the object-row crash the soak caught) — these
+    pairs must compare on the canonical key instead."""
+    fa, fb = _family(ea), _family(eb)
+    return fa in _SCALAR_FAMS and fb in _SCALAR_FAMS and fa != fb
+
+
+def _key_membership(arr: Column, other: Column, ea, eb,
+                    keep_present: bool) -> Column:
+    """Filter ``arr`` by val_to_key-canonical membership in ``other``
+    (diff_apply/intersect_apply, collection.rs:594-646) — used for
+    cross-family scalar elements where native equality would coerce."""
+    def ka(x):
+        return F.coalesce(_canon_str(x, ea), F.lit("null"))
+
+    def kb(o):
+        return F.coalesce(_canon_str(o, eb), F.lit("null"))
+
+    from jetro_spark.functions.arrays import let_
+    return let_(other, lambda bb: F.filter(
+        arr, lambda x: F.coalesce(
+            F.exists(bb, lambda o: ka(x) == kb(o)), F.lit(False))
+        == F.lit(keep_present)))
+
+
 def m_diff(self, recv, args, env):
     other = self.compile(args[0].value, env)
-    if not eq_comparable(_elem(recv), _elem(other)):
+    ea, eb = _elem(recv), _elem(other)
+    if _cross_scalar(ea, eb):
+        # canonical-key membership: "3" removes long 3 (val_to_key)
+        return TC(_key_membership(recv.col, other.col, ea, eb,
+                                  keep_present=False), recv.dtype)
+    if not eq_comparable(ea, eb):
         # no key can ever match across kinds → receiver unchanged
         # (diff_apply compares canonical keys, never type-errors)
         return recv
@@ -2143,7 +2198,11 @@ def m_diff(self, recv, args, env):
 
 def m_intersect(self, recv, args, env):
     other = self.compile(args[0].value, env)
-    if not eq_comparable(_elem(recv), _elem(other)):
+    ea, eb = _elem(recv), _elem(other)
+    if _cross_scalar(ea, eb):
+        return TC(_key_membership(recv.col, other.col, ea, eb,
+                                  keep_present=True), recv.dtype)
+    if not eq_comparable(ea, eb):
         # cross-kind: nothing intersects → empty (same type as recv)
         return TC(F.slice(recv.col, 1, 0), recv.dtype)
     return TC(AR.intersect(recv.col, other.col), recv.dtype)
@@ -2151,18 +2210,62 @@ def m_intersect(self, recv, args, env):
 
 def _widen_elems(arr: Column, st: T.StructType, to: T.StructType) -> Column:
     """array<struct st> → array<struct to>: fields absent from st pad
-    with typed nulls (the _deep_collect pad, applied element-wise)."""
-    names = set(st.fieldNames())
-    return F.transform(arr, lambda c: F.struct(*[
-        (c.getField(f.name).cast(f.dataType.simpleString())
-         if f.name in names else F.lit(None).cast(f.dataType.simpleString())
-         ).alias(f.name)
-        for f in to.fields]))
+    with typed nulls (the _deep_collect pad, applied element-wise).
+    A VARIANT target field (cross-family conflict, r12) converts via
+    to_variant — a plain cast would ANSI-coerce (string→bigint crashed
+    the union widen on the first non-numeric key)."""
+    from jetro_spark.functions.core import to_variant
+
+    names = {f.name: f.dataType for f in st.fields}
+
+    def conv(c: Column, f: T.StructField) -> Column:
+        if f.name not in names:
+            return F.lit(None).cast(f.dataType.simpleString()).alias(f.name)
+        src = names[f.name]
+        if isinstance(f.dataType, T.VariantType) \
+                and not isinstance(src, T.VariantType):
+            return to_variant(c.getField(f.name), src).alias(f.name)
+        return (c.getField(f.name).cast(f.dataType.simpleString())
+                .alias(f.name))
+
+    return F.transform(arr, lambda c: F.struct(
+        *[conv(c, f) for f in to.fields]))
 
 
 def m_union(self, recv, args, env):
     other = self.compile(args[0].value, env)
     ea, eb = _elem(recv), _elem(other)
+    if _cross_scalar(ea, eb) or (
+            not eq_comparable(ea, eb)
+            and not (isinstance(ea, T.StructType)
+                     and isinstance(eb, T.StructType))):
+        # mixed-kind union (scalar-vs-scalar cross family, or any
+        # provably-incomparable non-struct-struct pair — scalar vs
+        # array, map vs struct): the reference's output is a
+        # heterogeneous array ([3.0, "x", true]); the engine's
+        # representation for mixed elements is VARIANT. Membership
+        # stays the val_to_key canonical key (so "3" suppresses an
+        # appended long 3); cross-KIND keys can never collide, making
+        # the filter a no-op there — one uniform lowering.
+        # (struct-vs-struct keeps the null-padded widen below: same
+        # navigable shape, no variant hop)
+        from jetro_spark.functions.arrays import let_
+        from jetro_spark.functions.core import to_variant
+
+        def ka(x):
+            return F.coalesce(_canon_str(x, ea), F.lit("null"))
+
+        def kb(o):
+            return F.coalesce(_canon_str(o, eb), F.lit("null"))
+
+        col = let_(recv.col, lambda aa: F.concat(
+            F.transform(aa, lambda x: to_variant(x, ea)),
+            F.transform(
+                F.filter(other.col, lambda o: ~F.coalesce(
+                    F.exists(aa, lambda x: ka(x) == kb(o)),
+                    F.lit(False))),
+                lambda o: to_variant(o, eb))))
+        return TC(col, T.ArrayType(T.VariantType()))
     if (not eq_comparable(ea, eb)
             and isinstance(ea, T.StructType) and isinstance(eb, T.StructType)):
         # cross-shape objects never share a canonical key, so union_apply
@@ -2170,7 +2273,20 @@ def m_union(self, recv, args, env):
         # no error). Representable by widening both sides to the union
         # struct: the receiver's missing fields become nulls, which is
         # also how downstream field access sees them (missing ≡ null).
-        u = union_struct([ea, eb])
+        # A field whose types CONFLICT across the two sides widens to
+        # VARIANT (the _union_struct_dyn convention — r12: first-wins
+        # made the widen cast 'g0' string→bigint and ANSI-crash)
+        u0 = union_struct([ea, eb])
+        at = {f.name: f.dataType for f in ea.fields}
+        bt2 = {f.name: f.dataType for f in eb.fields}
+        u = T.StructType([
+            T.StructField(
+                f.name,
+                f.dataType if unify([d for d in (at.get(f.name),
+                                                 bt2.get(f.name))
+                                     if d is not None]) is not None
+                else T.VariantType(), True)
+            for f in u0.fields])
         return TC(F.concat(_widen_elems(recv.col, ea, u),
                            _widen_elems(other.col, eb, u)),
                   T.ArrayType(u))

@@ -1853,10 +1853,16 @@ class JetroTables:
             # unionByName() appended everything — r7 catches). union =
             # all of the receiver plus the other side's rows whose
             # value is not in the receiver.
+            recv_scalar = self._scalar
             self._pipe_end_ordered = True
             other = self._resolve_table(args[0].value)
             if other is None:
                 return None
+            # _resolve_table re-enters _pipeline for sub-pipeline args,
+            # clobbering _scalar with the OTHER side's shape — capture
+            # it, then restore the receiver's (r12)
+            oth_scalar = self._scalar
+            self._scalar = recv_scalar
             # ordered union appends the other table's rows in the other
             # ARRAY's own order via a monotonic-id tag — valid only when
             # the resolved table's physical order is its doc order (same
@@ -1864,6 +1870,45 @@ class JetroTables:
             # sub-pipeline arg would tag shuffle-arbitrary rows)
             rt_ok = getattr(self, "_pipe_end_ordered", True)
             vis = _vis_cols(df)
+            ovis = [c2 for c2 in other.columns
+                    if not c2.startswith("__ord")]
+            if (recv_scalar and oth_scalar
+                    and len(vis) == 1 and len(ovis) == 1):
+                from jetro_spark.jql.compiler import (_canon_str,
+                                                      _cross_scalar)
+                ldt = df.schema[vis[0]].dataType
+                rdt = other.schema[ovis[0]].dataType
+                if _cross_scalar(ldt, rdt):
+                    # cross-family SCALAR membership keys by val_to_key
+                    # (util.rs:216-226: string "3" matches long 3) —
+                    # native equality would make Spark ANSI-coerce and
+                    # crash at runtime (r12 catch). diff/intersect keep
+                    # the receiver's rows and type; union's output is
+                    # heterogeneous → warned doc fallback (m_union's
+                    # variant lowering)
+                    if name == "union":
+                        return None
+                    lk2 = F.coalesce(_canon_str(F.col(vis[0]), ldt),
+                                     F.lit("null"))
+                    rk2 = F.coalesce(_canon_str(F.col(ovis[0]), rdt),
+                                     F.lit("null"))
+                    a4 = df.withColumn("__set_k", lk2).alias("__set_a")
+                    o4 = (other.select(rk2.alias("__set_k"))
+                          .alias("__set_o"))
+                    how = "left_anti" if name == "diff" else "left_semi"
+                    out = a4.join(
+                        o4, F.col("__set_a.__set_k")
+                        == F.col("__set_o.__set_k"), how).drop("__set_k")
+                    self._order = order
+                    return (out if order is None
+                            else out.orderBy(*_order_by(order)))
+                if vis[0] != ovis[0]:
+                    # scalar column NAMES are incidental projection
+                    # detail — align them so same-family scalars flow
+                    # the value-membership path (pre-fix, a name
+                    # mismatch took the cross-shape arm and kept rows
+                    # val_to_key says to drop)
+                    other = other.withColumnRenamed(ovis[0], vis[0])
             if sorted(vis) != sorted(other.columns):
                 # cross-shape rows never compare equal (vals_eq):
                 # diff keeps everything, intersect keeps nothing;
@@ -1875,6 +1920,29 @@ class JetroTables:
                     self._order = order
                     return df.limit(0)
                 return None
+            if not recv_scalar and len(vis) > 0:
+                from jetro_spark.jql.compiler import eq_comparable
+                lst = T.StructType([
+                    T.StructField(c2, df.schema[c2].dataType)
+                    for c2 in vis])
+                rst = T.StructType([
+                    T.StructField(c2, other.schema[c2].dataType)
+                    for c2 in vis])
+                if not eq_comparable(lst, rst):
+                    # same field NAMES but a cross-family field TYPE:
+                    # object rows key by their JSON serialization
+                    # (val_to_key → val_to_string), where a string
+                    # field renders QUOTED — never equal to a number
+                    # field. Native equality would ANSI-coerce and
+                    # crash (the r12 soak catch via the string-keyed
+                    # join vocab); these are the cross-shape arms
+                    if name == "diff":
+                        self._order = order
+                        return df
+                    if name == "intersect":
+                        self._order = order
+                        return df.limit(0)
+                    return None   # union: widen via the doc lowering
             if name == "union":
                 a3 = df.select(*vis).alias("__set_a")
                 o3 = other.select(*vis).alias("__set_o")

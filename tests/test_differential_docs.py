@@ -32,6 +32,10 @@ EXPRS = [
     "$.meta.x * 10",
     "$.items.map({p: p, big: p > 4})",
     "$..p",
+    # r12: bare ascending sort (null-first convention) and the
+    # original-order last(n) tail through the multi-doc plan
+    "$.items.map(q).sort()",
+    "$.items.sort(-p).last(2)",
 ]
 
 

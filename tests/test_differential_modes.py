@@ -154,6 +154,13 @@ _SCALAR_MID = st.sampled_from([
     # union($.d)) scalar — null elements place FIRST in both modes
     # (the old doc-mode array_sort fast path pinned them LAST)
     ".map(k).sort()", ".map(k).sort().reverse()",
+    # r12 (soak catch follow-up): CROSS-FAMILY scalar set ops key
+    # members by val_to_key — string g values vs long k / string g
+    # sub-pipelines; union's heterogeneous output widens to variant
+    ".map(g).diff($.u.map(x => x.k))",
+    ".map(g).intersect($.u.map(x => x.k))",
+    ".map(g).union($.u.map(x => x.k))",
+    ".map(g).diff($.n.map(x => x.k))",
     # r8: expression-level deep search in the relational projection
     # (plan-time schema walk over a constructed object)
     ".map(x => let d = {a: {t: x.v}, b: {t: 1.0}} in d..t.sum())",
@@ -223,12 +230,19 @@ def _assert_same_multiset(doc_out, rel_out, expr):
 
 def _canon_cell(v):
     """Nested Row/list cells (the doc-fallback's single `value` column
-    can hold a struct or an objrepr array) → plain dicts/lists."""
+    can hold a struct or an objrepr array) → plain dicts/lists.
+    VariantVal cells (r12: cross-family union fields widen to variant)
+    convert via toPython, like engine.to_python does for doc mode."""
     from pyspark.sql import Row
+    from pyspark.sql.types import VariantVal
+    if isinstance(v, VariantVal):
+        return _canon_cell(v.toPython())
     if isinstance(v, Row):
         return {k: _canon_cell(x) for k, x in v.asDict().items()}
     if isinstance(v, list):
         return [_canon_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_cell(x) for k, x in v.items()}
     return v
 
 

@@ -1382,6 +1382,85 @@ def test_null_sort_keys_first_both_directions(spark):
         assert rel == want, e
 
 
+def test_set_ops_cross_family_fields_never_coerce(spark):
+    """r12 soak catch (string-keyed join vocab): set-op membership over
+    OBJECT rows whose same-named field has a different scalar family
+    (k string vs k long) must never hand Spark an eqNullSafe to coerce
+    — doc mode failed analysis and relational mode ANSI-crashed on the
+    first non-numeric key. The reference keys members by val_to_key,
+    where an object's key is its JSON serialization (quoted string
+    fields never equal bare numbers): diff keeps everything, intersect
+    keeps nothing, union appends everything (conflicting fields widen
+    to VARIANT)."""
+    from jetro_spark.jql.engine import Jetro, JetroTables, to_python
+
+    doc = {"s": [{"k": "a", "v": 1.0}, {"k": "3", "v": 2.0}],
+           "u": [{"k": 3, "v": 2.0}, {"k": 9, "v": 9.0}]}
+    jt = Jetro.from_value(spark, doc)
+    assert jt.collect("$.s.diff($.u)") == doc["s"]
+    assert jt.collect("$.s.intersect($.u)") == []
+    got = jt.collect("$.s.union($.u)")
+    assert [e["k"] for e in got] == ["a", "3", 3, 9]
+
+    s = spark.createDataFrame([("a", 1.0), ("3", 2.0)],
+                              "k string, v double")
+    u = spark.createDataFrame([(3, 2.0), (9, 9.0)], "k long, v double")
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        tabs = JetroTables(spark, {"s": s, "u": u})
+        assert [r["k"] for r in tabs.query("$.s.diff($.u)").collect()] \
+            == ["a", "3"]
+        assert tabs.query("$.s.intersect($.u)").collect() == []
+        rel = [to_python(r["k"]) for r in
+               JetroTables(spark, {"s": s, "u": u})
+               .query("$.s.union($.u)").collect()]
+        assert rel == ["a", "3", 3, 9]
+
+
+def test_set_ops_cross_family_scalars_key_by_val_to_key(spark):
+    """r12: BARE-scalar set ops key members by val_to_key
+    (util.rs:216-226) — string "3" matches long 3 and removes it;
+    non-numeric strings pass through; union's heterogeneous output
+    widens to variant elements. Pre-fix all three ANSI-crashed in doc
+    mode (string→bigint coercion inside the membership lambda) and the
+    relational scalar path misfired its cross-shape arm on the
+    incidental column-name mismatch."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    doc = {"s": [{"k": 1, "g": "3"}, {"k": 3, "g": "x"}],
+           "u": [{"k": 3, "g": "y"}, {"k": 9, "g": "z"}]}
+    jt = Jetro.from_value(spark, doc)
+    assert jt.collect("$.s.map(g).diff($.u.map(k))") == ["x"]
+    assert jt.collect("$.s.map(g).intersect($.u.map(k))") == ["3"]
+    assert jt.collect("$.s.map(g).union($.u.map(k))") == ["3", "x", 9]
+
+    s = spark.createDataFrame([(1, "3"), (3, "x")], "k long, g string")
+    u = spark.createDataFrame([(3, "y"), (9, "z")], "k long, g string")
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        for e, want in [("$.s.map(g).diff($.u.map(k))", ["x"]),
+                        ("$.s.map(g).intersect($.u.map(k))", ["3"])]:
+            got = [r[0] for r in
+                   JetroTables(spark, {"s": s, "u": u}).query(e).collect()]
+            assert got == want, e
+        # union falls back to the doc lowering (variant elements)
+        from jetro_spark.jql.engine import to_python
+        got = [to_python(r[0]) for r in
+               JetroTables(spark, {"s": s, "u": u})
+               .query("$.s.map(g).union($.u.map(k))").collect()]
+        assert got == ["3", "x", 9]
+        # same-family scalars with mismatched incidental column names
+        # flow the value path ("y"/"z" are absent, "x" stays)
+        got = [r[0] for r in JetroTables(spark, {"s": s, "u": u})
+               .query("$.s.map(g).diff($.u.map(x => x.g))").collect()]
+        assert got == ["3", "x"]
+        got = [r[0] for r in JetroTables(spark, {"s": s, "u": u})
+               .query('$.s.map(g).intersect($.u.map(x => x.g))').collect()]
+        assert got == []
+
+
 def test_minby_padding_aqe_union_limit(spark):
     """r12 soak catch: Spark 4.1 AQE re-optimization can DROP a
     top-level Sort+GlobalLimit above a Union after one branch
