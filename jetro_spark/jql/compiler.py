@@ -2290,7 +2290,17 @@ def m_union(self, recv, args, env):
         return TC(F.concat(_widen_elems(recv.col, ea, u),
                            _widen_elems(other.col, eb, u)),
                   T.ArrayType(u))
-    return TC(AR.union(recv.col, other.col), recv.dtype)
+    # result dtype = the UNIFIED element type, not the receiver's:
+    # Spark's concat coerces (array<null> ++ array<long> → array<long>,
+    # long ++ double → double) and a stale claimed dtype makes every
+    # downstream lambda compile against the wrong element type (r12
+    # soak catch: an all-null receiver's union claimed array<null>, so
+    # find_index over the appended longs constant-folded to -1)
+    out_elem = unify([ea, eb])
+    out_dt = (T.ArrayType(out_elem) if out_elem is not None
+              else (recv.dtype if not isinstance(_elem(recv), T.NullType)
+                    else other.dtype))
+    return TC(AR.union(recv.col, other.col), out_dt)
 
 
 def _const_over(recv: TC, c: Column, dt: T.DataType) -> TC:

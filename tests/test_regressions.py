@@ -1461,6 +1461,28 @@ def test_set_ops_cross_family_scalars_key_by_val_to_key(spark):
         assert got == []
 
 
+def test_union_result_dtype_is_unified_element_type(spark):
+    """r12 soak catch #3: doc-mode union's claimed result dtype was the
+    RECEIVER's — but Spark's concat coerces (array<null> ++ array<long>
+    → array<long>), so an all-null receiver made every downstream
+    lambda compile against NullType and constant-fold (find_index over
+    the appended longs returned -1). The dtype is now the UNIFIED
+    element type."""
+    from jetro_spark.jql.engine import Jetro
+
+    doc = {"s": [{"k": 1}, {"k": 2}],
+           "u": [{"k": 3, "v": 50.0}, {"k": 9, "v": 1.0}]}
+    jt = Jetro.from_value(spark, doc)
+    # receiver .map(g) over rows without g → all-null elements
+    assert jt.collect(
+        "$.s.map(g).union($.u.map(x => x.v)).find_index(x => x > 40)"
+    ) == 2
+    # long receiver ++ double other → folds in double; 1.0 is
+    # SUPPRESSED by the receiver's 1 (val_to_key renders both "1",
+    # and eqNullSafe compares them numerically — same verdict)
+    assert jt.collect("$.s.map(k).union($.u.map(x => x.v)).sum()") == 53.0
+
+
 def test_minby_padding_aqe_union_limit(spark):
     """r12 soak catch: Spark 4.1 AQE re-optimization can DROP a
     top-level Sort+GlobalLimit above a Union after one branch
