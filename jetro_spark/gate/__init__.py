@@ -71,10 +71,10 @@ _TIER1 = [
     # window builtins
     "win_lag_lead", "win_zscore",
     # time series ("rollup_gapfill" rotated out in r9 for funnel_step;
-    # "sessionize" rotated out in r10 for funnel_unordered — both r9
-    # funnel variants are now driver-visible and time_bucket keeps the
-    # bucketing family covered)
-    "time_bucket", "funnel_step", "funnel_unordered",
+    # "sessionize" rotated out in r10 for funnel_unordered;
+    # "funnel_unordered" rotated out in r13 for semantic_keep —
+    # funnel_step keeps the funnel family driver-visible)
+    "time_bucket", "funnel_step",
     # profiling / contracts
     "group_quantiles", "profile_table", "check_constraints",
     # JQL language (doc + relational modes)
@@ -94,10 +94,18 @@ _TIER1 = [
     # still run in the full local gate.
     "dedup_exact", "dedup_lsh", "dedup_cluster", "dedup_lines",
     "dedup_spans",
+    # r13 rotation (verdict item 1): semantic_dedup (SemDeDup pairs)
+    # and semantic_keep (the retention row whose DuckDB unbounded-pairs
+    # anti-select oracle PROVES the r12 byte-exact pre-collapse is
+    # output-invariant) become driver-visible — the r12 headline scale
+    # fix had no driver CORRECTNESS row. Rotated out: funnel_unordered
+    # (funnel_step keeps the family) and mm_decode (mm_resize runs
+    # decode downstream). Both still run in the full local gate.
+    "semantic_dedup", "semantic_keep",
     "temp_mixture",
     # r10 rotation: gram_overlap (cross-source shared-n-gram counts)
     # joins the tier-1 text family alongside pii_mask/quality_filters
-    "ann_ivf_trained", "tfidf_embed", "mm_decode", "pii_mask",
+    "ann_ivf_trained", "tfidf_embed", "pii_mask",
     "quality_filters", "gram_overlap", "pipeline_demo",
     # r11 rotation: the two r10 operators become driver-visible —
     # mm_resize (aspect-preserving image resize plumbing, replaces

@@ -2007,11 +2007,26 @@ def m_reverse(self, recv, args, env):
 
 
 def m_unique(self, recv, args, env):
+    el = _elem(recv)
+    if _family(el) in ("string", "variant"):
+        # unique_arr_apply keys by val_to_key (collection.rs:77-86): a
+        # NULL element keys "null" and merges with the literal string
+        # "null" — first occurrence (and its actual value, null-ness
+        # intact) wins. VARIANT elements (heterogeneous post-union
+        # arrays) have no native equality at all — the key IS the only
+        # comparison. Every other element dtype partitions the same
+        # under native null-safe equality (r13).
+        return TC(AR.unique_by(recv.col, _key_lam(lambda x: x, el)),
+                  recv.dtype)
     return TC(AR.unique(recv.col), recv.dtype)
 
 
 def m_unique_by(self, recv, args, env):
-    fn, _ = self._lam(args[0].value, env, _elem(recv))
+    fn, dt = self._lam(args[0].value, env, _elem(recv))
+    if _family(dt) in ("string", "null", "variant"):
+        # key lambda results key via val_to_key (array.rs:273-292): a
+        # null key renders "null" and merges with the literal (r13)
+        return TC(AR.unique_by(recv.col, _key_lam(fn, dt)), recv.dtype)
     return TC(AR.unique_by(recv.col, fn), recv.dtype)
 
 
@@ -2040,26 +2055,38 @@ def m_prepend(self, recv, args, env):
 
 def m_remove(self, recv, args, env):
     node = args[0].value
-    # value-or-pred: literal → remove equal values; else predicate
-    cv = _const(node)
-    if cv is not None or isinstance(node, (A.Literal, A.ObjLit, A.ArrLit)):
+    # value-or-pred: ONLY a lambda is a per-element predicate
+    # (mod.rs:2557-2562 — every other argument shape is
+    # BuiltinArgs::Val, evaluated ONCE in the enclosing env via
+    # static_arg_val; r13 — paths like remove($.missing) were wrongly
+    # classified as predicates and removed nothing)
+    if not isinstance(node, A.Lambda):
         # value form (BuiltinArgs::Val, defs.rs:159): object/array
-        # literals are VALUES evaluated once, not per-element predicates
+        # literals and path/field expressions are VALUES evaluated
+        # once, not per-element predicates
         v = self.compile(node, env)
-        if not eq_comparable(_elem(recv), v.dtype):
+        el = _elem(recv)
+        if _key_collide(el, v.dtype):
+            # canonical-key comparison, keeping the element type
+            # (remove_value_apply keys by val_to_key,
+            # collection.rs:395-405 — same collision classes as the
+            # set ops: a null target keys "null" and removes literal
+            # "null" strings, a string "[1,2]" removes array [1,2])
+            pr = F.coalesce(_canon_str(v.col, v.dtype), F.lit("null"))
+            return TC(F.filter(
+                recv.col,
+                lambda x: F.coalesce(_canon_str(x, el),
+                                     F.lit("null")) != pr), recv.dtype)
+        if not eq_comparable(el, v.dtype):
             # cross-kind target removes nothing (remove_value_apply
             # compares canonical keys — never a type error)
             return recv
-        if _cross_renders(_elem(recv), v.dtype):
-            # canonical-string comparison, keeping the element type
-            el = _elem(recv)
-            pr = _canon_str(v.col, v.dtype)
-            return TC(F.filter(
-                recv.col,
-                lambda x: ~F.coalesce(_canon_str(x, el).eqNullSafe(pr),
-                                      F.lit(False))), recv.dtype)
-        return TC(F.array_remove(recv.col,
-                                 _reorder_struct_probe(v, _elem(recv))),
+        # null-SAFE equality, not array_remove: a null target keys
+        # "null" and removes null elements (val_to_key), while
+        # array_remove's native comparison yields null on null operands
+        # and removes nothing (r13)
+        probe = _reorder_struct_probe(v, _elem(recv))
+        return TC(F.filter(recv.col, lambda x: ~x.eqNullSafe(probe)),
                   recv.dtype)
     return TC(AR.remove(recv.col, self._pred(node, env, _elem(recv))), recv.dtype)
 
@@ -2164,6 +2191,41 @@ def _cross_scalar(ea, eb) -> bool:
     return fa in _SCALAR_FAMS and fb in _SCALAR_FAMS and fa != fb
 
 
+def _key_collide(ea, eb) -> bool:
+    """Does VALUE comparison between these element types have to go
+    through val_to_key canonical keys (util.rs:216-226) because the key
+    TEXTS can collide where native null-safe equality says "different"
+    (or would crash coercing)? The collision classes, from val_to_key's
+    rendering (r12 ADVICE items 2+3):
+
+    - cross-family bare scalars (string "3" == long 3) — _cross_scalar;
+    - string vs string: a NULL element keys "null", colliding with the
+      literal string "null" (Val::Null arm);
+    - string vs null-typed side: same "null" collision;
+    - string vs container: a string equal to the container's compact
+      JSON text ("[1,2]") collides with its key.
+
+    Everything else is collision-free under native null-safe equality:
+    number/bool/null keys never render like each other or like JSON
+    containers, same-family non-string values key equal iff they are
+    null-safe-equal, and NESTED fields render JSON-quoted so the
+    top-level allowances never apply one level down (eq_comparable)."""
+    fa, fb = _family(ea), _family(eb)
+    if "variant" in (fa, fb):
+        # runtime-typed side: val_to_key is the ONLY total comparison —
+        # native equality over variants is not even order-comparable in
+        # Spark (INVALID_ORDERING_TYPE), and the key text is the
+        # reference's semantics anyway (r13: heterogeneous post-union
+        # arrays feeding set ops / unique / includes)
+        return True
+    if _cross_scalar(ea, eb):
+        return True
+    if "string" in (fa, fb):
+        other = fb if fa == "string" else fa
+        return other in ("string", "null", "array", "object")
+    return False
+
+
 def _key_membership(arr: Column, other: Column, ea, eb,
                     keep_present: bool) -> Column:
     """Filter ``arr`` by val_to_key-canonical membership in ``other``
@@ -2185,8 +2247,10 @@ def _key_membership(arr: Column, other: Column, ea, eb,
 def m_diff(self, recv, args, env):
     other = self.compile(args[0].value, env)
     ea, eb = _elem(recv), _elem(other)
-    if _cross_scalar(ea, eb):
-        # canonical-key membership: "3" removes long 3 (val_to_key)
+    if _key_collide(ea, eb):
+        # canonical-key membership: "3" removes long 3, a null element
+        # keys "null" and matches the literal string "null", a string
+        # "[1,2]" matches array [1,2]'s JSON key (val_to_key)
         return TC(_key_membership(recv.col, other.col, ea, eb,
                                   keep_present=False), recv.dtype)
     if not eq_comparable(ea, eb):
@@ -2199,7 +2263,7 @@ def m_diff(self, recv, args, env):
 def m_intersect(self, recv, args, env):
     other = self.compile(args[0].value, env)
     ea, eb = _elem(recv), _elem(other)
-    if _cross_scalar(ea, eb):
+    if _key_collide(ea, eb):
         return TC(_key_membership(recv.col, other.col, ea, eb,
                                   keep_present=True), recv.dtype)
     if not eq_comparable(ea, eb):
@@ -2235,7 +2299,27 @@ def _widen_elems(arr: Column, st: T.StructType, to: T.StructType) -> Column:
 def m_union(self, recv, args, env):
     other = self.compile(args[0].value, env)
     ea, eb = _elem(recv), _elem(other)
-    if _cross_scalar(ea, eb) or (
+    fa, fb = _family(ea), _family(eb)
+    if "string" in (fa, fb) and {fa, fb} <= {"string", "null"}:
+        # homogeneous-output union whose membership still needs
+        # val_to_key keys: a NULL element keys "null" and collides with
+        # the literal string "null" (union_apply probes the receiver's
+        # key SET, collection.rs:611-627 — r12 ADVICE item 3). Same
+        # append semantics as AR.union, keyed canonically; the output
+        # stays array<string> (concat coerces an all-null side).
+        from jetro_spark.functions.arrays import let_
+
+        def ka(x):
+            return F.coalesce(_canon_str(x, ea), F.lit("null"))
+
+        def kb(o):
+            return F.coalesce(_canon_str(o, eb), F.lit("null"))
+
+        col = let_(recv.col, lambda aa: F.concat(aa, F.filter(
+            other.col, lambda o: ~F.coalesce(
+                F.exists(aa, lambda x: ka(x) == kb(o)), F.lit(False)))))
+        return TC(col, T.ArrayType(unify([ea, eb]) or T.StringType()))
+    if "variant" in (fa, fb) or _cross_scalar(ea, eb) or (
             not eq_comparable(ea, eb)
             and not (isinstance(ea, T.StructType)
                      and isinstance(eb, T.StructType))):
@@ -2353,16 +2437,23 @@ def _membership(recv: TC, v: TC) -> TC:
             F.lit(False)), T.BooleanType())
     el = _elem(recv)
     if el is not None:
-        if not eq_comparable(el, v.dtype):
-            return _const_over(recv, F.lit(False), T.BooleanType())
-        if _cross_renders(el, v.dtype):
-            # canonical-string comparison (val_to_key) — Spark's native
-            # coercion would ANSI-cast the string side and throw
-            pr = _canon_str(v.col, v.dtype)
+        if _key_collide(el, v.dtype):
+            # canonical-key comparison (val_to_key) — covers the pairs
+            # where key texts collide across representations: string
+            # probe/element vs number/bool ("3" matches 3 — Spark's
+            # native coercion would ANSI-cast and throw), vs null (a
+            # NULL keys "null" and matches the literal string "null"),
+            # and vs container (a string equal to the compact JSON
+            # text matches — r13, the set-op ADVICE classes applied to
+            # includes_apply's Val::Arr arm, misc.rs:129-151)
+            pr = F.coalesce(_canon_str(v.col, v.dtype), F.lit("null"))
             return TC(F.coalesce(
                 F.exists(recv.col,
-                         lambda x: _canon_str(x, el).eqNullSafe(pr)),
+                         lambda x: F.coalesce(_canon_str(x, el),
+                                              F.lit("null")) == pr),
                 F.lit(False)), T.BooleanType())
+        if not eq_comparable(el, v.dtype):
+            return _const_over(recv, F.lit(False), T.BooleanType())
         probe = _reorder_struct_probe(v, el)
         return TC(F.coalesce(F.exists(recv.col,
                                       lambda x: x.eqNullSafe(probe)),
@@ -2400,12 +2491,39 @@ def _canon_str(col: Column, dt: T.DataType | None) -> Column:
     trailing .0 (Rust's f64 Display renders 74.0 as "74"), longs/bools
     match Spark's cast already. Huge/non-integral doubles keep Spark's
     rendering — a documented hairline delta (the engines' scientific-
-    notation thresholds differ)."""
+    notation thresholds differ).
+
+    Containers render via compact JSON (val_to_key → val_to_string →
+    serde_json::to_string, util.rs:228-243) — NOT Spark's cast-to-string
+    ('[1, 2]' with spaces, unquoted struct fields), which both collided
+    with the wrong strings and missed the right ones (r12 ADVICE item 2:
+    a string "[1,2]" key MUST equal array [1,2]'s key, and "[1, 2]"
+    must NOT). ignoreNullFields=false keeps null struct fields in the
+    rendering like serde does ({"k":null}, not {}). NESTED doubles keep
+    serde's JSON form (74.0 renders "74.0" in both engines — the
+    Display-drops-.0 rule is top-level only)."""
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         lt = col.try_cast("long")
         return F.when(
             lt.isNotNull() & (lt.cast("double") == col.cast("double")),
             lt.cast("string")).otherwise(col.cast("string"))
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return F.to_json(col, {"ignoreNullFields": "false"})
+    if isinstance(dt, T.VariantType):
+        # runtime-typed element (the mixed-union representation, r12):
+        # try_variant_get(.., 'string') IS val_to_key per kind — bare
+        # strings, bare digits, true/false, compact JSON containers
+        # with null fields kept, null → NULL (callers coalesce) — with
+        # one correction: a variant DOUBLE renders "74.0", where Rust's
+        # f64 Display drops the .0 (same collapse as the typed arm)
+        sv = F.schema_of_variant(col)
+        s = F.try_variant_get(col, "$", "string")
+        dbl = F.try_variant_get(col, "$", "double")
+        lng = dbl.try_cast("long")
+        return F.when(
+            sv.isin("DOUBLE", "FLOAT") & lng.isNotNull()
+            & (lng.cast("double") == dbl),
+            lng.cast("string")).otherwise(s)
     return col.cast("string")
 
 

@@ -619,6 +619,10 @@ class JetroTables:
         # a .sort(...) stage and threaded through order-preserving stages
         # so positional analytics (lag/rolling/... §2.6) can window on it
         self._order: list | None = None
+        # True once a set-op union stage emitted a plan Union: positional
+        # sinks then avoid GlobalLimit above it (Spark 4.1 AQE drop —
+        # see _ordered_prefix / SCALE.md)
+        self._has_union: bool = False
         # True while the current pipeline's PHYSICAL row order still is
         # its document order (root scan + order-preserving stages) — the
         # precondition for the scan-order surrogate _maybe_scan_order
@@ -1085,14 +1089,23 @@ class JetroTables:
                 # get_index) — pad like nth (r10 let-soak catch: the
                 # `[i]` sink was the one positional stage the r7
                 # null-padding pass missed)
+                if getattr(self, "_has_union", False):
+                    df, o2 = self._maybe_scan_order(df, order)
+                    return self._pad_single_null(
+                        self._ordered_prefix(df, o2, 1, offset=i))
                 return self._pad_single_null(df.offset(i).limit(1))
             # [-n]: inverted-sort offset, like nth (scan-order surrogate
             # when unsorted, r8)
             df, order = self._maybe_scan_order(df, order)
             if order is not None:
+                self._order = order
+                if getattr(self, "_has_union", False):
+                    inv_ord = [(c2, not d) for c2, d in order]
+                    return self._pad_single_null(
+                        self._ordered_prefix(df, inv_ord, 1,
+                                             offset=-i - 1))
                 inv = df.orderBy(*[c2.asc() if d else c2.desc()
                                    for c2, d in order])
-                self._order = order
                 return self._pad_single_null(inv.offset(-i - 1).limit(1))
             return None
         if isinstance(step, A.Slice):
@@ -1101,8 +1114,15 @@ class JetroTables:
             self._order = order
             a = step.start or 0
             if a >= 0 and step.stop is not None and step.stop >= a:
+                if getattr(self, "_has_union", False):
+                    df, o2 = self._maybe_scan_order(df, order)
+                    return self._ordered_prefix(df, o2, step.stop - a,
+                                                offset=a)
                 return df.offset(a).limit(step.stop - a)
             if a >= 0 and step.stop is None:
+                if getattr(self, "_has_union", False):
+                    df, o2 = self._maybe_scan_order(df, order)
+                    return self._ordered_prefix(df, o2, None, offset=a)
                 return df.offset(a)
             self._order = None
             return None
@@ -1127,6 +1147,29 @@ class JetroTables:
         sid = f"__ord_sc{self._sort_seq}"
         return (df.withColumn(sid, F.monotonically_increasing_id()),
                 [(F.col(sid), False)])
+
+    def _ordered_prefix(self, df: DataFrame, order: list,
+                        n: int | None, offset: int = 0) -> DataFrame:
+        """``offset``/``limit`` as a row_number window filter — NO
+        GlobalLimit node. Used for positional sinks when the pipeline
+        contains a Union (``self._has_union``): Spark 4.1's AQE
+        re-optimization can DROP a Sort+GlobalLimit directly above a
+        Union after one branch materializes empty (the r12 soak catch;
+        minimal engine repro pinned in
+        test_regressions.test_minby_padding_aqe_union_limit, upstream
+        exposure documented in SCALE.md). The window's single-partition
+        sort costs more than TakeOrdered's top-n heap, so it is gated
+        to union-carrying pipelines only — everywhere else the plain
+        limit (and its whole-stage-codegen TakeOrderedAndProject) is
+        kept."""
+        from pyspark.sql.window import Window
+        w = Window.orderBy(*_order_by(order))
+        self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+        rn = f"__pfx{self._sort_seq}"
+        keep = (F.col(rn) > offset) if n is None else (
+            (F.col(rn) > offset) & (F.col(rn) <= offset + n))
+        return (df.withColumn(rn, F.row_number().over(w))
+                .filter(keep).drop(rn))
 
     def _rematerialize_order(self, df: DataFrame, order: list):
         """Materialize the order keys into the hidden ``__ord{i}`` slots
@@ -1303,11 +1346,21 @@ class JetroTables:
             if order is None and not self._scan_ok:
                 return None   # physical prefix != doc prefix (r10)
             self._order = order
+            if getattr(self, "_has_union", False):
+                # a Union is in the subtree: no GlobalLimit above it
+                # (the Spark 4.1 AQE drop — see _ordered_prefix)
+                df, o2 = self._maybe_scan_order(df, order)
+                return self._ordered_prefix(df, o2,
+                                            _lit_int(args[0].value))
             return df.limit(_lit_int(args[0].value))
         if name in ("skip", "drop"):
             if order is None and not self._scan_ok:
                 return None
             self._order = order
+            if getattr(self, "_has_union", False):
+                df, o2 = self._maybe_scan_order(df, order)
+                return self._ordered_prefix(
+                    df, o2, None, offset=_lit_int(args[0].value))
             return df.offset(_lit_int(args[0].value))
         if name == "first":
             # the physical-prefix limit is only doc-faithful while the
@@ -1317,6 +1370,13 @@ class JetroTables:
             if order is None and not self._scan_ok:
                 return None
             self._order = order
+            if getattr(self, "_has_union", False):
+                df, o2 = self._maybe_scan_order(df, order)
+                k = 1 if not args else _lit_int(args[0].value)
+                head = self._ordered_prefix(df, o2, k)
+                if not args or k == 1:
+                    return self._pad_single_null(head)
+                return head
             if not args or _lit_int(args[0].value) == 1:
                 # scalar form (collection.rs first_apply: n==1 unwraps to
                 # a scalar, Null when empty) → pad the empty case
@@ -1329,16 +1389,25 @@ class JetroTables:
             # 16-57): needs the pipeline's order; unordered → doc fallback
             if order is None or (args and _lit_int(args[0].value) < 0):
                 return None
-            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             self._order = order
-            if not args or _lit_int(args[0].value) == 1:
+            k = 1 if not args else _lit_int(args[0].value)
+            if getattr(self, "_has_union", False):
+                # tail via an inverted-order window filter — the plain
+                # lowering is EXACTLY the Sort+GlobalLimit-above-Union
+                # shape Spark 4.1's AQE can drop (see _ordered_prefix)
+                inv_ord = [(c2, not d) for c2, d in order]
+                tail = self._ordered_prefix(df, inv_ord, k)
+                if not args or k == 1:
+                    return self._pad_single_null(tail)
+                return tail.orderBy(*_order_by(order))
+            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
+            if not args or k == 1:
                 # scalar form (last_apply n==1): Null when empty
                 return self._pad_single_null(inv.limit(1))
             # last(n>=2) keeps the ORIGINAL pipeline order (doc mode
             # slices the tail; the inverted limit alone emitted the
             # rows reversed — r11 probe catch): re-sort the n survivors
-            return (inv.limit(_lit_int(args[0].value))
-                    .orderBy(*_order_by(order)))
+            return (inv.limit(k).orderBy(*_order_by(order)))
         if name == "nth":
             # OOB nth is Null in the reference (value.rs get_index), not
             # an absent value → pad the empty row set with one null row
@@ -1347,11 +1416,19 @@ class JetroTables:
                 if order is None and not self._scan_ok:
                     return None
                 self._order = order
+                if getattr(self, "_has_union", False):
+                    df, o2 = self._maybe_scan_order(df, order)
+                    return self._pad_single_null(
+                        self._ordered_prefix(df, o2, 1, offset=i))
                 return self._pad_single_null(df.offset(i).limit(1))
             if order is None:
                 return None
-            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             self._order = order
+            if getattr(self, "_has_union", False):
+                inv_ord = [(c2, not d) for c2, d in order]
+                return self._pad_single_null(
+                    self._ordered_prefix(df, inv_ord, 1, offset=-i - 1))
+            inv = df.orderBy(*[c2.asc() if d else c2.desc() for c2, d in order])
             return self._pad_single_null(inv.offset(-i - 1).limit(1))
         if name == "enumerate":
             # → rows of {index, value} over the pipeline order
@@ -1483,6 +1560,34 @@ class JetroTables:
             self._scalar = True
             return out.select(F.col("__e").alias(self._scalar_name(body)))
         if name in ("unique", "distinct"):
+            vis0 = _vis_cols(df)
+            if self._scalar and len(vis0) == 1 and isinstance(
+                    df.schema[vis0[0]].dataType,
+                    (T.StringType, T.NullType, T.VariantType)):
+                # scalar STRING rows key via val_to_key, where a NULL
+                # cell renders "null" and merges with the literal
+                # string "null" — the first occurrence (null-ness
+                # intact) wins (unique_arr_apply, collection.rs:77-86;
+                # r13, same collision class as the set ops; variant
+                # cells have no native equality at all). Key-based
+                # first-seen dedup, the unique_by lowering.
+                from jetro_spark.jql.compiler import _canon_str
+                canon = F.coalesce(
+                    _canon_str(F.col(vis0[0]),
+                               df.schema[vis0[0]].dataType),
+                    F.lit("null"))
+                if order is None:
+                    out = R.unique_by(df, canon)
+                else:
+                    from pyspark.sql.window import Window
+                    w = (Window.partitionBy(canon)
+                         .orderBy(*_order_by(order)))
+                    out = (df.withColumn("__uq_rn",
+                                         F.row_number().over(w))
+                           .filter(F.col("__uq_rn") == 1).drop("__uq_rn")
+                           .orderBy(*_order_by(order)))
+                self._order = order
+                return out
             out = self._first_seen_dedup(df, order)
             # the dedup restored the pipeline order physically — keep it
             # carried so downstream position stages stay faithful (with
@@ -1492,7 +1597,21 @@ class JetroTables:
             self._order = order
             return out
         if name == "unique_by":
-            col, _ = key_col(args[0].value)
+            from jetro_spark.jql.compiler import _canon_str, _family
+            n2 = args[0].value
+            n2 = n2.expr if isinstance(n2, A.Neg) else n2
+            if isinstance(n2, A.Lambda):
+                env2 = env.bind(n2.params[0], elem_tc())
+                ktc = c.compile(n2.body, env2)
+            else:
+                ktc = c.compile(n2, env)
+            col = ktc.col
+            if _family(ktc.dtype) in ("string", "null", "variant"):
+                # key values key via val_to_key: null renders "null"
+                # and merges with the literal (array.rs:273-292, r13 —
+                # matches the doc-mode m_unique_by wrapping)
+                col = F.coalesce(_canon_str(ktc.col, ktc.dtype),
+                                 F.lit("null"))
             out = R.unique_by(df, col)
             if order is None:
                 return out
@@ -1577,14 +1696,31 @@ class JetroTables:
                 if order is None:
                     return None
             sec = [c2.desc() if d2 else c2.asc() for c2, d2 in order]
-            extreme = df.orderBy(o, *sec).limit(1)
+            if getattr(self, "_has_union", False):
+                # a Union upstream: the orderBy+limit(1) picks are the
+                # Sort+GlobalLimit-above-Union shape Spark 4.1's AQE
+                # can drop (see _ordered_prefix) — window-rank instead
+                from pyspark.sql.window import Window
+
+                def _pick1(*keys):
+                    self._sort_seq = getattr(self, "_sort_seq", 0) + 1
+                    rn = f"__pfx{self._sort_seq}"
+                    return (df.withColumn(
+                        rn, F.row_number().over(Window.orderBy(*keys)))
+                        .filter(F.col(rn) == 1).drop(rn))
+
+                extreme = _pick1(o, *sec)
+                pick_first = lambda: _pick1(*sec)  # noqa: E731
+            else:
+                extreme = df.orderBy(o, *sec).limit(1)
+                pick_first = lambda: df.orderBy(*sec).limit(1)  # noqa: E731
             # the first-element-null probe only exists for NULLABLE
             # keys (r12 advice): when the analyzer proves the key
             # expression non-null, the override can never fire — skip
             # the second TakeOrdered subplan and the union outright
             if not df.select(col.alias("__xb_k")).schema["__xb_k"].nullable:
                 return self._pad_single_null(extreme)
-            first_null = (df.orderBy(*sec).limit(1)
+            first_null = (pick_first()
                           .filter(col.isNull())
                           .withColumn("__xb_pri", F.lit(0)))
             # winner = min-priority branch row, chosen by an ungrouped
@@ -1872,36 +2008,48 @@ class JetroTables:
             vis = _vis_cols(df)
             ovis = [c2 for c2 in other.columns
                     if not c2.startswith("__ord")]
+            canon_keys = False
+            ldt = rdt = None
             if (recv_scalar and oth_scalar
                     and len(vis) == 1 and len(ovis) == 1):
                 from jetro_spark.jql.compiler import (_canon_str,
-                                                      _cross_scalar)
+                                                      _family,
+                                                      _key_collide)
                 ldt = df.schema[vis[0]].dataType
                 rdt = other.schema[ovis[0]].dataType
-                if _cross_scalar(ldt, rdt):
-                    # cross-family SCALAR membership keys by val_to_key
-                    # (util.rs:216-226: string "3" matches long 3) —
-                    # native equality would make Spark ANSI-coerce and
-                    # crash at runtime (r12 catch). diff/intersect keep
-                    # the receiver's rows and type; union's output is
-                    # heterogeneous → warned doc fallback (m_union's
-                    # variant lowering)
-                    if name == "union":
+                if _key_collide(ldt, rdt):
+                    # scalar membership keys by val_to_key
+                    # (util.rs:216-226: string "3" matches long 3, a
+                    # NULL cell keys "null" and matches the literal
+                    # string "null", a string matches a container's
+                    # compact JSON — r12 catch + r13 ADVICE classes).
+                    # Native equality would make Spark ANSI-coerce and
+                    # crash at runtime on cross-family pairs.
+                    # diff/intersect keep the receiver's rows and type;
+                    # union keeps flowing to the generic path when the
+                    # output stays homogeneous (string/null pair, cond
+                    # canonicalized below via canon_keys), else its
+                    # output is heterogeneous → warned doc fallback
+                    # (m_union's variant lowering)
+                    canon_keys = {_family(ldt), _family(rdt)} <= {
+                        "string", "null"}
+                    if name == "union" and not canon_keys:
                         return None
-                    lk2 = F.coalesce(_canon_str(F.col(vis[0]), ldt),
-                                     F.lit("null"))
-                    rk2 = F.coalesce(_canon_str(F.col(ovis[0]), rdt),
-                                     F.lit("null"))
-                    a4 = df.withColumn("__set_k", lk2).alias("__set_a")
-                    o4 = (other.select(rk2.alias("__set_k"))
-                          .alias("__set_o"))
-                    how = "left_anti" if name == "diff" else "left_semi"
-                    out = a4.join(
-                        o4, F.col("__set_a.__set_k")
-                        == F.col("__set_o.__set_k"), how).drop("__set_k")
-                    self._order = order
-                    return (out if order is None
-                            else out.orderBy(*_order_by(order)))
+                    if name != "union":
+                        lk2 = F.coalesce(_canon_str(F.col(vis[0]), ldt),
+                                         F.lit("null"))
+                        rk2 = F.coalesce(_canon_str(F.col(ovis[0]), rdt),
+                                         F.lit("null"))
+                        a4 = df.withColumn("__set_k", lk2).alias("__set_a")
+                        o4 = (other.select(rk2.alias("__set_k"))
+                              .alias("__set_o"))
+                        how = "left_anti" if name == "diff" else "left_semi"
+                        out = a4.join(
+                            o4, F.col("__set_a.__set_k")
+                            == F.col("__set_o.__set_k"), how).drop("__set_k")
+                        self._order = order
+                        return (out if order is None
+                                else out.orderBy(*_order_by(order)))
                 if vis[0] != ovis[0]:
                     # scalar column NAMES are incidental projection
                     # detail — align them so same-family scalars flow
@@ -1948,11 +2096,24 @@ class JetroTables:
                 o3 = other.select(*vis).alias("__set_o")
                 cond = None
                 for v2 in vis:
-                    eq2 = (F.col(f"__set_a.{v2}")
-                           .eqNullSafe(F.col(f"__set_o.{v2}")))
+                    if canon_keys:
+                        # scalar string/null pair: membership keys by
+                        # val_to_key, where a NULL cell renders "null"
+                        # and matches the literal string (r13)
+                        from jetro_spark.jql.compiler import _canon_str
+                        eq2 = (F.coalesce(
+                            _canon_str(F.col(f"__set_a.{v2}"), ldt),
+                            F.lit("null"))
+                            == F.coalesce(
+                                _canon_str(F.col(f"__set_o.{v2}"), rdt),
+                                F.lit("null")))
+                    else:
+                        eq2 = (F.col(f"__set_a.{v2}")
+                               .eqNullSafe(F.col(f"__set_o.{v2}")))
                     cond = eq2 if cond is None else (cond & eq2)
                 if order is None:
                     self._order = None
+                    self._has_union = True
                     newbies = o3.join(a3, cond, "left_anti")
                     return df.select(*vis).unionByName(newbies)
                 if not rt_ok:
@@ -1998,6 +2159,7 @@ class JetroTables:
                     [(F.col(f"{p2}k{i2}"), d3)
                      for i2, (_c3, d3) in enumerate(order)] +
                     [(F.col(f"{p2}id"), False)])
+                self._has_union = True
                 return recv2.unionByName(newb2)
             a2, o2 = df.alias("__set_a"), other.select(*vis).alias("__set_o")
             cond = None
@@ -2043,7 +2205,12 @@ class JetroTables:
         if name in ("find_first", "find_one"):
             # element-or-nothing: same empty-rowset convention as `first`
             self._order = order
-            return df.filter(pred(args[0].value)).limit(1)
+            hits = df.filter(pred(args[0].value))
+            if getattr(self, "_has_union", False):
+                h2, o2 = self._maybe_scan_order(hits, order)
+                if o2 is not None:
+                    return self._ordered_prefix(h2, o2, 1)
+            return hits.limit(1)
         if name == "find_index":
             # 0-based index of first match over the pipeline order, -1
             # when absent (ops/array.rs:293); unordered → doc fallback
@@ -2065,7 +2232,7 @@ class JetroTables:
             # cross-kind probe is constant false, not a CompileError
             from jetro_spark.jql.compiler import (_canon_str,
                                                   eq_comparable,
-                                                  _cross_renders,
+                                                  _key_collide,
                                                   _reorder_struct_probe)
             vis = _vis_cols(df)
             vt = c.compile(args[0].value, env)
@@ -2075,11 +2242,17 @@ class JetroTables:
             if len(vis) == 1 and self._scalar:
                 cell_t = df.schema[vis[0]].dataType
                 self._scalar = True
-                if not eq_comparable(cell_t, vt.dtype):
+                if _key_collide(cell_t, vt.dtype):
+                    # val_to_key canonical keys (same collision classes
+                    # as the set ops — "3" matches 3, null matches the
+                    # literal "null", a string matches a container's
+                    # compact JSON — r13)
+                    eqc = (F.coalesce(_canon_str(F.col(vis[0]), cell_t),
+                                      F.lit("null"))
+                           == F.coalesce(_canon_str(vt.col, vt.dtype),
+                                         F.lit("null")))
+                elif not eq_comparable(cell_t, vt.dtype):
                     return never
-                if _cross_renders(cell_t, vt.dtype):
-                    eqc = _canon_str(F.col(vis[0]), cell_t).eqNullSafe(
-                        _canon_str(vt.col, vt.dtype))
                 else:
                     eqc = F.col(vis[0]).eqNullSafe(
                         _reorder_struct_probe(vt, cell_t))

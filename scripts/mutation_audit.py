@@ -314,6 +314,123 @@ def count_by''',
                   .select("__sd_gv", "__sd_rid"))''',
         [pytest("tests/test_llm.py", "-k", "precollapse")],
     ),
+    # ------------------------------------------------- r13 semantics
+    (
+        "pad_union_of_limits",
+        "_pad_single_null is an ungrouped AGGREGATE — reverting to the "
+        "old null-row-union + orderBy(pri) + limit(1) re-creates the "
+        "Sort+GlobalLimit-above-Union shape Spark 4.1 AQE can drop "
+        "(r12); killed DETERMINISTICALLY by the plan-shape audit, not "
+        "the flaky AQE repro",
+        ENGINE,
+        '''        fields = taken.schema.fields
+        w = taken.agg(F.first(F.struct(
+            *[F.col(f.name) for f in fields])).alias("__w"))
+        return w.select(*[F.col("__w").getField(f.name).alias(f.name)
+                          for f in fields])''',
+        '''        fields = taken.schema.fields
+        nulls = taken.sparkSession.range(1).select(
+            *[F.lit(None).cast(f.dataType.simpleString()).alias(f.name)
+              for f in fields]).withColumn("__pad_pri", F.lit(1))
+        cand = taken.withColumn("__pad_pri", F.lit(0)).unionByName(nulls)
+        return (cand.orderBy(F.col("__pad_pri").asc()).limit(1)
+                .drop("__pad_pri"))''',
+        [pytest("tests/test_plan_audit.py", "-k", "setop_sinks")],
+    ),
+    (
+        "has_union_flag_dropped",
+        "the set-op union stage must flag _has_union so positional "
+        "sinks avoid a bare GlobalLimit above the Union (r13)",
+        ENGINE,
+        '''                self._has_union = True
+                return recv2.unionByName(newb2)''',
+        '''                return recv2.unionByName(newb2)''',
+        [pytest("tests/test_plan_audit.py", "-k", "setop_sinks")],
+    ),
+    (
+        "setop_keys_null_safe",
+        "cross-family set-op membership keys by val_to_key canonical "
+        "strings — eqNullSafe would ANSI-coerce and crash, and misses "
+        'the "null"/container key collisions (r12/r13 advice)',
+        "jetro_spark/jql/compiler.py",
+        '''    return let_(other, lambda bb: F.filter(
+        arr, lambda x: F.coalesce(
+            F.exists(bb, lambda o: ka(x) == kb(o)), F.lit(False))
+        == F.lit(keep_present)))''',
+        '''    return let_(other, lambda bb: F.filter(
+        arr, lambda x: F.coalesce(
+            F.exists(bb, lambda o: x.eqNullSafe(o)), F.lit(False))
+        == F.lit(keep_present)))''',
+        [pytest("tests/test_val_to_key.py")],
+    ),
+    (
+        "string_null_bucket_dropped",
+        'string set-op / membership canonicalization dropped: a NULL '
+        'keys "null" and must collide with the literal string and with '
+        "container JSON text (r13 advice items 2+3)",
+        "jetro_spark/jql/compiler.py",
+        '''    if "string" in (fa, fb):
+        other = fb if fa == "string" else fa
+        return other in ("string", "null", "array", "object")
+    return False''',
+        '''    if "string" in (fa, fb):
+        other = fb if fa == "string" else fa
+        return other in ("array", "object")
+    return False''',
+        [pytest("tests/test_val_to_key.py")],
+    ),
+    (
+        "union_dtype_stale",
+        "union's claimed result dtype is the UNIFIED element type — "
+        "the receiver's dtype makes downstream lambdas compile against "
+        "the wrong element type (r12 soak catch)",
+        "jetro_spark/jql/compiler.py",
+        '''    out_elem = unify([ea, eb])
+    out_dt = (T.ArrayType(out_elem) if out_elem is not None
+              else (recv.dtype if not isinstance(_elem(recv), T.NullType)
+                    else other.dtype))''',
+        '''    out_elem = unify([ea, eb])
+    out_dt = recv.dtype''',
+        [pytest("tests/test_regressions.py", "-k",
+                "union_result_dtype")],
+    ),
+    (
+        "widen_first_wins",
+        "cross-shape object union widens CONFLICTING fields to VARIANT "
+        "— first-wins made the widen cast string→bigint and ANSI-crash "
+        "(r12)",
+        "jetro_spark/jql/compiler.py",
+        '''        u = T.StructType([
+            T.StructField(
+                f.name,
+                f.dataType if unify([d for d in (at.get(f.name),
+                                                 bt2.get(f.name))
+                                     if d is not None]) is not None
+                else T.VariantType(), True)
+            for f in u0.fields])''',
+        '''        u = u0''',
+        [pytest("tests/test_regressions.py", "-k",
+                "cross_family_fields_never_coerce")],
+    ),
+    (
+        "max_cell_off_by_one",
+        "max_cell keeps cells with EXACTLY max_cell members "
+        "(<=, the LSH max_bucket contract; r12)",
+        "jetro_spark/llm/dedup.py",
+        '''            cell_sizes.filter(F.col("count") <= max_cell).drop("count"),''',
+        '''            cell_sizes.filter(F.col("count") < max_cell).drop("count"),''',
+        [pytest("tests/test_llm.py", "-k", "max_cell_cap")],
+    ),
+    (
+        "member_losers_group_floor",
+        "pre-collapse member losers come from EVERY multi-member "
+        "group (gn > 1) — raising the floor keeps 2-member groups' "
+        "non-min members (r12)",
+        "jetro_spark/llm/dedup.py",
+        '''    dup_groups = (groups.filter(F.col("__sd_gn") > 1)''',
+        '''    dup_groups = (groups.filter(F.col("__sd_gn") > 2)''',
+        [pytest("tests/test_llm.py", "-k", "precollapse")],
+    ),
 ]
 
 

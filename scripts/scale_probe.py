@@ -165,8 +165,66 @@ def plan_shape(df) -> list[str]:
     return out
 
 
+def neardup_probe(spark) -> int:
+    """r13 (verdict item 4): near-dup-heavy retention probe. The r12
+    probe's duplicate mass was 70% byte-exact — which the retention
+    pre-collapse absorbs, so the quadratic pair join never saw the hot
+    cell. Here the hot cell is N PERTURBED near-identical vectors
+    (every byte distinct — the pre-collapse absorbs NOTHING) plus a
+    spread background; retention runs unbounded and with the
+    sqrt-of-pair-budget max_cell, reporting wall and survivors for
+    SCALE.md. Semantics note: a capped cell is EXCLUDED from pairing
+    (documented drop) — its members all survive; the cap trades
+    within-cell dedup for a bounded pair join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jetro_spark.llm.dedup import semantic_dedup
+
+    dim, n_hot, n_bg = 16, 8000, 10000
+    base = [1.0] + [0.0] * (dim - 1)
+    cents = []
+    for c in range(8):
+        v = [0.0] * dim
+        v[2 * c % dim] = math.cos(c)
+        v[(2 * c + 1) % dim] = math.sin(c) + 0.1
+        cents.append((c, v))
+    cents[0] = (0, base)
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == 1, F.col("id").cast("double") / 1e9)
+            .otherwise(F.when(i == 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+        ).alias("embedding"))
+    bg = spark.range(n_bg).select(
+        (F.col("id") + n_hot).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(F.col("id").cast("double") * (i + 1) * 0.37)
+        ).alias("embedding"))
+    df = hot.unionByName(bg).repartition(32).localCheckpoint(eager=True)
+    budget = 1_000_000  # affordable within-cell comparisons per cell
+    cap = int(math.sqrt(2 * budget))  # n(n-1)/2 <= budget → n ~ sqrt(2B)
+    print(f"near-dup probe: hot cell n={n_hot} "
+          f"(~{n_hot * (n_hot - 1) // 2:,} unbounded pairs), "
+          f"background n={n_bg}, max_cell=sqrt(2·{budget:,})={cap}")
+    for label, mc in (("unbounded", None), (f"max_cell={cap}", cap)):
+        t0 = time.time()
+        out = semantic_dedup(df, cents, threshold=0.95, max_cell=mc)
+        survivors = out.count()
+        wall = time.time() - t0
+        print(f"  retention {label:18} wall={wall:7.2f}s "
+              f"survivors={survivors}")
+    return 0
+
+
 def main() -> int:
     times = "--times" in sys.argv
+    if "--neardup" in sys.argv:
+        from jetro_spark.session import get_spark  # noqa: PLC0415
+        return neardup_probe(get_spark())
     from jetro_spark.session import get_spark  # noqa: PLC0415
 
     try:

@@ -120,6 +120,11 @@ _MID = st.sampled_from([
     # before the right-wins merge rebinds the sort columns
     '.sort(-v).equi_join($.d, "k", "k").sort(v)'
     '.equi_join($.u, "k", "k")',
+    # r13 (verdict item 5): THREE-join chains — the r12 two-join cell
+    # was the coverage edge; duplicate-key then overlap-key then
+    # overlap-key again compounds fan-out with order carriage
+    '.equi_join($.d, "k", "k").equi_join($.u, "k", "k")'
+    '.equi_join($.u, "k", "k")',
     # descending sort over the (nullable after union($.d)) key: null
     # placement is doc-observable through reverse/positional tails
     ".sort(-k)",
@@ -161,6 +166,21 @@ _SCALAR_MID = st.sampled_from([
     ".map(g).intersect($.u.map(x => x.k))",
     ".map(g).union($.u.map(x => x.k))",
     ".map(g).diff($.n.map(x => x.k))",
+    # r13 (ADVICE item 3 + verdict item 5): SAME-family string set ops
+    # through the val_to_key "null" bucket — $.n.k carries both a
+    # present-NULL and the literal "null"; the patch-DELETE receiver
+    # keys every element "null"
+    ".map(g).union($.n.map(x => x.k))",
+    ".map(g).intersect($.n.map(x => x.k))",
+    ".map(patch @ {g: DELETE}).map(g).union($.n.map(x => x.k))",
+    ".map(patch @ {g: DELETE}).map(g).diff($.n.map(x => x.k))",
+    ".map(patch @ {g: DELETE}).map(g).unique()",
+    ".map(g).remove(\"g1\")",
+    # r13 (verdict item 5): post-union VARIANT elements flowing into
+    # downstream val_to_key consumers (unique / set ops) — the r12
+    # widen created this value family but nothing consumed it
+    ".map(g).union($.u.map(x => x.k)).unique()",
+    ".map(g).union($.u.map(x => x.k)).diff($.n.map(x => x.k))",
     # r8: expression-level deep search in the relational projection
     # (plan-time schema walk over a constructed object)
     ".map(x => let d = {a: {t: x.v}, b: {t: 1.0}} in d..t.sum())",
@@ -199,6 +219,10 @@ _SINK = st.sampled_from([
     # total equality probes (r7): cross-kind probes are misses, not
     # CompileErrors, in BOTH modes
     ".index_of(74.0)", ".includes({q: 1})",
+    # r13: the val_to_key "null" bucket as a membership probe — matches
+    # NULL cells (post-union($.d) keys, patch-DELETEd fields) in both
+    # modes via canonical keys
+    '.includes("null")',
 ])
 
 

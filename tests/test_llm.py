@@ -782,6 +782,13 @@ def test_semantic_dedup_pairs_max_cell_cap(spark):
     capped = D.semantic_dedup_pairs(df, cents, threshold=0.95, max_cell=3)
     got = {(r["keep_id"], r["drop_id"]) for r in capped.collect()}
     assert got == {(10, 11)}  # cell 0 (4 > 3) dropped whole
+    # boundary (r13 mutation audit): a cell with EXACTLY max_cell
+    # members is kept — the cap is <=, not <
+    at_cap = D.semantic_dedup_pairs(df, cents, threshold=0.95, max_cell=4)
+    got4 = {(r["keep_id"], r["drop_id"]) for r in at_cap.collect()}
+    assert got4 == {(r["keep_id"], r["drop_id"])
+                    for r in D.semantic_dedup_pairs(
+                        df, cents, threshold=0.95).collect()}
     uncapped = D.semantic_dedup_pairs(df, cents, threshold=0.95,
                                       max_cell=10)
     assert {(r["keep_id"], r["drop_id"]) for r in uncapped.collect()} \

@@ -193,6 +193,112 @@ def test_range_join_is_hash_join_on_bins(plans):
             or "ShuffledHashJoin" in p)
 
 
+def _depth(line: str) -> int:
+    import re
+    return len(re.match(r"^[\s:+|-]*", line).group(0))
+
+
+def unguarded_limit_above_union(plan: str) -> bool:
+    """True when an optimized plan carries a GlobalLimit whose
+    single-child chain (LocalLimit/Sort/Project only) reaches a Union
+    and NO Window sits above the GlobalLimit.
+
+    That bare shape is the Spark 4.1 AQE exposure (r12 soak catch,
+    SCALE.md "AQE Sort+GlobalLimit-above-Union drop"): AQE
+    re-optimization can DROP a top-level Sort+GlobalLimit above a Union
+    after one branch materializes empty. The engine therefore lowers
+    every positional pick over a union-carrying pipeline through a
+    row_number WINDOW filter (engine._ordered_prefix): Catalyst's
+    LimitPushDownThroughWindow re-derives a Sort+GlobalLimit BELOW the
+    window as an accelerator, but the window+filter above it re-enforce
+    exactly the same rows — if AQE drops the limit, the result is
+    unchanged. A window-guarded limit is therefore fine; an unguarded
+    one is the bug surface."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "GlobalLimit" not in line:
+            continue
+        d0 = _depth(line)
+        hit = False
+        for j in range(i + 1, len(lines)):
+            if _depth(lines[j]) <= d0:
+                break
+            name = lines[j].lstrip(" :+|-")
+            if name.startswith("Union"):
+                hit = True
+                break
+            if not name.startswith(("LocalLimit", "Sort", "Project")):
+                break
+        if not hit:
+            continue
+        dcur, guarded = d0, False
+        for j in range(i - 1, -1, -1):
+            dj = _depth(lines[j])
+            if dj < dcur:  # ancestor chain: strictly shallower lines
+                dcur = dj
+                if lines[j].lstrip(" :+|-").startswith("Window"):
+                    guarded = True
+                    break
+        if not guarded:
+            return True
+    return False
+
+
+@pytest.fixture(scope="module")
+def opt_plans(spark):
+    rendered = {}
+    for name, fn in _table_queries().items():
+        df = fn(spark, SF)
+        rendered[name] = df._jdf.queryExecution().optimizedPlan().toString()
+    return rendered
+
+
+def test_no_unguarded_limit_above_union_in_gate(opt_plans):
+    offenders = [n for n, p in opt_plans.items()
+                 if unguarded_limit_above_union(p)]
+    assert offenders == []
+
+
+def test_no_unguarded_limit_above_union_in_setop_sinks(spark):
+    """Every engine lowering that composes a positional pick above a
+    set-op union — first/take/skip/nth/last/min_by/max_by/[i]/[a:b]/
+    find_first, ordered and unordered — must come out window-guarded
+    (engine._has_union routes them through _ordered_prefix)."""
+    import warnings
+
+    from jetro_spark.jql.engine import JetroTables
+
+    rows = [(i, float((i * 37) % 101), f"g{i % 3}") for i in range(17)]
+    s = spark.createDataFrame(rows, "k long, v double, g string")
+    u = spark.createDataFrame(rows[:5] + [(99, 7.5, "g9")],
+                              "k long, v double, g string")
+    exprs = [
+        '$.s.sort(k).union($.u).first()',
+        '$.s.sort(k).union($.u).take(3)',
+        '$.s.sort(k).union($.u).skip(18)',
+        '$.s.sort(k).union($.u).nth(2)',
+        '$.s.sort(k).union($.u).nth(-2)',
+        '$.s.sort(k).union($.u).last(2)',
+        '$.s.sort(k).union($.u).last()',
+        '$.s.sort(k).union($.u).min_by(v)',
+        '$.s.sort(k).union($.u).max_by(k)',
+        '$.s.sort(k).union($.u)[1]',
+        '$.s.sort(k).union($.u)[2:5]',
+        '$.s.sort(k).union($.u).find_first(x => x.v > 7.0)',
+        '$.s.union($.u).take(4)',
+        '$.s.sort(k).union($.u).take(5).last(2)',
+    ]
+    offenders = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for e in exprs:
+            df = JetroTables(spark, {"s": s, "u": u}).query(e)
+            op = df._jdf.queryExecution().optimizedPlan().toString()
+            if unguarded_limit_above_union(op):
+                offenders.append(e)
+    assert offenders == []
+
+
 def test_dedup_spans_exchanges_never_carry_gram_text(plans):
     """r9: dedup_spans and dedup_lines elect owners on a 128-bit
     fingerprint — the gram/line STRING must be projected away before
