@@ -2008,14 +2008,46 @@ def m_reverse(self, recv, args, env):
 
 def m_unique(self, recv, args, env):
     el = _elem(recv)
-    if _family(el) in ("string", "variant"):
+    if _family(el) == "string":
         # unique_arr_apply keys by val_to_key (collection.rs:77-86): a
         # NULL element keys "null" and merges with the literal string
         # "null" — first occurrence (and its actual value, null-ness
-        # intact) wins. VARIANT elements (heterogeneous post-union
-        # arrays) have no native equality at all — the key IS the only
-        # comparison. Every other element dtype partitions the same
-        # under native null-safe equality (r13).
+        # intact) wins. For strings that is the ONLY key collision
+        # (string keys are otherwise the identity), so stay LINEAR:
+        # native array_distinct, then when BOTH null and "null" made
+        # it through, drop whichever first occurred LATER in the
+        # source (r13 — the first cut routed all string arrays through
+        # the O(n²) unique_by scan and turned bl_q2's 20k-element
+        # unique into ~4·10⁸ interpreted lambda evals).
+        from jetro_spark.functions.arrays import let_
+
+        def fix(arr):
+            def inner(d):
+                # d is let_-bound: HOF lambdas have no CSE, so an
+                # unbound array_distinct would re-run per reference
+                has_both = (F.array_contains(d, "null")
+                            & F.exists(d, lambda x: x.isNull()))
+                # positions evaluate lazily — only the has_both branch
+                # of the CASE reaches them (the rare collision case)
+                pos_lit = F.array_position(
+                    F.transform(arr, lambda x: F.coalesce(
+                        x == F.lit("null"), F.lit(False))), F.lit(True))
+                pos_null = F.array_position(
+                    F.transform(arr, lambda x: x.isNull()), F.lit(True))
+                return (F.when(~F.coalesce(has_both, F.lit(False)), d)
+                        .when(pos_lit < pos_null,
+                              F.filter(d, lambda x: x.isNotNull()))
+                        .otherwise(F.array_remove(d, F.lit("null"))))
+
+            return let_(F.array_distinct(arr), inner)
+
+        return TC(let_(recv.col, fix), recv.dtype)
+    if _family(el) == "variant":
+        # VARIANT elements (heterogeneous post-union arrays) have no
+        # native equality at all — the canonical key IS the only
+        # comparison; the O(n²) scan is confined to these mixed
+        # arrays, which are per-document union results, never a
+        # table-scale column (r13)
         return TC(AR.unique_by(recv.col, _key_lam(lambda x: x, el)),
                   recv.dtype)
     return TC(AR.unique(recv.col), recv.dtype)
