@@ -2203,14 +2203,18 @@ class JetroTables:
             self._scalar = True
             return out.select(F.col("__e").alias(vis[0]))
         if name in ("find_first", "find_one"):
-            # element-or-nothing: same empty-rowset convention as `first`
+            # filter(pred) + First (the TerminalExprArg lowering,
+            # defs.rs:975-1000) — so the no-match case is the scalar
+            # Null, padded exactly like first() (r13: the unpadded
+            # empty rowset diverged from doc mode's None)
             self._order = order
             hits = df.filter(pred(args[0].value))
             if getattr(self, "_has_union", False):
                 h2, o2 = self._maybe_scan_order(hits, order)
                 if o2 is not None:
-                    return self._ordered_prefix(h2, o2, 1)
-            return hits.limit(1)
+                    return self._pad_single_null(
+                        self._ordered_prefix(h2, o2, 1))
+            return self._pad_single_null(hits.limit(1))
         if name == "find_index":
             # 0-based index of first match over the pipeline order, -1
             # when absent (ops/array.rs:293); unordered → doc fallback

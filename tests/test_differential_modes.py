@@ -223,6 +223,9 @@ _SINK = st.sampled_from([
     # NULL cells (post-union($.d) keys, patch-DELETEd fields) in both
     # modes via canonical keys
     '.includes("null")',
+    # r13: find_first's no-match case is the scalar Null (filter +
+    # First lowering) — the relational pad row must map back to None
+    ".find_first(x => x > 40)", ".find_first(x => x > 4000)",
 ])
 
 

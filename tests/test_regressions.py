@@ -1550,3 +1550,28 @@ def test_extreme_by_null_keys_strict_improvement_fold(spark):
         assert jt.collect(e) == w, ("doc", e)
         rel = [r.asDict() for r in tables.query(e).collect()]
         assert rel == [w], ("rel", e)
+
+
+def test_find_first_no_match_pads_scalar_null(spark):
+    """r13: find_first/find_one lower as filter(pred) + First
+    (TerminalExprArg, defs.rs:975-1000) — the no-match case is the
+    scalar Null, which relational mode represents as ONE all-null row
+    (the _pad_single_null convention every other element sink already
+    follows); pre-fix the empty rowset diverged from doc mode's None."""
+    from jetro_spark.jql.engine import Jetro, JetroTables
+
+    rows = [{"k": 1, "v": 10.0}, {"k": 2, "v": 20.0}]
+    jt = Jetro.from_value(spark, {"s": rows})
+    t = spark.createDataFrame([(r["k"], r["v"]) for r in rows],
+                              "k long, v double")
+    for e, doc_want in (("$.s.find_first(x => x.v > 9000.0)", None),
+                        ("$.s.find_one(x => x.v > 15.0)",
+                         {"k": 2, "v": 20.0})):
+        assert jt.collect(e) == doc_want, ("doc", e)
+        got = JetroTables(spark, {"s": t}).query(e).collect()
+        assert len(got) == 1, ("rel rows", e)
+        d = got[0].asDict()
+        if doc_want is None:
+            assert all(x is None for x in d.values()), ("rel pad", e)
+        else:
+            assert d == doc_want, ("rel", e)
