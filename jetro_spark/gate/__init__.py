@@ -59,7 +59,9 @@ _TIER1 = [
     # four tier-1 reps; rotated-out rows still run in the full local
     # gate)
     "equi_join", "asof_join", "join_semi",
-    "bucketed_join",
+    # r14 rotation (verdict item 1): "bucketed_join" rotates out — the
+    # join family keeps three tier-1 reps (equi/asof/semi) and
+    # bucketed_join still runs in the full local gate.
     # scalar functions ("encoding" rotated out in r7 for simhash_pairs;
     # "parse_cast" rotated out in r8 for bm25_topk so the new ranking
     # family is driver-visible — the scalar family keeps two
@@ -68,8 +70,9 @@ _TIER1 = [
     "string_case", "regex_ops",
     # corpus-statistics ranking (r8)
     "bm25_topk",
-    # window builtins
-    "win_lag_lead", "win_zscore",
+    # window builtins ("win_zscore" rotated out in r14 — win_lag_lead
+    # keeps the window family driver-visible)
+    "win_lag_lead",
     # time series ("rollup_gapfill" rotated out in r9 for funnel_step;
     # "sessionize" rotated out in r10 for funnel_unordered;
     # "funnel_unordered" rotated out in r13 for semantic_keep —
@@ -77,9 +80,11 @@ _TIER1 = [
     "time_bucket", "funnel_step",
     # profiling / contracts
     "group_quantiles", "profile_table", "check_constraints",
-    # JQL language (doc + relational modes)
+    # JQL language (doc + relational modes). r14 adds "path_ops" —
+    # §2.8's only gate row (get/set/del/has_path, flatten/unflatten
+    # keys), never driver-visible through r13.
     "jql_filter_map", "jql_patch", "jql_window", "jql_comprehension",
-    "jql_variant_deep", "deep_search",
+    "jql_variant_deep", "deep_search", "path_ops",
     # LLM-pipeline operators (r9 rotations: ann_topk → temp_mixture so
     # the sampling family gets a tier-1 rep — ann_ivf_trained already
     # embeds the brute-force recall baseline in-plan; label_centroids →
@@ -105,16 +110,24 @@ _TIER1 = [
     "temp_mixture",
     # r10 rotation: gram_overlap (cross-source shared-n-gram counts)
     # joins the tier-1 text family alongside pii_mask/quality_filters
-    "ann_ivf_trained", "tfidf_embed", "pii_mask",
-    "quality_filters", "gram_overlap", "pipeline_demo",
+    # r14 rotation (verdict item 1): ann_pq (the recall-gated IVF-PQ —
+    # the hardest similarity row) and ngram_lm (bigram-LM perplexity,
+    # the ranking family's heaviest row) become driver-visible;
+    # quality_filters rotates out (pii_mask/gram_overlap keep the text
+    # family covered). All rotated-out rows still run in the full
+    # local gate.
+    "ann_ivf_trained", "ann_pq", "tfidf_embed", "ngram_lm", "pii_mask",
+    "gram_overlap", "pipeline_demo",
     # r11 rotation: the two r10 operators become driver-visible —
     # mm_resize (aspect-preserving image resize plumbing, replaces
     # range_join) and quality_logit (hashed-feature linear quality
     # classifier, replaces doc_bl_q10 — doc_bl_q5 keeps the doc
     # bench-suite family covered)
     "mm_resize", "quality_logit",
-    # HOFs / streaming / doc-suite
-    "hof_stream", "win_tumbling", "stream_interval_join", "doc_bl_q5",
+    # HOFs / streaming / doc-suite. r14: "stream_state" (the
+    # applyInPandasWithState leg) becomes driver-visible; "hof_stream"
+    # rotates out (the jql_* rows keep HOF lowering covered).
+    "win_tumbling", "stream_interval_join", "stream_state", "doc_bl_q5",
 ]
 
 

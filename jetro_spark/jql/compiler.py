@@ -1901,6 +1901,19 @@ def _struct_path_dtype(elem_dt, names) -> T.DataType | None:
     return dt
 
 
+def _struct_path_nullable(elem_dt, names) -> bool:
+    """Can following ``names`` yield null for a NON-NULL element? True
+    iff any hop's field is nullable (r14 — feeds the mapped array's
+    containsNull claim so provably-non-null projections skip
+    null-collision scaffolding downstream)."""
+    dt = elem_dt
+    for nm in names:
+        if dt[nm].nullable:
+            return True
+        dt = dt[nm].dataType
+    return False
+
+
 def m_map(self, recv, args, env):
     # Pure field-path projection lowers to chained GetArrayStructFields
     # instead of a transform() lambda: HOFs are CodegenFallback
@@ -1916,7 +1929,12 @@ def m_map(self, recv, args, env):
                 col = recv.col
                 for nm in names:
                     col = col.getField(nm)
-                return TC(col, T.ArrayType(out_dt))
+                # exact containsNull claim: a mapped element is null
+                # only when the source element was null or a hop's
+                # field is nullable (r14)
+                cn = (recv.dtype.containsNull or _struct_path_nullable(
+                    recv.dtype.elementType, names))
+                return TC(col, T.ArrayType(out_dt, cn))
     fn, dt = self._lam(args[0].value, env, _elem(recv))
     return TC(F.transform(recv.col, fn), T.ArrayType(dt or T.NullType()))
 
@@ -2019,6 +2037,16 @@ def m_unique(self, recv, args, env):
         # source (r13 — the first cut routed all string arrays through
         # the O(n²) unique_by scan and turned bl_q2's 20k-element
         # unique into ~4·10⁸ interpreted lambda evals).
+        #
+        # r14: when the array type PROVES no null element can exist
+        # (containsNull=false — e.g. split()/collect_list results,
+        # non-null literals), the null/"null" collision is impossible
+        # and plain array_distinct IS unique_arr_apply; skip the
+        # exists/array_position scaffolding entirely (it cost bl_q2
+        # 1.12x -> 1.48x vs the reference baseline in r13).
+        if (isinstance(recv.dtype, T.ArrayType)
+                and not recv.dtype.containsNull):
+            return TC(AR.unique(recv.col), recv.dtype)
         from jetro_spark.functions.arrays import let_
 
         def fix(arr):

@@ -57,7 +57,19 @@ from jetro_spark.operators import relational as R
 
 def infer_schema(v) -> T.DataType:
     """Insertion-order-preserving schema inference (vs read.json's
-    alphabetical sort). Int→Long, Float→Double (value.rs:27-29)."""
+    alphabetical sort). Int→Long, Float→Double (value.rs:27-29).
+
+    Nullability is computed EXACTLY from the literal (r14): a struct
+    field is nullable only when its value IS null somewhere (or the
+    field is missing in some array element — _union_struct_dyn), an
+    array has containsNull only when a null element exists. Sound
+    because the inferred schema describes one pinned literal document,
+    and the claims let the compiler skip impossible-null scaffolding
+    (the string-unique null/"null" collision fixup, null probes).
+    Multi-document SAMPLED inference must NOT inherit these claims —
+    JetroDocs parses via from_json, whose runtime schema Spark forces
+    nullable (and self.schema is read back from the parsed column), so
+    unsampled documents can't violate a tight flag."""
     if v is None:
         return T.NullType()
     if isinstance(v, bool):
@@ -70,31 +82,39 @@ def infer_schema(v) -> T.DataType:
         return T.StringType()
     if isinstance(v, dict):
         return T.StructType([
-            T.StructField(k, infer_schema(x), True) for k, x in v.items()])
+            T.StructField(k, infer_schema(x), x is None)
+            for k, x in v.items()])
     if isinstance(v, (list, tuple)):
         elem_schemas = [infer_schema(x) for x in v]
+        has_null = any(x is None for x in v)
         structs = [s for s in elem_schemas if isinstance(s, T.StructType)]
         if structs and len(structs) == len(elem_schemas):
-            return T.ArrayType(_union_struct_dyn(structs))
+            return T.ArrayType(_union_struct_dyn(structs), has_null)
         u = unify(elem_schemas)
         if u is None:
             # heterogeneous elements ([1, "x", true]) — variant keeps
             # each element's dynamic kind (mirrors the reference's Val)
             return T.ArrayType(T.VariantType())
-        return T.ArrayType(u or T.NullType())
+        return T.ArrayType(u or T.NullType(), has_null)
     raise TypeError(f"cannot infer schema for {type(v).__name__}")
 
 
 def _union_struct_dyn(sts: list[T.StructType]) -> T.StructType:
     """union_struct, but a field whose types CONFLICT across elements
-    (v: 1 vs v: "hello") becomes variant instead of first-wins."""
+    (v: 1 vs v: "hello") becomes variant instead of first-wins.
+    A field is nullable only when it is MISSING in some element (the
+    null pad) or null somewhere it appears (r14 exact-nullability)."""
     merged = union_struct(sts)
     out = []
     for f in merged.fields:
-        dts = [st[f.name].dataType for st in sts if f.name in st.fieldNames()]
+        present = [st[f.name] for st in sts if f.name in st.fieldNames()]
+        dts = [pf.dataType for pf in present]
+        nullable = (len(present) < len(sts)
+                    or any(pf.nullable for pf in present))
         u = unify(dts)
         out.append(T.StructField(
-            f.name, f.dataType if u is not None else T.VariantType(), True))
+            f.name, f.dataType if u is not None else T.VariantType(),
+            nullable))
     return T.StructType(out)
 
 

@@ -46,6 +46,43 @@ class PatchError(CompileError):
     pass
 
 
+def _same_shape(a: T.DataType, b: T.DataType) -> bool:
+    """Structural equality ignoring nullable/containsNull flags — the
+    "schema-preserving write" test (a guarded overwrite is runtime-
+    conditional iff both branches have the same Spark TYPES; their
+    nullability claims may legitimately differ under r14 exact-
+    nullability ingestion)."""
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return (len(a.fields) == len(b.fields)
+                and all(fa.name == fb.name
+                        and _same_shape(fa.dataType, fb.dataType)
+                        for fa, fb in zip(a.fields, b.fields)))
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return _same_shape(a.elementType, b.elementType)
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return (_same_shape(a.keyType, b.keyType)
+                and _same_shape(a.valueType, b.valueType))
+    return a == b
+
+
+def _loosen_merge(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Flag-wise OR of two same-shape dtypes: the sound claim for a
+    value that may come from either branch of a runtime conditional."""
+    if isinstance(a, T.StructType):
+        return T.StructType([
+            T.StructField(fa.name,
+                          _loosen_merge(fa.dataType, fb.dataType),
+                          fa.nullable or fb.nullable)
+            for fa, fb in zip(a.fields, b.fields)])
+    if isinstance(a, T.ArrayType):
+        return T.ArrayType(_loosen_merge(a.elementType, b.elementType),
+                           a.containsNull or b.containsNull)
+    if isinstance(a, T.MapType):
+        return T.MapType(a.keyType, _loosen_merge(a.valueType, b.valueType),
+                         a.valueContainsNull or b.valueContainsNull)
+    return a
+
+
 def compile_patch(comp, n: A.Patch, env):
     """Entry point: comp is the Compiler instance."""
     target = comp.compile(n.target, env)
@@ -84,9 +121,14 @@ def _apply_clause(comp, col, dt, cl: A.PatchClause, env, orig):
     genv = env.with_current(orig)
     g = comp.compile(cl.guard, genv)
     gcol = jt_truthy(g.col, g.dtype)
-    if ndt == dt:
-        # schema-preserving write → runtime conditional on the whole doc
-        return F.when(gcol, ncol).otherwise(col), dt
+    if _same_shape(ndt, dt):
+        # schema-preserving write → runtime conditional on the whole
+        # doc. Shape is compared MODULO nullability flags (r14:
+        # ingestion claims exact nullability, so a guarded overwrite
+        # of a provably-non-null field no longer compares equal by
+        # ==); either branch can win at runtime, so the claimed dtype
+        # is the flag-wise OR of both.
+        return F.when(gcol, ncol).otherwise(col), _loosen_merge(ndt, dt)
     st = comp._static_truth(cl.guard, genv)
     if st is True:
         return ncol, ndt

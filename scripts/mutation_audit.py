@@ -431,6 +431,71 @@ def count_by''',
         '''    dup_groups = (groups.filter(F.col("__sd_gn") > 2)''',
         [pytest("tests/test_llm.py", "-k", "precollapse")],
     ),
+    # --- r14: remove/unique val_to_key semantics (r13 verdict item 4)
+    (
+        "remove_path_arg_predicate",
+        "remove's non-lambda arg is a VALUE (mod.rs:2557-2562) — "
+        "reverting paths to per-element predicate dispatch must be "
+        "caught by the pinned remove($.missing)/remove($.p[0]) cases",
+        "jetro_spark/jql/compiler.py",
+        '''    if not isinstance(node, A.Lambda):
+        # value form (BuiltinArgs::Val, defs.rs:159): object/array''',
+        '''    if not isinstance(node, (A.Lambda, A.Path)):
+        # value form (BuiltinArgs::Val, defs.rs:159): object/array''',
+        [pytest("tests/test_val_to_key.py", "-k", "doc")],
+    ),
+    (
+        "key_collide_drop_container_class",
+        "_key_collide: string-vs-container collision class (a string "
+        "equal to the compact JSON text keys equal, util.rs:228-243)",
+        "jetro_spark/jql/compiler.py",
+        '''        return other in ("string", "null", "array", "object")''',
+        '''        return other in ("string", "null")''',
+        [pytest("tests/test_val_to_key.py", "-k", "doc")],
+    ),
+    (
+        "string_unique_fixup_eager",
+        "string unique's collision fixup must BIND array_distinct "
+        "once (let_) — eager inlining re-evaluates the distinct per "
+        "HOF branch reference (the r13 bl_q2 hang class)",
+        "jetro_spark/jql/compiler.py",
+        '''            return let_(F.array_distinct(arr), inner)''',
+        '''            return inner(F.array_distinct(arr))''',
+        [pytest("tests/test_val_to_key.py", "-k", "binds_distinct")],
+    ),
+    (
+        "unique_first_occurrence_invert",
+        "unique's null/\"null\" collision keeps the FIRST occurrence "
+        "(its null-ness intact) — inverting the position pick keeps "
+        "the later one",
+        "jetro_spark/jql/compiler.py",
+        '''                .when(pos_lit < pos_null,''',
+        '''                .when(pos_lit > pos_null,''',
+        [pytest("tests/test_val_to_key.py")],
+    ),
+    (
+        "unique_schema_gate_unsound",
+        "the r14 containsNull gate may skip the fixup ONLY when the "
+        "schema PROVES null-free — skipping unconditionally breaks "
+        "every nullable collision case",
+        "jetro_spark/jql/compiler.py",
+        '''        if (isinstance(recv.dtype, T.ArrayType)
+                and not recv.dtype.containsNull):''',
+        '''        if isinstance(recv.dtype, T.ArrayType):''',
+        [pytest("tests/test_val_to_key.py")],
+    ),
+    (
+        "struct_path_nullable_false",
+        "map fast-path containsNull claim: a nullable hop field must "
+        "mark the mapped array containsNull (else unique()'s fixup is "
+        "skipped on data that CAN hold nulls)",
+        "jetro_spark/jql/compiler.py",
+        '''        if dt[nm].nullable:
+            return True''',
+        '''        if dt[nm].nullable and False:
+            return True''',
+        [pytest("tests/test_val_to_key.py", "-k", "nullable_map")],
+    ),
 ]
 
 

@@ -220,11 +220,71 @@ def neardup_probe(spark) -> int:
     return 0
 
 
+def union_take_probe(spark) -> int:
+    """r14 (verdict item 6): the window guard's price at scale. A
+    `$.s.union($.u).sort(v).take(10)` pipeline marks _has_union, so
+    the positional pick lowers through engine._ordered_prefix (a
+    row_number window with no partitionBy — a single-partition global
+    sort) instead of orderBy().limit()'s TakeOrderedAndProject top-n
+    heap. This measures the SAME engine pipeline with the guard on
+    (production lowering) and with _ordered_prefix monkeypatched to
+    the raw offset/limit form (the shape AQE can mis-drop), reporting
+    wall clock + exchange/sort counts over a 500k+500k-row union —
+    numbers for SCALE.md's "the re-derived pushdown limit restores
+    most of the pruning" claim."""
+    from pyspark.sql import functions as F
+
+    from jetro_spark.jql import engine as E
+
+    n = 500_000
+    s = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 1000003).cast("double").alias("v"))
+    u = spark.range(n).select(
+        (F.col("id") + n).alias("k"),
+        ((F.col("id") + n) * 2654435761 % 1000003 + 0.5).cast("double")
+        .alias("v"))
+    s = s.localCheckpoint(eager=True)
+    u = u.localCheckpoint(eager=True)
+    expr = "$.s.union($.u).sort(v).take(10)"
+
+    def raw_prefix(self, df, order, k, offset=0):
+        out = df.orderBy(*E._order_by(order))
+        if offset:
+            out = out.offset(offset)
+        return out if k is None else out.limit(k)
+
+    orig = E.JetroTables._ordered_prefix
+    for label, impl in (("window-guard (production)", orig),
+                        ("raw orderBy().limit()", raw_prefix)):
+        E.JetroTables._ordered_prefix = impl
+        try:
+            df = E.JetroTables(spark, {"s": s, "u": u}).query(expr)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            walls = []
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+            shape = plan_shape(df)
+            n_ex = sum(1 for x in shape if x.startswith("Exchange"))
+            n_sort = sum(1 for x in shape if x == "Sort")
+            print(f"  {label:28} wall(best of 3)={min(walls):6.2f}s "
+                  f"exchanges={n_ex} sorts={n_sort}")
+            print(f"    shape: {shape}")
+        finally:
+            E.JetroTables._ordered_prefix = orig
+    return 0
+
+
 def main() -> int:
     times = "--times" in sys.argv
     if "--neardup" in sys.argv:
         from jetro_spark.session import get_spark  # noqa: PLC0415
         return neardup_probe(get_spark())
+    if "--uniontake" in sys.argv:
+        from jetro_spark.session import get_spark  # noqa: PLC0415
+        return union_take_probe(get_spark())
     from jetro_spark.session import get_spark  # noqa: PLC0415
 
     try:

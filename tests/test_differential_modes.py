@@ -138,6 +138,17 @@ _MID = st.sampled_from([
     ".map(patch @ {g: DELETE})",
     ".map(patch @ {v: 0.0 when @.v > 40.0})",
     ".map(patch @ {w: 7.5})",
+    # r14 (verdict item 5): patch/chain-writes composed OVER
+    # union-carrying pipelines and window-guarded positional picks —
+    # the union stage sets _has_union, so the take/skip in these cells
+    # lower through the row_number window guard, and the patch then
+    # rebinds fields on the union-widened (nullable-k / padded-field)
+    # rows; the two lowering families had never met in one pipeline
+    '.union($.d).map(patch @ {v: @ * 2.0})',
+    '.union($.d).take(9).map(patch @ {g: DELETE})',
+    '.union($.u).map(patch @ {w: 7.5}).skip(3)',
+    '.map(patch @ {w: 7.5}).union($.u).sort(v).take(5)',
+    '.union($.d).map(patch @ {v: 0.0 when @.v > 100.0}).skip(2)',
 ])
 _SCALAR_MID = st.sampled_from([
     ".map(v)", ".map(v).accumulate((a, x) => a + x)", ".map(k)",

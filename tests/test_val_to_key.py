@@ -171,3 +171,51 @@ def test_rel_unique_by_string_null(spark, rel_tables):
     got = _vals(JetroTables(spark, dict(rel_tables)).query(
         "$.kv.unique_by(k).map(v)"))
     assert got == [1, 3]
+
+
+def test_unique_schema_gate_plain_distinct(spark):
+    """r14: when the inferred schema PROVES no null element can reach
+    unique() (exact-nullability ingestion + map fast-path containsNull
+    propagation), the null/"null" collision fixup is impossible and
+    the lowering is plain array_distinct — the bl_q2 plan shape. The
+    fixup's CASE/transform scaffolding must NOT appear."""
+    doc = {"s": [{"c": "US"}, {"c": "DE"}, {"c": "US"}, {"c": "null"}]}
+    jt = Jetro.from_value(spark, doc)
+    df = jt.frame("$.s.map(c).unique()")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "array_distinct" in plan
+    assert "CASE" not in plan and "transform" not in plan, plan
+    assert jt.collect("$.s.map(c).unique()") == ["US", "DE", "null"]
+
+
+def test_unique_nullable_map_path_keeps_fixup(spark):
+    """The schema gate must NOT skip the fixup when a hop of the map
+    path is nullable: a null projected element still keys "null" and
+    merges with the literal (collection.rs:77-86 via val_to_key)."""
+    jt = Jetro.from_value(
+        spark, {"s": [{"c": "null"}, {"c": None}, {"c": "a"}]})
+    assert jt.collect("$.s.map(c).unique()") == ["null", "a"]
+    jt2 = Jetro.from_value(
+        spark, {"s": [{"c": None}, {"c": "null"}, {"c": "a"}]})
+    assert jt2.collect("$.s.map(c).unique()") == [None, "a"]
+
+
+def test_unique_missing_field_nullable_union(spark):
+    """A field MISSING in some array elements null-pads (union_struct),
+    so _union_struct_dyn must mark it nullable and unique() must keep
+    the collision fixup for it."""
+    jt = Jetro.from_value(
+        spark, {"s": [{"c": "null", "d": 1}, {"d": 2}, {"c": "b", "d": 3}]})
+    assert jt.collect("$.s.map(c).unique()") == ["null", "b"]
+
+
+def test_unique_fixup_binds_distinct_once(spark):
+    """The nullable-string unique fixup must BIND array_distinct once
+    (let_) — HOF lambdas have no CSE, so an unbound reference would
+    re-evaluate the distinct per branch reference (the r13 bl_q2
+    hang class). Pinned via plan shape: exactly one array_distinct."""
+    jt = Jetro.from_value(
+        spark, {"s": [{"c": "null"}, {"c": None}, {"c": "a"}]})
+    plan = jt.frame("$.s.map(c).unique()")._jdf.queryExecution()\
+        .analyzed().toString()
+    assert plan.count("array_distinct") == 1, plan
