@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jetro_spark.jql.engine import JetroDocs, JetroTables
-from jetro_spark.session import load_tables
+from jetro_spark.session import fan_out, load_tables
 
 
 def _q(expr: str):
@@ -44,7 +44,9 @@ def q_jql_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-document engine (JetroEngine analog): one JSON document per
     orders row, ONE compiled plan over the whole DataFrame — document
     semantics at table scale, no per-doc recompilation."""
-    o = load_tables(spark, sf_dir, register=False)["orders"]
+    # per-row JSON build + parse dominates — fan the unsplittable scan
+    # (session.fan_out, guide §2.5)
+    o = fan_out(load_tables(spark, sf_dir, register=False)["orders"])
     js = o.select(F.to_json(F.struct(
         F.col("o_orderkey").alias("id"),
         F.col("o_totalprice").alias("total"),

@@ -21,11 +21,18 @@ from jetro_spark.llm import dedup as D
 from jetro_spark.llm import multimodal as MM
 from jetro_spark.llm import similarity as SIM
 from jetro_spark.llm import text as TX
-from jetro_spark.session import load_tables
+from jetro_spark.session import fan_out, load_tables
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, register=False)["documents"]
+def _docs(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
+    """``fan=True`` restores scan parallelism on the single-row-group
+    bench file (session.fan_out, guide §2.5) — opted into per query:
+    a win exactly where per-row compute (tokenize/hash/explode)
+    dominates, a loss where a map-side partial aggregate would have
+    collapsed the data before its first exchange (r14 measurements in
+    OPTIMIZATION_r14.md)."""
+    d = load_tables(spark, sf_dir, register=False)["documents"]
+    return fan_out(d) if fan else d
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +157,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell literals + one cell equi-join; no all-pairs)."""
     e = load_tables(spark, sf_dir, register=False)["embeddings"]
     cents = SIM.seed_centroids(e, 16)
-    return D.semantic_dedup_pairs(e, cents, threshold=0.45)
+    # fan the pairing input only: cell assignment folds 16 centroid
+    # dots per row — per-row compute, not aggregation (guide §2.5);
+    # full=cores because the cell pair join is broadcast, so no
+    # downstream shuffle competes for task slots; the centroid model
+    # build stays on the raw scan
+    return D.semantic_dedup_pairs(fan_out(e, full=True), cents,
+                                  threshold=0.45)
 
 
 def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +223,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank bit-for-bit."""
     e = load_tables(spark, sf_dir, register=False)["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    out = SIM.ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    # fan the corpus side: cell assignment + rerank dots are per-row
+    # folds (guide §2.5); the 10-row query side stays as-is
+    out = SIM.ivf_topk(fan_out(e, full=True), q, k=5, n_cells=16,
+                       n_probe=4)
     return out.select("qid", "nid", "rank")
 
 
@@ -881,7 +897,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per chunk, row-local expressions only (no shuffle)."""
     from jetro_spark.llm.chunking import split_by_tokens
 
-    return split_by_tokens(_docs(spark, sf_dir), "text", id_col="doc_id",
+    return split_by_tokens(_docs(spark, sf_dir, fan=True), "text", id_col="doc_id",
                            max_tokens=64, stride=16)
 
 
@@ -1037,7 +1053,7 @@ def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams occurring >= 2 times, plus the normalized-char denominator.
     The Spark side is a sorted-run fold (O(G log G), whole-row-local);
     the oracle recomputes via unnest + GROUP BY."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan=True)
     t = F.col("text")
     # one gram build + sort + fold for BOTH numerators, pinned under a
     # Generate node so CollapseProject cannot re-inline it per field
@@ -1139,7 +1155,7 @@ ORACLES["doc_line_stats"] = f"""
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan=True)
     g = TX.gopher_rules(F.col("text"))
     return d.select(
         "doc_id",
@@ -1341,7 +1357,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain their own prefix and must flag; unrelated docs mostly
     don't. 5-grams over the small synthetic vocabulary keep accidental
     overlap rare but nonzero."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan=True)
     bench = (d.filter(F.col("doc_id") % 50 == 0)
              .select(F.concat_ws(
                  " ", F.slice(TX.ws_tokens(TX.normalize_text(F.col("text"))),
@@ -1533,7 +1549,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus-duplicated 8-gram are removed; docs rebuilt. The oracle
     derives owner election INDEPENDENTLY with a window rank over the
     unnested gram stream — not a replay of the join chain."""
-    return D.dedup_spans_global(_docs(spark, sf_dir), n=8)
+    return D.dedup_spans_global(_docs(spark, sf_dir, fan=True), n=8)
 
 
 QUERIES["dedup_spans"] = q_dedup_spans
@@ -1624,7 +1640,7 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, decimal-exact L2 norm), flattened to (doc_id, pos, v)
     scalar cells like label_centroids. DuckDB rebuilds the dense
     vector from a doc×dim grid and replays the same normalization."""
-    e = SIM.hashed_embedding(_docs(spark, sf_dir), dim=64, seed=9)
+    e = SIM.hashed_embedding(_docs(spark, sf_dir, fan=True), dim=64, seed=9)
     return (e.select("doc_id", F.posexplode("embedding").alias("pos", "v"))
             .select("doc_id", "pos", F.round("v", 8).alias("v")))
 
@@ -1637,7 +1653,7 @@ def q_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smooth idf ln((N+1)/(df_b+1))+1 at the bucket grain (≤ dim df
     rows broadcast back; N attached as a one-row aggregate). Same
     flattened (doc_id, pos, v) contract as hash_embed."""
-    e = SIM.hashed_embedding(_docs(spark, sf_dir), dim=64, seed=9,
+    e = SIM.hashed_embedding(_docs(spark, sf_dir, fan=True), dim=64, seed=9,
                              idf=True)
     return (e.select("doc_id", F.posexplode("embedding").alias("pos", "v"))
             .select("doc_id", "pos", F.round("v", 8).alias("v")))
@@ -1662,7 +1678,8 @@ def q_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: cross-source n-gram overlap matrix — distinct 3-grams shared
     by each unordered source pair. Gram group-sets are bounded by the
     number of groups, so the per-gram pair explosion is ≤ C(G,2)."""
-    return TX.gram_overlap_matrix(_docs(spark, sf_dir), "source", n=3)
+    return TX.gram_overlap_matrix(_docs(spark, sf_dir, fan=True), "source",
+                                  n=3)
 
 
 QUERIES["gram_overlap"] = q_gram_overlap
@@ -1688,7 +1705,7 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     phone appended (doc_id-derived, both engines build the same text),
     then pii_mask replaces the shapes with <EMAIL>/<PHONE> tokens.
     Row-local regexp_replace chain; counts are pre-mask."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan=True)
     doc_id = F.col("doc_id")
     synth = F.when(
         doc_id % 3 == 0,

@@ -18,14 +18,18 @@ from pyspark.sql import functions as F
 
 from jetro_spark.llm import ranking as RK
 from jetro_spark.operators.layout import zorder_key, zorder_key_sql
-from jetro_spark.session import load_tables
+from jetro_spark.session import fan_out, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, register=False)["documents"]
+def _docs(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
+    """``fan=True``: see gate/llm.py — restores scan parallelism on the
+    single-row-group bench file for rows whose per-row compute (md5
+    bucket folds, bigram builds) dominates (guide §2.5)."""
+    d = load_tables(spark, sf_dir, register=False)["documents"]
+    return fan_out(d) if fan else d
 
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -94,7 +98,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal map (zero-shuffle scoring); the oracle re-derives the same
     model with CTEs and joins — two independent routes to the same
     per-document sum."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan=True)
     return RK.dsir_weights(d, d.filter(F.col("lang") == "en"),
                            n_buckets=_DSIR_B, seed=_DSIR_SEED)
 
@@ -226,7 +230,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter without an external model). The oracle retrains
     the same counts and replays the smoothed per-occurrence logprobs —
     ln rounded to 6 dp before the decimal-exact per-doc average."""
-    return RK.ngram_lm_score(_docs(spark, sf_dir), alpha=0.1)
+    return RK.ngram_lm_score(_docs(spark, sf_dir, fan=True), alpha=0.1)
 
 
 QUERIES["ngram_lm"] = q_ngram_lm
@@ -297,7 +301,8 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight vector is a plan literal (zero-shuffle scoring, the DSIR
     shape); dot decimal-accumulates; sigmoid rounds at 6 dp like every
     other transcendental in this module."""
-    return RK.linear_score(_docs(spark, sf_dir), _LS_WEIGHTS, bias=-0.1)
+    return RK.linear_score(_docs(spark, sf_dir, fan=True), _LS_WEIGHTS,
+                           bias=-0.1)
 
 
 QUERIES["quality_logit"] = q_quality_logit

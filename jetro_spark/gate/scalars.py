@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from jetro_spark.functions import strings as S
 from jetro_spark.functions.core import jt_div, jt_fuzzy_match
-from jetro_spark.session import load_tables
+from jetro_spark.session import fan_out, load_tables
 
 
 def q_string_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +64,9 @@ def q_string_split_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, register=False)["documents"]
+    # four regex passes per row dominate — fan the unsplittable scan
+    # (session.fan_out, guide §2.5)
+    d = fan_out(load_tables(spark, sf_dir, register=False)["documents"])
     txt = F.col("text")
     return d.select(
         "doc_id",

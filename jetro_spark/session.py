@@ -56,6 +56,18 @@ def get_spark(app_name: str = "jetro_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) collapses any post-shuffle
+        # stage holding < cores×1 MB to one or two tasks — for compute-
+        # heavy stages over small shuffles (the SemDeDup pair join:
+        # 2 MB of vectors, quadratic work) that serializes the whole
+        # stage on one core (measured: semantic_keep 1.42 s → 0.57 s
+        # with the floor at 64k). The floor only binds when per-core
+        # shuffle data is under 1 MB; at production scale partitions
+        # are orders of magnitude past it either way, so 64k is not a
+        # local-only tune — it just stops tiny-bytes/heavy-CPU stages
+        # from being serialized. Overridable at submit time.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -68,6 +80,51 @@ def get_spark(app_name: str = "jetro_spark", cpus: int | None = None) -> SparkSe
 
 
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+# id(DataFrame) -> (splittable units, row count) for tables loaded by
+# load_tables — the inputs fan_out needs to decide whether the scan can
+# parallelize at all (parquet splits at row-group granularity: a
+# single-row-group file yields ONE row-carrying task no matter what
+# maxPartitionBytes says)
+_FAN_META: dict[int, tuple[int, int]] = {}
+
+
+def fan_out(df: DataFrame, *, full: bool = False) -> DataFrame:
+    """Restore scan parallelism lost to unsplittable input (guide §2.5
+    input skew — "one huge unsplittable file … repartition immediately
+    after the read").
+
+    The bench tables are single-row-group parquet files, so every scan
+    produces exactly one row-carrying task and all row-local compute
+    layered on the scan (tokenize, hash, explode, fold) runs on one
+    core. When — and only when — the file's row-group count cannot fill
+    the session's cores, round-robin repartition right after the read
+    so that per-row work distributes. On production tables (many files
+    / many row groups) the condition never holds and this is an exact
+    no-op, so no extra exchange is ever paid at scale.
+
+    Partition count derives from cores and rows, not constants:
+    cores//2 by default (leaves scheduler headroom for the downstream
+    shuffle stages of text pipelines — measured best at local[32]), or
+    all cores with ``full=True`` for queries whose downstream is
+    broadcast-only so nothing competes for task slots (the SemDeDup
+    pair join: 0.35 s at cores vs 1.2 s at cores//2). Floored at 2,
+    capped so slices keep >= ~32 rows. Only worth applying where
+    per-row compute dominates — an aggregation-only query is better
+    served by its map-side partial aggregate than by shuffling full
+    rows (measured: group_agg LOSES 25% fanned; dedup_spans WINS
+    2.5x)."""
+    meta = _FAN_META.get(id(df))
+    if meta is None:
+        return df
+    units, rows = meta
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if units >= cores or rows < 512:
+        return df
+    base = cores if full else max(2, cores // 2)
+    n = min(base, max(2, rows // 32))
+    return df.repartition(n)
 
 
 def load_tables(
@@ -98,6 +155,13 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            meta = (md.num_row_groups, md.num_rows)
+        except Exception:  # no pyarrow / exotic file: fan_out no-ops
+            meta = None
         if name == "events":
             # events.ts has shipped as TIMESTAMP(NANOS) (bigint nanos
             # under the legacy conf) and as plain µs timestamp across
@@ -105,6 +169,8 @@ def load_tables(
             # add a normalized TimestampType column for window/streaming
             # operators regardless of the physical representation.
             df = with_event_timestamp(df, "ts", "event_time")
+        if meta is not None:
+            _FAN_META[id(df)] = meta
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)
