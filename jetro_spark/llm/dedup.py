@@ -26,6 +26,38 @@ from jetro_spark.functions.arrays import _seq0, _seq1, let_
 from jetro_spark.llm.text import normalize_text, ws_tokens
 from jetro_spark.operators.relational import unique_by
 
+# --------------------------------------------------- occurrence election
+
+_OCC_BASE = 4294967296  # 2^32 > any array index (positions are int)
+
+
+def _integral_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(df.schema[id_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+
+
+def _min_occ(id_c: Column, pos_c: Column) -> Column:
+    """First-occurrence election key: min over ``d*2^32 + i`` in
+    decimal(38,0) — order-isomorphic to min(struct(d, i)) for any
+    bigint d and array index 0 <= i < 2^32, exact up to |d| ~ 1e28.
+    A struct min forces SortAggregate (struct buffers are not
+    mutable-hashable); the decimal min keeps the election in a codegen
+    HashAggregate — measured 20% off dedup_spans' election stage
+    (r14). Callers must gate on _integral_id and decode with
+    _decode_occ."""
+    return F.min(id_c.cast("decimal(38,0)") * _OCC_BASE + pos_c)
+
+
+def _decode_occ(e: Column) -> Column:
+    """Back to the struct(d, i) the downstream owner filters compare."""
+    d = F.floor(e / _OCC_BASE)
+    return F.struct(d.cast("bigint").alias("d"),
+                    (e - d.cast("decimal(38,0)") * _OCC_BASE)
+                    .cast("int").alias("i"))
+
+
 # ------------------------------------------------------------ shingles
 
 
@@ -571,14 +603,27 @@ def dedup_lines_global(
              .select(F.col(id_col), "__ln_idx",
                      F.xxhash64("__ln").alias("__h1"),
                      F.xxhash64(F.lit(0x9E3779B9), "__ln").alias("__h2")))
-    owners = (keyed.groupBy("__h1", "__h2")
-              .agg(F.min(F.struct(F.col(id_col).alias("d"),
-                                  F.col("__ln_idx").alias("i")))
-                   .alias("__own"),
-                   F.count(F.lit(1)).alias("__cnt"))
-              .filter(F.col("__cnt") > 1)
-              .select(F.col("__h1").alias("__own_h1"),
-                      F.col("__h2").alias("__own_h2"), "__own"))
+    if _integral_id(df, id_col):
+        # HashAggregate election (decimal-encoded (d, i) min) — the
+        # struct min below is value-identical but plans a double
+        # SortAggregate
+        owners = (keyed.groupBy("__h1", "__h2")
+                  .agg(_min_occ(F.col(id_col), F.col("__ln_idx"))
+                       .alias("__e"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") > 1)
+                  .select(F.col("__h1").alias("__own_h1"),
+                          F.col("__h2").alias("__own_h2"),
+                          _decode_occ(F.col("__e")).alias("__own")))
+    else:
+        owners = (keyed.groupBy("__h1", "__h2")
+                  .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                      F.col("__ln_idx").alias("i")))
+                       .alias("__own"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") > 1)
+                  .select(F.col("__h1").alias("__own_h1"),
+                          F.col("__h2").alias("__own_h2"), "__own"))
     removed = (keyed.join(owners,
                           (F.col("__h1") == F.col("__own_h1"))
                           & (F.col("__h2") == F.col("__own_h2")))
@@ -653,13 +698,25 @@ def dedup_spans_global(
     keyed = grams.select(F.col(id_col), "__g_pos",
                          F.xxhash64("__g").alias("__h1"),
                          F.xxhash64(F.lit(0x9E3779B9), "__g").alias("__h2"))
-    owners = (keyed.groupBy("__h1", "__h2")
-              .agg(F.min(F.struct(F.col(id_col).alias("d"),
-                                  F.col("__g_pos").alias("i"))).alias("__own"),
-                   F.count(F.lit(1)).alias("__cnt"))
-              .filter(F.col("__cnt") > 1)
-              .select(F.col("__h1").alias("__own_h1"),
-                      F.col("__h2").alias("__own_h2"), "__own"))
+    if _integral_id(df, id_col):
+        # HashAggregate election — see dedup_lines_global
+        owners = (keyed.groupBy("__h1", "__h2")
+                  .agg(_min_occ(F.col(id_col), F.col("__g_pos"))
+                       .alias("__e"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") > 1)
+                  .select(F.col("__h1").alias("__own_h1"),
+                          F.col("__h2").alias("__own_h2"),
+                          _decode_occ(F.col("__e")).alias("__own")))
+    else:
+        owners = (keyed.groupBy("__h1", "__h2")
+                  .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                      F.col("__g_pos").alias("i")))
+                       .alias("__own"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") > 1)
+                  .select(F.col("__h1").alias("__own_h1"),
+                          F.col("__h2").alias("__own_h2"), "__own"))
     dup_occ = (keyed.join(owners,
                           (F.col("__h1") == F.col("__own_h1"))
                           & (F.col("__h2") == F.col("__own_h2")))
