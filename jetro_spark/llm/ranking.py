@@ -27,7 +27,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jetro_spark.functions.arrays import let_
@@ -333,8 +333,6 @@ def ngram_lm_score(
         let_(F.col("__tk"), _bigrams)).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
-    vsize = (uni.agg(F.count(F.lit(1)).alias("v"))
-             .withColumn("__k", F.lit(1)))
 
     occ = docs.select(
         F.col(id_col),
@@ -344,10 +342,27 @@ def ngram_lm_score(
     # (or contexts) unseen in an external `train` get the add-alpha
     # floor instead of dropping out of the average; identical counts →
     # identical rounded value, so determinism is unchanged
-    j = (occ.join(bi, ["w1", "w2"], "left")
-         .join(F.broadcast(uni), "w1", "left")
-         .withColumn("__k", F.lit(1))
-         .join(F.broadcast(vsize), "__k"))
+    if train is None:
+        # V (distinct unigrams) rides the vocab-sized `uni` aggregate
+        # as a window count instead of a second aggregate over `uni`:
+        # `uni` feeding both the join and a count() is a duplicated
+        # subtree in the physical plan — a WHOLE extra corpus
+        # scan+tokenize+explode+distinct pass just to count the vocab.
+        # Correct only in the self-trained case, where every occ.w1 is
+        # by construction present in uni so the w1 join always matches
+        # and v reaches every row; an external `train` keeps the
+        # independent scalar attach below (unmatched w1 still needs v).
+        uni_v = uni.withColumn(
+            "v", F.count(F.lit(1)).over(Window.partitionBy()))
+        j = (occ.join(bi, ["w1", "w2"], "left")
+             .join(F.broadcast(uni_v), "w1", "left"))
+    else:
+        vsize = (uni.agg(F.count(F.lit(1)).alias("v"))
+                 .withColumn("__k", F.lit(1)))
+        j = (occ.join(bi, ["w1", "w2"], "left")
+             .join(F.broadcast(uni), "w1", "left")
+             .withColumn("__k", F.lit(1))
+             .join(F.broadcast(vsize), "__k"))
     lp = F.round(F.log(
         (F.coalesce("c12", F.lit(0)) + alpha)
         / (F.coalesce("c1", F.lit(0)) + alpha * F.col("v"))), 6)

@@ -106,7 +106,6 @@ def test_scalar_attach_builds_are_aggregates(plans):
     nested loops — a regression that nested-loops actual DATA would
     inflate the count or drop the global aggregate."""
     for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1),
-                        ("ngram_lm", 1), ("pipeline_prep2", 1),
                         ("tfidf_embed", 1),
                         # temp_mixture: 2 real attaches, but the Σp^α
                         # normalizer's subtree re-prints the first
@@ -117,6 +116,18 @@ def test_scalar_attach_builds_are_aggregates(plans):
         assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
         assert p.count("BroadcastNestedLoopJoin") <= n_max, name
         assert "CartesianProduct" not in p, name
+    # ngram_lm (r14), and pipeline_prep2 which embeds it: the
+    # self-trained path attaches V (vocab size) as a window count
+    # RIDING the vocab-sized unigram aggregate instead of a second
+    # aggregate over a duplicated corpus subtree — so the plan has NO
+    # scalar attach at all anymore. Pin the new shape: zero nested
+    # loops, and the window-count is present (a global Window over the
+    # vocab aggregate, which is bounded — NOT corpus data).
+    for name in ("ngram_lm", "pipeline_prep2"):
+        p = plans[name]
+        assert "BroadcastNestedLoopJoin" not in p, f"{name}: attach back?"
+        assert "CartesianProduct" not in p
+        assert "Window" in p, f"{name}: vocab-count window missing"
 
 
 def test_filters_push_to_parquet_scan(plans):
