@@ -84,21 +84,48 @@ def bm25_scores(
     base = base.select(did, F.col("__s.dl").alias("__dl"),
                        F.col("__s.qt").alias("__qt"))
 
-    # corpus stats over ALL docs (dl includes non-matching documents)
-    stats = (base.agg(F.count(F.lit(1)).alias("__n"),
-                      F.sum("__dl").alias("__sumdl"))
-             .withColumn("__k", F.lit(1)))
-
-    tf = (base.filter(F.size("__qt") > 0)
-          .select(did, "__dl", F.explode("__qt").alias("term"))
+    # tf: NO pre-filter on size(__qt) — explode already emits nothing
+    # for empty/null arrays, and the filter was WORSE than redundant:
+    # pushed below the tokenize projection it re-evaluated the whole
+    # tokenize expression per conjunct (r14 plan audit: 3 tokenize
+    # evals per doc row in the tf branch, now 1)
+    tf = (base.select(did, "__dl", F.explode("__qt").alias("term"))
           .groupBy(id_col, "__dl", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
 
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    j = (tf.join(F.broadcast(dfreq), "term")
-         .withColumn("__k", F.lit(1))
-         .join(F.broadcast(stats), "__k"))
+    if len(terms) <= 64:
+        # document frequencies ride the corpus-stats aggregate as one
+        # count_if column per term (bounded: |terms| <= 64), so the df
+        # table needs NO second corpus pass — plan subtrees are never
+        # shared, and the old dfreq = tf.groupBy(term) re-ran the whole
+        # scan+tokenize+explode+groupBy chain (r14: 3 corpus passes →
+        # 2). df per posting resolves from a literal map over the
+        # one-row broadcast. df equivalence: a doc counts for term t
+        # iff __qt contains t iff the doc has a tf row for t.
+        stats = (base.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dl").alias("__sumdl"),
+            *[F.sum(F.array_contains("__qt", t).cast("int"))
+              .alias(f"__df_{i}") for i, t in enumerate(terms)])
+            .withColumn("__k", F.lit(1)))
+        j = (tf.withColumn("__k", F.lit(1))
+             .join(F.broadcast(stats), "__k")
+             .withColumn("df", F.element_at(
+                 F.map_from_arrays(
+                     F.array(*[F.lit(t) for t in terms]),
+                     F.array(*[F.col(f"__df_{i}")
+                               for i in range(len(terms))])),
+                 F.col("term"))))
+    else:
+        # wide term sets: per-term aggregate columns would bloat the
+        # one-row frame and its codegen; keep the broadcast df join
+        stats = (base.agg(F.count(F.lit(1)).alias("__n"),
+                          F.sum("__dl").alias("__sumdl"))
+                 .withColumn("__k", F.lit(1)))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        j = (tf.join(F.broadcast(dfreq), "term")
+             .withColumn("__k", F.lit(1))
+             .join(F.broadcast(stats), "__k"))
 
     # idf: the lone ln, rounded at the per-term grain
     idf = F.round(
