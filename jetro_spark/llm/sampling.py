@@ -169,26 +169,33 @@ def temperature_weights(
     values hash-compare across engines. Feed ``q / p`` per group into
     :func:`mixture_interleave` rates to realize the mix.
 
-    Scale: one vocabulary-sized groupBy; the two normalizers (total
-    rows, Σ p^alpha) are one-row aggregates attached via the bm25
-    scalar-attach pattern — nothing beyond group cardinality ever
-    re-shuffles. p^alpha is the one transcendental, rounded to 12 dp
-    before the decimal-exact (order-free) Σ accumulation.
+    Scale: one vocabulary-sized groupBy; BOTH normalizers (total rows,
+    Σ p^alpha) ride the group aggregate as unbounded-window sums — the
+    window input is the ≤|groups|-row aggregate, never corpus data, so
+    the single-partition window is bounded by group cardinality. The
+    previous scalar-attach shape (one-row aggregate + broadcast join,
+    twice, the second over a subtree containing the first) re-ran the
+    whole corpus scan+groupBy chain per normalizer because plan
+    subtrees are never shared: 4 corpus passes for one groupBy's worth
+    of information. p^alpha is the one transcendental, rounded to
+    12 dp before the decimal-exact (order-free) Σ accumulation —
+    expression-identical to the old aggregate path, so values hash
+    the same.
     """
+    from pyspark.sql.window import Window
+
     cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
-    tot = cnt.agg(F.sum("n").cast("double").alias("__tot"))
-    pa = (cnt.join(F.broadcast(tot), F.lit(1) == F.lit(1))
-          .select(group_col, "n",
-                  (F.col("n") / F.col("__tot")).alias("__p"),
-                  F.round(F.pow(F.col("n") / F.col("__tot"), alpha), 12)
-                  .alias("__pa")))
-    z = pa.agg(F.sum(F.col("__pa").cast("decimal(28,12)"))
-               .cast("double").alias("__z"))
-    return (pa.join(F.broadcast(z), F.lit(1) == F.lit(1))
-            .select(group_col,
-                    F.col("n").cast("long").alias("n"),
-                    F.round("__p", 6).alias("p"),
-                    F.round(F.col("__pa") / F.col("__z"), 6).alias("q")))
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w).cast("double")
+    pa = (cnt.select(group_col, "n",
+                     (F.col("n") / tot).alias("__p"),
+                     F.round(F.pow(F.col("n") / tot, alpha), 12)
+                     .alias("__pa")))
+    z = F.sum(F.col("__pa").cast("decimal(28,12)")).over(w).cast("double")
+    return (pa.select(group_col,
+                      F.col("n").cast("long").alias("n"),
+                      F.round("__p", 6).alias("p"),
+                      F.round(F.col("__pa") / z, 6).alias("q")))
 
 
 def cap_per_key(

@@ -916,6 +916,20 @@ def test_temperature_weights(spark):
     assert half["big"]["n"] == 90
 
 
+def test_temperature_weights_single_input_pass(spark):
+    """r14: both normalizers (total rows, sum p^alpha) ride the group
+    aggregate as unbounded-window sums over the |groups|-row table —
+    the input is scanned/aggregated exactly once. The old scalar-attach
+    shape planned 4 scans of the input (subtrees are never shared)."""
+    from jetro_spark.llm.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "id long, src string")
+    plan = temperature_weights(df, "src")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ") <= 1, plan
+
+
 def test_hashed_embedding_idf_downweights_ubiquitous_tokens(spark):
     """r9: with idf=True a token present in EVERY doc contributes less
     relative weight than a rare token; with idf=False their tf weights
