@@ -106,12 +106,7 @@ def test_scalar_attach_builds_are_aggregates(plans):
     nested loops — a regression that nested-loops actual DATA would
     inflate the count or drop the global aggregate."""
     for name, n_max in (("bm25_topk", 1), ("pmi_colloc", 1),
-                        ("tfidf_embed", 1),
-                        # temp_mixture: 2 real attaches, but the Σp^α
-                        # normalizer's subtree re-prints the first
-                        # attach under itself (tree rendering of a DAG;
-                        # the exchange is reused at runtime) — 3 in text
-                        ("temp_mixture", 3)):
+                        ("tfidf_embed", 1)):
         p = plans[name]
         assert "HashAggregate(keys=[]" in p, f"{name}: no 1-row aggregate"
         assert p.count("BroadcastNestedLoopJoin") <= n_max, name
@@ -123,7 +118,13 @@ def test_scalar_attach_builds_are_aggregates(plans):
     # scalar attach at all anymore. Pin the new shape: zero nested
     # loops, and the window-count is present (a global Window over the
     # vocab aggregate, which is bounded — NOT corpus data).
-    for name in ("ngram_lm", "pipeline_prep2"):
+    # temp_mixture (r14) is the same rewrite one step further: BOTH
+    # normalizers (total rows, Σp^α) ride the group aggregate as
+    # unbounded-window sums over the ≤|groups|-row frame — no one-row
+    # aggregate, no broadcast attach, one corpus pass
+    # (test_llm.py::test_temperature_weights_single_input_pass pins the
+    # single-scan property).
+    for name in ("ngram_lm", "pipeline_prep2", "temp_mixture"):
         p = plans[name]
         assert "BroadcastNestedLoopJoin" not in p, f"{name}: attach back?"
         assert "CartesianProduct" not in p
