@@ -286,8 +286,15 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     verified by exact Hamming distance. Same no-all-pairs join shape as
     MinHash-LSH."""
     n_bands = bits // band_bits
+    # sig pinned under a Generate (r14): the Hamming verify in the pair
+    # join puts sig in the join condition, so the inferred isnotnull(sig)
+    # constraint was pushed below the projection and re-evaluated the
+    # whole tokenize+fold signature per row a SECOND time (the
+    # ivf_topk/semantic_dedup_pairs fix; visible as the full md5 fold
+    # inside the pre-join Filter node)
     docs = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col), bits).alias("sig"))
+                     F.explode(F.array(
+                         simhash(F.col(text_col), bits))).alias("sig"))
     mask = (1 << band_bits) - 1
     bands_df = docs.select(
         "id", "sig",

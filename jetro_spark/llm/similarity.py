@@ -298,28 +298,39 @@ def ivf_topk(
     literals); the candidate set forms by ONE equi-join on cell id
     (a corpus vector lives in exactly one cell and a query probes
     distinct cells, so no dedup pass is needed, unlike LSH's per-table
-    buckets); rerank shuffles candidates only. Hot cells are ordinary
-    join skew → AQE. Recall tunes via n_probe/n_cells."""
+    buckets) — and because of that no-dedup property the corpus vector
+    and its norm ride the SAME join (r14): the old id-first shape
+    (pair ids, then a second corpus scan joined back on nid) paid a
+    whole extra scan + an nid exchange for a dedup stage IVF does not
+    have. Cell+norm are pinned under a Generate so the join's inferred
+    isnotnull(cell) cannot be pushed below the projection and
+    re-evaluate the 16-centroid argmax fold per row a second time
+    (r14 plan audit: the Filter node carried the full fold). Rerank
+    shuffles candidates only. Hot cells are ordinary join skew → AQE.
+    Recall tunes via n_probe/n_cells."""
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
 
-    corpus_cells = corpus.select(
+    corpus_cells = (corpus.select(
         F.col(id_col).alias("nid"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"))
+        F.col(vec_col).alias("nvec"),
+        F.explode(F.array(F.struct(
+            ivf_cell(F.col(vec_col), centroids).alias("cell"),
+            l2_norm(F.col(vec_col)).alias("nn")))).alias("__m"))
+        .select("nid", "nvec",
+                F.col("__m.cell").alias("cell"),
+                F.col("__m.nn").alias("__nn")))
     probes = queries.select(
         F.col(id_col).alias("qid"),
         F.explode(ivf_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"))
 
-    pair_ids = (probes.join(corpus_cells, "cell")
-                .filter(F.col("qid") != F.col("nid"))
-                .select("qid", "nid"))
     qv = F.broadcast(queries.select(F.col(id_col).alias("qid"),
                                     F.col(vec_col).alias("qvec"))
                      .withColumn("__qn", l2_norm(F.col("qvec"))))
-    cv = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
-          .withColumn("__nn", l2_norm(F.col("nvec"))))
     # per-side norms: 1 interpreted fold per candidate pair, not 3
-    scored = (pair_ids.join(qv, "qid").join(cv, "nid")
+    scored = (probes.join(corpus_cells, "cell")
+              .filter(F.col("qid") != F.col("nid"))
+              .join(qv, "qid")
               .withColumn("score", F.try_divide(
                   dot(F.col("qvec"), F.col("nvec")),
                   F.col("__qn") * F.col("__nn"))))
@@ -440,10 +451,18 @@ def pq_topk(
         codebooks = train_pq_codebooks(corpus, m=m, ksub=ksub,
                                        id_col=id_col, vec_col=vec_col)
 
-    corpus_side = corpus.select(
+    # cell+codes pinned under a Generate: the cell join's inferred
+    # isnotnull(cell) would otherwise push below the projection and
+    # re-evaluate the 16-centroid argmax fold per corpus row (r14 —
+    # same fix as ivf_topk / semantic_dedup_pairs)
+    corpus_side = (corpus.select(
         F.col(id_col).alias("nid"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"))
+        F.explode(F.array(F.struct(
+            ivf_cell(F.col(vec_col), centroids).alias("cell"),
+            pq_encode(F.col(vec_col), codebooks).alias("codes"))))
+        .alias("__m"))
+        .select("nid", F.col("__m.cell").alias("cell"),
+                F.col("__m.codes").alias("codes")))
     probes = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
