@@ -83,6 +83,15 @@ def bm25_scores(
              )).alias("__s"))
     base = base.select(did, F.col("__s.dl").alias("__dl"),
                        F.col("__s.qt").alias("__qt"))
+    # ONE corpus tokenize pass (r14, the tfidf shared-exchange shape):
+    # tf and the corpus-stats aggregate each consumed `base`, and plan
+    # subtrees are never shared — the stats branch re-ran the whole
+    # scan+tokenize chain. Repartitioning the REDUCED doc-level rows
+    # (id, dl, query-term matches only — a few ints + a tiny array per
+    # doc, never the text) by id gives both consumers one reusable
+    # exchange; hashpartitioning(id) satisfies the (id, dl, term)
+    # grouping, so tf needs no second exchange on top.
+    base = base.repartition(did)
 
     # tf: NO pre-filter on size(__qt) — explode already emits nothing
     # for empty/null arrays, and the filter was WORSE than redundant:
@@ -196,13 +205,17 @@ def dsir_log_ratios(
         .withColumnRenamed("cnt", "rc")
     tc = bucket_counts(target, text_col, n_buckets=n_buckets, seed=seed) \
         .withColumnRenamed("cnt", "tc")
-    tot = (rc.agg(F.sum("rc").alias("rt")).withColumn("__k", F.lit(1))
-           .join(tc.agg(F.sum("tc").alias("tt"))
-                 .withColumn("__k", F.lit(1)), "__k"))
+    # totals ride the n_buckets-row frame as unbounded-window sums
+    # (r14): every rc/tc bucket row lands in the frame (bucket = hash %
+    # n_buckets), so Σcoalesce(rc,0) over the frame equals the old
+    # rc.agg(sum) — which, plan subtrees never being shared, re-ran the
+    # whole corpus bucket-count pass per total (2 extra corpus passes).
+    # The window input is exactly n_buckets rows — a model, not data.
+    w_all = Window.partitionBy()
     j = (frame.join(F.broadcast(rc), "bucket", "left")
          .join(F.broadcast(tc), "bucket", "left")
-         .withColumn("__k", F.lit(1))
-         .join(F.broadcast(tot), "__k"))
+         .withColumn("rt", F.sum(F.coalesce("rc", F.lit(0))).over(w_all))
+         .withColumn("tt", F.sum(F.coalesce("tc", F.lit(0))).over(w_all)))
     p_t = ((F.coalesce("tc", F.lit(0)) + alpha)
            / (F.col("tt") + alpha * n_buckets))
     p_r = ((F.coalesce("rc", F.lit(0)) + alpha)
@@ -286,20 +299,27 @@ def pmi_collocations(
     ).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count")))
-    # both totals in ONE pass over the token table (Σcw ≡ Σlen(t),
-    # Σpair_count ≡ Σmax(len(t)-1, 0) — exact integers either way),
-    # so the scalar attach below is a single 1-row broadcast
-    tot = (toks.agg(
-        F.sum(F.size("__tk")).alias("tu"),
-        F.sum(F.greatest(F.size("__tk") - 1, F.lit(0))).alias("tb"))
-        .withColumn("__k", F.lit(1)))
+    # totals ride the count tables (r14): tu = Σcw as an
+    # unbounded-window sum over the VOCAB-BOUNDED `uni` aggregate,
+    # attached through the c1 broadcast join every bigram row already
+    # pays (every w1 is a corpus token, so the inner join always
+    # matches); tb = Σpair_count (pre-filter) as a one-row aggregate
+    # whose subtree REUSES bi's exchange. Same exact-integer values as
+    # the old direct Σlen(t) / Σmax(len(t)-1, 0) corpus aggregate —
+    # which, plan subtrees never being shared, was a THIRD full
+    # scan+tokenize pass. No window ever sees the bigram table (only
+    # uni, bounded by vocabulary, the ngram_lm precedent).
+    uni_t = uni.withColumn(
+        "tu", F.sum("cw").over(Window.partitionBy()))
+    tb_row = (bi.agg(F.sum("pair_count").alias("tb"))
+              .withColumn("__k", F.lit(1)))
     j = (bi.filter(F.col("pair_count") >= min_count)
-         .join(F.broadcast(uni.withColumnRenamed("cw", "c1")
+         .join(F.broadcast(uni_t.withColumnRenamed("cw", "c1")
                            .withColumnRenamed("w", "w1")), "w1")
          .join(F.broadcast(uni.withColumnRenamed("cw", "c2")
                            .withColumnRenamed("w", "w2")), "w2")
          .withColumn("__k", F.lit(1))
-         .join(F.broadcast(tot), "__k"))
+         .join(F.broadcast(tb_row), "__k"))
     pmi = F.round(F.log(
         (F.col("pair_count") / F.col("tb"))
         / ((F.col("c1") / F.col("tu")) * (F.col("c2") / F.col("tu")))), 6)
