@@ -223,13 +223,28 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- set ops: diff / intersect / union (relational) --------------------------
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    b = li.filter(F.col("l_linestatus") == "O").select("l_partkey")
-    return (
-        a.intersect(b)
-        .withColumn("op", F.lit("intersect"))
-        .unionAll(a.subtract(b).withColumn("op", F.lit("diff")))
-    )
+    # ONE corpus pass (r14): a partkey is in `a` iff some row has
+    # l_returnflag='R', in `b` iff some row has l_linestatus='O' — so
+    # both memberships fold into one groupBy(l_partkey) and
+    # intersect/diff become filters over the same aggregate. The old
+    # a.intersect(b) ∪ a.subtract(b) scanned lineitem FOUR times (each
+    # set op scans both branches; plan subtrees are never shared) with
+    # a distinct-exchange per branch; this is one scan + one exchange,
+    # reused by both consumers. Semantics are preserved exactly:
+    # INTERSECT/EXCEPT emit DISTINCT keys (the groupBy does), treat
+    # NULL keys as equal (a NULL partkey groups like any value), and
+    # membership is existential (bool_or; coalesce false = "no
+    # qualifying row", matching the filters that defined a and b).
+    # Oracle SQL unchanged — equivalence is hash-proven.
+    flags = (li.groupBy("l_partkey").agg(
+        F.coalesce(F.bool_or(F.col("l_returnflag") == "R"),
+                   F.lit(False)).alias("__a"),
+        F.coalesce(F.bool_or(F.col("l_linestatus") == "O"),
+                   F.lit(False)).alias("__b")))
+    return (flags.filter(F.col("__a") & F.col("__b"))
+            .select("l_partkey").withColumn("op", F.lit("intersect"))
+            .unionAll(flags.filter(F.col("__a") & ~F.col("__b"))
+                      .select("l_partkey").withColumn("op", F.lit("diff"))))
 
 
 # --- approx_count_distinct (HLL, tolerance verdict emitted in-plan) ----------
