@@ -118,22 +118,55 @@ def check_constraints(
     passing one); ``unique`` lists key tuples that must be unique
     (violations = rows beyond the first per duplicated key).
 
-    Row checks aggregate in ONE pass (no shuffle beyond the final 1-row
-    agg); each uniqueness check is one groupBy on its key tuple."""
-    rows = [
-        F.struct(F.lit(name).alias("constraint"),
-                 F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1)
-                       .otherwise(0)).cast("long").alias("n_violations"))
-        for name, cond in checks.items()
-    ]
-    out = df.agg(F.array(*rows).alias("p")) \
-        .select(F.explode("p").alias("p")).select("p.*")
-    for keys in unique or []:
-        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-               .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
-                    .cast("long").alias("n_violations"))
-               .select(F.lit("unique(" + ",".join(keys) + ")")
-                       .alias("constraint"), "n_violations"))
+    Row checks aggregate in ONE pass; when uniqueness checks are
+    requested the row checks RIDE the first uniqueness groupBy (r14):
+    each violation count distributes exactly over key groups (integer
+    sums), so per-group partials re-aggregate to the same totals and
+    the row-check pass costs no separate corpus scan — plan subtrees
+    are never shared, so the old independent 1-row aggregate re-read
+    the whole input. Each further uniqueness tuple keeps its own
+    groupBy (one pass per extra tuple)."""
+    def _viol(cond: Column) -> Column:
+        return F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1)
+                     .otherwise(0)).cast("long")
+
+    def _dup_rows(keys: list[str]):
+        name = "unique(" + ",".join(keys) + ")"
+        return (F.lit(name).alias("constraint"),
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                .cast("long").alias("n_violations"))
+
+    uniq = list(unique or [])
+    if uniq:
+        # per-group partials for every row check + the group size, one
+        # corpus pass total; the outer re-aggregate sees |groups| rows
+        # with map-side combine (never a single-task pass)
+        per = df.groupBy(*uniq[0]).agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[_viol(cond).alias(f"__v{i}")
+              for i, cond in enumerate(checks.values())])
+        rows = [
+            F.struct(F.lit(name).alias("constraint"),
+                     F.sum(F.col(f"__v{i}")).cast("long")
+                     .alias("n_violations"))
+            for i, name in enumerate(checks)
+        ]
+        uname, uviol = _dup_rows(uniq[0])
+        rows.append(F.struct(uname, uviol))
+        out = per.agg(F.array(*rows).alias("p")) \
+            .select(F.explode("p").alias("p")).select("p.*")
+    else:
+        rows = [
+            F.struct(F.lit(name).alias("constraint"),
+                     _viol(cond).alias("n_violations"))
+            for name, cond in checks.items()
+        ]
+        out = df.agg(F.array(*rows).alias("p")) \
+            .select(F.explode("p").alias("p")).select("p.*")
+    for keys in uniq[1:]:
+        grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        uname, uviol = _dup_rows(keys)
+        dup = grouped.agg(uviol).select(uname, "n_violations")
         out = out.unionByName(dup)
     return out
 
