@@ -330,3 +330,55 @@ def test_dedup_spans_exchanges_never_carry_gram_text(plans):
         assert offenders == [], (name, offenders)
         # the fingerprint keys ARE what shuffles / joins
         assert "__h1" in p and "__h2" in p, name
+
+
+def test_no_computed_key_reeval_in_filters(plans):
+    """r14: an equi-join key (or join-condition column) computed by an
+    expensive expression gets an inferred isnotnull constraint pushed
+    BELOW its defining projection — the whole expression then runs a
+    second time per row inside a Filter. Caught live on ann_ivf (the
+    16-centroid argmax fold appeared verbatim in the pre-join Filter)
+    and simhash_pairs (the md5 signature fold); both fixed by pinning
+    the computed column under a one-element-explode Generate, which
+    predicate pushdown cannot cross. Pin the CLASS engine-wide: no
+    gate plan may carry a fold/tokenize-family expression inside an
+    isnotnull."""
+    markers = ("isnotnull(aggregate(", "isnotnull(-array_max(",
+               "isnotnull(array_max(", "isnotnull(xxhash64(",
+               "isnotnull(conv(", "isnotnull(md5(",
+               "isnotnull(transform(")
+    offenders = {n: [m for m in markers if m in p]
+                 for n, p in plans.items()}
+    offenders = {n: hits for n, hits in offenders.items() if hits}
+    assert offenders == {}
+
+
+def test_r14_pass_reduction_shapes(plans, spark):
+    """r14 single-pass rewrites, pinned by scan count / exchange
+    marker so a regression that re-forks the corpus subtree fails
+    mechanically (plan subtrees are never shared — a re-fork IS a
+    whole extra corpus pass):
+
+    - ann_ivf: the corpus vector+norm ride the cell equi-join (no
+      second corpus scan joined back on nid) — 3 FileScans total, two
+      of which are the 10-row query side.
+    - bm25_topk: tf and corpus-stats share ONE tokenize via the
+      doc-level repartition (REPARTITION_BY_COL exchange present;
+      its reuse is runtime-AQE, visible in
+      plans/r14/bm25_topk_after2_final.txt).
+    - set_ops: both memberships fold into one aggregate — never the
+      old 4-scan intersect/subtract chain.
+    - check_constraints: row checks ride the uniqueness groupBy —
+      exactly one FileScan (module outside this fixture's set, built
+      here directly)."""
+    assert plans["ann_ivf"].count("FileScan parquet") == 3
+    p = plans["bm25_topk"]
+    assert p.count("FileScan parquet") == 2
+    assert "REPARTITION_BY_COL" in p
+    assert plans["set_ops"].count("FileScan parquet") <= 2
+    from jetro_spark.gate import profiling
+    df = profiling.QUERIES["check_constraints"](spark, SF)
+    qe = df._jdf.queryExecution()
+    pcc = (qe.executedPlan().toString()
+           + "\n" + qe.optimizedPlan().toString())
+    assert pcc.count("FileScan parquet") == 1
